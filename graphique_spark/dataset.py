@@ -1,0 +1,327 @@
+"""``Dataset``: the engine's table abstraction — a thin, lazy wrapper over
+``pyspark.sql.DataFrame`` exposing the reference's full operator surface
+(reference interface.py; SURVEY §2). Every method returns a new ``Dataset``
+holding an *unexecuted* DataFrame (a Catalyst logical plan); nothing runs
+until a scalar accessor (``count``, ``values``, ``row``...) materializes.
+
+Catalyst supplies predicate pushdown, column pruning, partition pruning,
+join planning and codegen for free; the methods here only need to express
+the *semantics* declaratively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphique_spark.inputs import Agg, Filter, combine_filters
+from graphique_spark.operators.asof import asof_join
+from graphique_spark.operators.sequence import with_row_index, with_run_ids
+from graphique_spark.operators.topk import rank_filter, sort_keys, top_k
+
+
+class Dataset:
+    """Lazy table; mirror of the reference's ``Dataset`` GraphQL interface
+    (reference interface.py:74-81) over a Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, roots: Mapping[str, "Dataset"] | None = None):
+        self.df = df
+        #: named root tables, the join/union targets (reference middleware.py:68-90)
+        self.roots = dict(roots or {})
+
+    def _wrap(self, df: DataFrame) -> "Dataset":
+        return Dataset(df, self.roots)
+
+    def _resolve(self, other: "Dataset | DataFrame | str") -> DataFrame:
+        if isinstance(other, str):
+            return self.roots[other].df
+        if isinstance(other, Dataset):
+            return other.df
+        return other
+
+    # -- reflection ---------------------------------------------------------
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    def column_names(self) -> list[str]:
+        return list(self.df.columns)
+
+    def to_sql(self) -> str:
+        """Render the current plan as SQL-ish text (reference ``toSql``,
+        interface.py:109-115): the optimized logical plan, which *is* the
+        engine's IR."""
+        return self.df._jdf.queryExecution().optimizedPlan().toString()
+
+    # -- materializing leaves ------------------------------------------------
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def any(self, limit: int = 1) -> bool:
+        """Existence early-exit: LIMIT n before counting (reference
+        interface.py:151-157) — never scans past ``limit`` rows."""
+        return self.df.limit(limit).count() >= limit
+
+    def row(self, index: int = 0) -> dict[str, Any]:
+        rows = self.df.offset(index).limit(1).collect() if index else self.df.limit(1).collect()
+        if not rows:
+            raise IndexError(index)
+        return rows[0].asDict(recursive=True)
+
+    def values(self, name: str, limit: int | None = None) -> list:
+        df = self.df.select(name)
+        if limit is not None:
+            df = df.limit(limit)
+        return [row[0] for row in df.collect()]
+
+    # -- projection / filtering ---------------------------------------------
+
+    def select(self, *columns: str | Column) -> "Dataset":
+        return self._wrap(self.df.select(*columns))
+
+    def project(self, columns: Mapping[str, Column]) -> "Dataset":
+        """Add/replace columns by expression (reference ``project``,
+        interface.py:455-462)."""
+        return self._wrap(self.df.withColumns(dict(columns)))
+
+    def filter(self, where: Column | None = None, **filters: Filter | dict) -> "Dataset":
+        """Typed per-column predicates AND-ed with an expression filter
+        (reference interface.py:510-519)."""
+        typed = {
+            name: flt if isinstance(flt, Filter) else Filter(**flt)
+            for name, flt in filters.items()
+        }
+        return self._wrap(self.df.filter(combine_filters(typed, where)))
+
+    def cast(self, schema: Mapping[str, str], try_: bool = False) -> "Dataset":
+        """Cast columns; ``try_`` yields null on failure (reference
+        interface.py:129-136)."""
+        cols = {
+            name: (F.try_cast(F.col(name), typ) if try_ else F.col(name).cast(typ))
+            for name, typ in schema.items()
+        }
+        return self._wrap(self.df.withColumns(cols))
+
+    def column(self, name: str, index: int | None = None) -> Column:
+        """Column of any type by (nested, dotted) name; optional index into
+        arrays (reference interface.py:159-175)."""
+        col = F.col(name)
+        return F.get(col, index) if index is not None else col
+
+    def fill_null(self, value: Any, subset: Sequence[str] | None = None) -> "Dataset":
+        return self._wrap(self.df.na.fill(value, subset=list(subset) if subset else None))
+
+    def drop_null(self, subset: Sequence[str] | None = None, how: str = "any") -> "Dataset":
+        return self._wrap(self.df.na.drop(how=how, subset=list(subset) if subset else None))
+
+    # -- aggregation ----------------------------------------------------------
+
+    def group(
+        self,
+        by: Sequence[str] = (),
+        aggregate: Sequence[Agg] = (),
+        counts: str | None = None,
+    ) -> "Dataset":
+        """Hash group-by; ``by=()`` aggregates to one row; ``counts`` adds a
+        group-size column (reference interface.py:217-243). Partial
+        (map-side) aggregation and AQE skew handling come from Catalyst."""
+        aggs = [agg.to_column() for agg in aggregate]
+        if counts:
+            aggs.append(F.count(F.lit(1)).alias(counts))
+        if not aggs:  # distinct key combinations
+            return self._wrap(self.df.select(*by).distinct())
+        grouped = self.df.groupBy(*by) if by else self.df.groupBy()
+        return self._wrap(grouped.agg(*aggs))
+
+    def distinct(
+        self,
+        on: Sequence[str] = (),
+        keep: str | None = "first",
+        counts: str | None = None,
+        order_by: Sequence[str] = (),
+    ) -> "Dataset":
+        """De-duplicate on a key subset, keeping all columns (reference
+        interface.py:185-215). ``keep``: 'first'/'last' (by ``order_by``, or
+        arbitrary-but-deterministic via a stable tiebreak), None = drop *all*
+        duplicated rows."""
+        on = list(on) or self.column_names()
+        if keep is None:
+            counted = self.df.groupBy(*on).count()
+            uniq = counted.filter(F.col("count") == 1).drop("count")
+            return self._wrap(self.df.join(uniq, on=on, how="semi"))
+        keys = sort_keys(order_by) if order_by else [F.monotonically_increasing_id()]
+        if keep == "last":
+            keys = [k.desc() for k in sort_keys(order_by)] if order_by else [
+                F.monotonically_increasing_id().desc()
+            ]
+        w = Window.partitionBy(*on).orderBy(*keys)
+        out = self.df.withColumn("__rn", F.row_number().over(w))
+        if counts:
+            out = out.withColumn(counts, F.count(F.lit(1)).over(Window.partitionBy(*on)))
+        return self._wrap(out.filter(F.col("__rn") == 1).drop("__rn"))
+
+    def runs(
+        self,
+        by: Sequence[str],
+        order_by: Sequence[str],
+        aggregate: Sequence[Agg] = (),
+        counts: str | None = None,
+        split: Column | None = None,
+    ) -> "Dataset":
+        """Group by *adjacency*: consecutive equal values (in ``order_by``
+        order) form one group (reference ``runs``, interface.py:464-489)."""
+        flagged = with_run_ids(self.df, list(by), list(order_by), split=split)
+        aggs = [agg.to_column() for agg in aggregate]
+        if counts:
+            aggs.append(F.count(F.lit(1)).alias(counts))
+        keep = [F.first(c).alias(c) for c in by]
+        return self._wrap(flagged.groupBy("_run").agg(*keep, *aggs).drop("_run"))
+
+    # -- ordering / limiting ---------------------------------------------------
+
+    def order(self, by: Sequence[str], limit: int | None = None, over: Sequence[str] = ()) -> "Dataset":
+        return self._wrap(top_k(self.df, by, limit, over))
+
+    def first(self, by: Sequence[str], rank: int = 1, dense: bool = False, over: Sequence[str] = ()) -> "Dataset":
+        return self._wrap(rank_filter(self.df, by, rank, dense, over))
+
+    def slice(self, offset: int = 0, limit: int | None = None) -> "Dataset":
+        """Contiguous rows in current order; negative offset = from the end
+        (reference interface.py:177-183)."""
+        if offset < 0:
+            total = self.df.count()
+            offset = max(total + offset, 0)
+        df = self.df.offset(offset) if offset else self.df
+        return self._wrap(df.limit(limit) if limit is not None else df)
+
+    def take(self, indices: Sequence[int], rowid: str = "_rowid") -> "Dataset":
+        """Rows by position (reference ``take``, interface.py:424-435): a
+        broadcast semi-join against a literal index table over a dense row
+        index — distributed, unlike a driver-side collect."""
+        df = self.df if rowid in self.df.columns else with_row_index(self.df, rowid)
+        spark = df.sparkSession
+        wanted = spark.createDataFrame([(int(i),) for i in indices], schema=[rowid])
+        return self._wrap(df.join(F.broadcast(wanted), on=rowid, how="semi"))
+
+    def with_row_index(self, name: str = "_rowid") -> "Dataset":
+        return self._wrap(with_row_index(self.df, name))
+
+    # -- multi-table ------------------------------------------------------------
+
+    def join(
+        self,
+        right: "Dataset | DataFrame | str",
+        keys: Sequence[str],
+        rkeys: Sequence[str] | None = None,
+        how: str = "inner",
+        lname: str = "{name}",
+        rname: str = "{name}_r",
+        broadcast: bool = False,
+    ) -> "Dataset":
+        """Equi-join (reference interface.py:329-352). Overlapping column
+        names are renamed via the ``lname``/``rname`` format strings. Pass
+        ``broadcast=True`` to force a broadcast of the right side."""
+        rdf = self._resolve(right)
+        rkeys = list(rkeys or keys)
+        overlap = (set(self.df.columns) & set(rdf.columns)) - (
+            set(keys) if list(keys) == rkeys else set()
+        )
+        ldf = self.df
+        for name in overlap:
+            if lname != "{name}":
+                ldf = ldf.withColumnRenamed(name, lname.format(name=name))
+            rdf = rdf.withColumnRenamed(name, rname.format(name=name))
+        if list(keys) == rkeys:
+            cond: Any = list(keys)
+        else:
+            cond = None
+            for lk, rk in zip(keys, rkeys):
+                piece = ldf[lk] == rdf[rk]
+                cond = piece if cond is None else cond & piece
+        if broadcast:
+            rdf = F.broadcast(rdf)
+        return self._wrap(ldf.join(rdf, on=cond, how=how))
+
+    def asof_join(self, right: "Dataset | DataFrame | str", on: str, **kwargs) -> "Dataset":
+        return self._wrap(asof_join(self.df, self._resolve(right), on, **kwargs))
+
+    def cross_join(self, *rights: "Dataset | DataFrame | str") -> "Dataset":
+        df = self.df
+        for right in rights:
+            df = df.crossJoin(self._resolve(right))
+        return self._wrap(df)
+
+    def take_from(self, indices_col: str, source: "Dataset | DataFrame | str", rowid: str = "_rowid") -> "Dataset":
+        """Use an integer column as row indices into another root (reference
+        ``takeFrom``, models.py:215-221): an equi-join against the source's
+        dense row index."""
+        src = self._resolve(source)
+        if rowid not in src.columns:
+            src = with_row_index(src, rowid)
+        idx = self.df.select(F.col(indices_col).alias(rowid))
+        return self._wrap(idx.join(src, on=rowid, how="inner").drop(rowid))
+
+    # -- set operations -----------------------------------------------------------
+
+    def union(self, *others: "Dataset | DataFrame | str", distinct: bool = False) -> "Dataset":
+        df = self.df
+        for other in others:
+            df = df.unionByName(self._resolve(other))
+        return self._wrap(df.distinct() if distinct else df)
+
+    def intersect(self, other: "Dataset | DataFrame | str", distinct: bool = True) -> "Dataset":
+        rdf = self._resolve(other)
+        return self._wrap(self.df.intersect(rdf) if distinct else self.df.intersectAll(rdf))
+
+    def difference(self, other: "Dataset | DataFrame | str", distinct: bool = True) -> "Dataset":
+        rdf = self._resolve(other)
+        return self._wrap(self.df.subtract(rdf) if distinct else self.df.exceptAll(rdf))
+
+    # -- reshaping -------------------------------------------------------------------
+
+    def unnest(self, name: str, offset: str | None = None, keep_empty: bool = False) -> "Dataset":
+        """Explode an array column (reference ``unnest``, interface.py:301-322);
+        ``offset`` adds the element index; ``keep_empty`` keeps null/empty
+        arrays as null rows."""
+        others = [c for c in self.df.columns if c != name]
+        if offset:
+            fn = F.posexplode_outer if keep_empty else F.posexplode
+            out = self.df.select(*others, fn(name).alias(offset, name))
+        else:
+            fn = F.explode_outer if keep_empty else F.explode
+            out = self.df.select(*others, fn(name).alias(name))
+        return self._wrap(out)
+
+    def unpack(self, *names: str) -> "Dataset":
+        """Flatten struct columns to top level (reference interface.py:324-327)."""
+        cols: list[Column | str] = []
+        for c in self.df.columns:
+            if c in names:
+                cols.append(F.col(c + ".*"))
+            else:
+                cols.append(c)
+        return self._wrap(self.df.select(*cols))
+
+    # -- caching (reference resolve()/.cache(), interface.py:83-91) -------------------
+
+    def persist(self, columns: Sequence[str] | None = None) -> "Dataset":
+        """Minimal-select then persist, the reference's sibling-field reuse
+        trick: prune to the referenced columns *before* materializing so the
+        cache holds only what downstream fields read."""
+        df = self.df.select(*columns) if columns else self.df
+        return self._wrap(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+    def unpersist(self) -> "Dataset":
+        self.df.unpersist()
+        return self
+
+    # -- SQL escape hatch (reference interface.py:523-535; gated by caller) -----------
+
+    def sql(self, query: str, alias: str = "self") -> "Dataset":
+        self.df.createOrReplaceTempView(alias)
+        return self._wrap(self.df.sparkSession.sql(query))

@@ -1,0 +1,137 @@
+"""As-of join: for each left row, the nearest earlier-or-equal right row.
+
+The reference exposes ``asofJoin(right, on, keys, rkeys, tolerance)``
+(reference interface.py:354-383) via ibis; Spark has no native as-of join.
+
+Strategy (scales to arbitrarily large sides): **union + last-value window**.
+Union left and right rows tagged by side, partition by the equality keys,
+order by the ``on`` column with right rows sorting before left rows at equal
+timestamps, then for each left row take ``last(right payload, ignorenulls)``
+over an unbounded-preceding frame. One shuffle on the keys — same cost as an
+equi-join — no range-explosion, no per-key skew beyond what the data has.
+
+The alternative (range join ``r.on BETWEEN l.on - tol AND l.on`` +
+``row_number() == 1``) multiplies rows by the tolerance window and is only
+used when explicitly requested via ``strategy="range"`` (it can win when
+keys are few and tolerance is tight).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+_RON = "__asof_ron"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    by: Sequence[str] = (),
+    right_by: Sequence[str] | None = None,
+    tolerance: Column | str | None = None,
+    direction: str = "backward",
+    strategy: str = "union",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join. ``direction='backward'``: nearest right row with
+    ``r.on <= l.on`` (within ``tolerance`` if given); ``'forward'``: nearest
+    with ``r.on >= l.on``.
+
+    Right payload columns that collide with left names get ``suffix``.
+    """
+    right_on = right_on or on
+    right_by = list(right_by or by)
+    by = list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if strategy == "range":
+        return _asof_range(left, right, on, right_on, by, right_by, tolerance, direction, suffix)
+
+    payload_cols = [c for c in right.columns if c not in right_by and c != right_on]
+    renames = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(
+        "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
+    )).withColumn(_RON, F.lit(None).cast(right.schema[right_on].dataType.simpleString()))
+
+    rhs = right.select(
+        *[F.col(rb).alias(b) for b, rb in zip(by, right_by)],
+        F.col(right_on).alias(on),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+        F.col(right_on).alias(_RON),
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType.simpleString()))
+    rhs = rhs.select(*lhs.columns)
+
+    unioned = lhs.unionByName(rhs)
+    order = [F.col(on), F.col(_SIDE)]  # right (0) before left (1) at ties
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col(_SIDE)]
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    matched = matched.withColumn(_RON, F.last(_RON, ignorenulls=True).over(w))
+
+    out = matched.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        gap = (F.col(on) - F.col(_RON)) if direction == "backward" else (F.col(_RON) - F.col(on))
+        within = F.col(_RON).isNotNull() & (gap <= tol)
+        out = out.withColumn(_PAYLOAD, F.when(within, F.col(_PAYLOAD)))
+        out = out.withColumn(_RON, F.when(within, F.col(_RON)))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(renames[c]) for c in payload_cols],
+    )
+
+
+def _asof_range(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    by: list[str],
+    right_by: list[str],
+    tolerance: Column | str | None,
+    direction: str,
+    suffix: str,
+) -> DataFrame:
+    """Range-join variant: bounded candidate window + keep nearest."""
+    payload_cols = [c for c in right.columns if c not in right_by and c != right_on]
+    renames = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+    r = right.select(
+        *[F.col(rb).alias(f"__r_{b}") for b, rb in zip(by, right_by)],
+        F.col(right_on).alias("__r_on"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    cond = F.lit(True)
+    for b in by:
+        cond = cond & (F.col(b) == F.col(f"__r_{b}"))
+    if direction == "backward":
+        cond = cond & (F.col("__r_on") <= F.col(on))
+        if tolerance is not None:
+            tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+            cond = cond & (F.col("__r_on") >= F.col(on) - tol)
+    else:
+        cond = cond & (F.col("__r_on") >= F.col(on))
+        if tolerance is not None:
+            tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+            cond = cond & (F.col("__r_on") <= F.col(on) + tol)
+    joined = left.join(r, on=cond, how="left")
+    w = Window.partitionBy(*left.columns).orderBy(
+        F.col("__r_on").desc() if direction == "backward" else F.col("__r_on")
+    )
+    best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return best.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(renames[c]) for c in payload_cols],
+    )

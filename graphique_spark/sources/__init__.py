@@ -1,0 +1,104 @@
+"""Sources and sinks.
+
+The reference roots a service at a parquet file/dir (hive-partitioned) or
+any ibis backend table (reference service.py:24-31); multiple named roots
+become join/federation targets (middleware.py:68-90). Spark equivalents:
+``spark.read`` (hive partition discovery and pruning are built in), catalog
+tables, and JDBC. The out-of-core partition CLI (reference partition.py)
+collapses to a single ``write.partitionBy`` — Spark's shuffle service
+replaces the reference's two-pass fragment consolidation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphique_spark.dataset import Dataset
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | Mapping[str, str] | None = None,
+) -> Dataset:
+    """Root a Dataset at a parquet file/dir. ``columns`` applies the
+    reference's startup projection/rename (service.py:22-31): a list selects,
+    a mapping selects-and-renames. Hive-style ``key=value`` subdirectories
+    are discovered and pruned automatically by Catalyst."""
+    df = spark.read.parquet(path)
+    if isinstance(columns, Mapping):
+        df = df.select(*[df[orig].alias(new) for new, orig in columns.items()])
+    elif columns:
+        df = df.select(*columns)
+    return Dataset(df)
+
+
+def read_table(spark: SparkSession, name: str) -> Dataset:
+    """Root at a catalog table (the ibis-backend analog)."""
+    return Dataset(spark.table(name))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> Dataset:
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return Dataset(reader.load())
+
+
+def roots(tables: Mapping[str, Dataset | DataFrame]) -> dict[str, Dataset]:
+    """Bind multiple named roots so each can reference the others as join
+    targets (reference ``Query`` class roots, middleware.py:68-90)."""
+    out = {
+        name: t if isinstance(t, Dataset) else Dataset(t) for name, t in tables.items()
+    }
+    for dataset in out.values():
+        dataset.roots = out
+    return out
+
+
+def normalize_nanos(df: DataFrame, columns: Mapping[str, str] = ()) -> DataFrame:
+    """Convert nanosecond-timestamp columns (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps."""
+    from pyspark.sql import functions as F
+
+    for name in columns:
+        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+    return df
+
+
+#: driver testdata columns stored as TIMESTAMP(NANOS) in parquet
+NANO_COLUMNS = {"events": ["ts"]}
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str]) -> dict[str, Dataset]:
+    """Load the driver's benchmark tables as named roots."""
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_nanos(df, NANO_COLUMNS.get(name, ()))
+        out[name] = df
+    return roots(out)
+
+
+def write_partitioned(
+    df: DataFrame,
+    dest: str,
+    keys: Sequence[str],
+    sort_within: Sequence[str] = (),
+    with_index: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink (reference partition.py:29-77 collapsed
+    to one shuffle): optional within-partition sort and original-row-index
+    column (``monotonically_increasing_id`` replaces the reference's
+    manual index bookkeeping)."""
+    from pyspark.sql import functions as F
+
+    if with_index:
+        df = df.withColumn(with_index, F.monotonically_increasing_id())
+    out = df.repartition(*keys)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.partitionBy(*keys).mode(mode).parquet(dest)

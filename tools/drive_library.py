@@ -1,0 +1,81 @@
+"""Drive graphique_spark through its public API over real parquet data.
+
+The library's surface is the package boundary: a user imports
+``graphique_spark``, roots Datasets at parquet files, chains operators, and
+materializes at scalar leaves. This script is that user.
+"""
+
+import traceback
+
+from graphique_spark import Agg, Filter, get_session
+from graphique_spark.sources import load_tables
+
+spark = get_session(master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+tables = load_tables(
+    spark, "/root/testdata/sf0.001",
+    ["lineitem", "orders", "customer", "nation", "region", "events"],
+)
+li, orders, nation = tables["lineitem"], tables["orders"], tables["nation"]
+
+checks = []
+
+
+def _raises(fn):
+    try:
+        fn()
+        return False
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def check(name, fn):
+    try:
+        result = fn()
+        checks.append((name, "OK", result))
+        print(f"  OK {name}: {result}")
+    except Exception as exc:  # noqa: BLE001
+        checks.append((name, "FAIL", exc))
+        print(f"FAIL {name}: {exc}")
+        traceback.print_exc()
+
+
+# happy paths
+check("count", lambda: li.count())
+check("filter+group+order", lambda: li.filter(l_shipdate={"le": "1998-09-01"}).group(
+    by=["l_returnflag"], aggregate=[Agg("sum", "l_quantity", alias="s")]
+).order(by=["l_returnflag"]).values("s"))
+check("join nation->region", lambda: nation.join("region", keys=["n_regionkey"],
+    rkeys=["r_regionkey"], broadcast=True).count())
+check("asof_join", lambda: tables["events"].asof_join(
+    "events", on="ts", by=["user_id"], suffix="_prev").count())
+check("runs", lambda: li.order(by=["l_orderkey"]).runs(
+    by=["l_returnflag"], order_by=["l_orderkey", "l_linenumber"], counts="n").count())
+check("distinct keep=first", lambda: li.distinct(on=["l_orderkey"]).count())
+check("distinct keep=None", lambda: li.distinct(on=["l_orderkey"], keep=None).count())
+check("take", lambda: nation.take([0, 5, 24]).values("n_name"))
+check("slice negative offset", lambda: nation.order(by=["n_nationkey"]).slice(-3).count())
+check("union+distinct", lambda: nation.union("nation", distinct=True).count())
+check("difference", lambda: nation.difference(nation.filter(n_regionkey={"eq": [0]})).count())
+check("row", lambda: nation.order(by=["n_nationkey"]).row(0)["n_name"])
+check("any(limit)", lambda: li.filter(l_quantity={"gt": 49}).any())
+check("unpack/unnest roundtrip", lambda: nation.project(
+    {"arr": __import__("pyspark.sql.functions", fromlist=["F"]).array("n_nationkey")}
+).unnest("arr", offset="i").count())
+check("group by=[] one row", lambda: li.group(aggregate=[Agg("count", alias="n")]).values("n"))
+
+# probes: edge semantics
+check("probe eq:[] matches nothing", lambda: li.filter(l_returnflag={"eq": []}).count())
+check("probe eq:None matches nothing", lambda: li.filter(l_returnflag=Filter(eq=None)).count())
+check("probe eq list isin", lambda: li.filter(l_returnflag={"eq": ["A", "N"]}).count())
+check("probe unknown agg kind raises", lambda: (
+    "raised" if _raises(lambda: Agg("bogus", "l_quantity").to_column()) else "NO ERROR"))
+check("probe take out-of-range index", lambda: nation.take([0, 999]).count())
+check("probe slice offset beyond end", lambda: nation.slice(100, 5).count())
+check("probe row index out of range", lambda: (
+    "raised" if _raises(lambda: nation.slice(0, 1).row(5)) else "NO ERROR"))
+
+
+failures = [c for c in checks if c[1] == "FAIL"]
+print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")
+raise SystemExit(1 if failures else 0)

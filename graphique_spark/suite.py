@@ -1,0 +1,901 @@
+"""The engine's query suite: every operator from SURVEY §2 exercised as a
+(Spark query, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Conventions that make Spark/DuckDB results hash-comparable:
+
+* every computed/aggregate column is aliased identically on both sides;
+* float aggregates are ``round()``-ed (fp summation order differs between
+  engines; rounding removes the last-bit noise);
+* DuckDB ``sum(INTEGER)`` returns HUGEINT — oracles cast to BIGINT to match
+  Spark's long;
+* timestamps are projected as dates or strings (timezone-neutral).
+
+Each query function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching oracle is ANSI-ish SQL DuckDB runs over the same parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphique_spark.dataset import Dataset
+from graphique_spark.inputs import Agg
+from graphique_spark.sources import NANO_COLUMNS, normalize_nanos
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return register
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> Dataset:
+    """Root a Dataset at a driver testdata table (nanos-safe)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return Dataset(normalize_nanos(df, NANO_COLUMNS.get(name, ())))
+
+
+def fround(col, digits: int = 2):
+    """Engine-consistent rounding: ``floor(x*scale + 0.5)/scale``.
+
+    Spark's ``round`` (BigDecimal HALF_UP on the shortest decimal repr) and
+    DuckDB's ``round`` (binary) disagree on .xx5 boundaries; floor over the
+    same IEEE doubles is bit-identical in both engines. Oracles use the
+    matching ``floor((x) * scale + 0.5) / scale`` SQL form.
+    """
+    scale = float(10 ** digits)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
+
+# ---------------------------------------------------------------------------
+# Projection / filtering / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_predicates",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_quantity >= 10 AND l_quantity <= 40
+      AND l_linestatus <> 'X' AND l_discount > 0.01
+    GROUP BY l_returnflag
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            l_returnflag={"eq": ["A", "N"]},
+            l_quantity={"ge": 10, "le": 40},
+            l_linestatus={"ne": ["X"]},
+            l_discount={"gt": 0.01},
+        )
+        .group(by=["l_returnflag"], counts="n")
+        .df
+    )
+
+
+@query(
+    "project_expressions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS size_class
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def project_expressions(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(l_orderkey={"lt": 100})
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.project(
+            {
+                "revenue": revenue,
+                "charge": revenue * (1 + F.col("l_tax")),
+                "size_class": F.when(F.col("l_quantity") > 25, "bulk").otherwise("small"),
+            }
+        )
+        .select("l_orderkey", "l_linenumber", "revenue", "charge", "size_class")
+        .df
+    )
+
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           concat(upper(substr(p_type, 1, 1)), lower(substr(p_type, 2))) AS cap_type,
+           length(p_name) AS name_len,
+           contains(p_name, 'a') AS has_a,
+           starts_with(p_type, 'S') AS s_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           replace(p_brand, '#', '-') AS dashed,
+           reverse(p_brand) AS rbrand,
+           split_part(p_type, ' ', 1) AS first_word
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def string_functions(spark, sf_dir):
+    from graphique_spark.functions import strings as s
+
+    part = table(spark, sf_dir, "part").filter(p_partkey={"le": 200})
+    c = F.col
+    return (
+        part.project(
+            {
+                "uname": s.upper(c("p_name")),
+                "lbrand": s.lower(c("p_brand")),
+                "cap_type": s.capitalize(c("p_type")),
+                "name_len": s.length(c("p_name")),
+                "has_a": s.contains(c("p_name"), "a"),
+                "s_type": s.startswith(c("p_type"), "S"),
+                "padded": s.lpad(c("p_size").cast("string"), 4, "0"),
+                "dashed": s.replace(c("p_brand"), "#", "-"),
+                "rbrand": s.reverse(c("p_brand")),
+                "first_word": s.split(c("p_type"), " ")[0],
+            }
+        )
+        .select(
+            "p_partkey", "uname", "lbrand", "cap_type", "name_len", "has_a",
+            "s_type", "padded", "dashed", "rbrand", "first_word",
+        )
+        .df
+    )
+
+
+@query(
+    "temporal_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           quarter(o_orderdate) AS qtr,
+           dayofmonth(o_orderdate) AS dom,
+           dayofyear(o_orderdate) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) AS odate,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def temporal_functions(spark, sf_dir):
+    from graphique_spark.functions import temporal as t
+
+    orders = table(spark, sf_dir, "orders").filter(o_orderkey={"le": 500})
+    c = F.col("o_orderdate")
+    return (
+        orders.project(
+            {
+                "yr": t.year(c),
+                "mo": t.month(c),
+                "qtr": t.quarter(c),
+                "dom": t.day(c),
+                "doy": t.day_of_year(c),
+                "month_start": t.truncate(c, "month").cast("date"),
+                "odate": t.date(c),
+                "ym": t.strftime(c, "%Y-%m"),
+            }
+        )
+        .select("o_orderkey", "yr", "mo", "qtr", "dom", "doy", "month_start", "odate", "ym")
+        .df
+    )
+
+
+@query(
+    "cast_and_null_handling",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS qty_str,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+           (nullif(l_discount, 0.0) IS NULL) AS was_zero
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def cast_and_null_handling(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(l_orderkey={"lt": 200})
+    nulled = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        li.cast({"l_quantity": "int"})
+        .project(
+            {
+                "qty_int": F.col("l_quantity"),
+                "qty_str": F.col("l_quantity").cast("string"),
+                "disc_filled": F.coalesce(nulled, F.lit(-1.0)),
+                "was_zero": nulled.isNull(),
+            }
+        )
+        .select("l_orderkey", "l_linenumber", "qty_int", "qty_str", "disc_filled", "was_zero")
+        .df
+    )
+
+
+@query(
+    "bucket_histogram",
+    """
+    SELECT CASE
+             WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+             WHEN o_totalprice >= 50000 AND o_totalprice < 100000 THEN 1
+             WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 2
+             WHEN o_totalprice >= 200000 AND o_totalprice <= 600000 THEN 3
+           END AS bucket,
+           count(*) AS n,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def bucket_histogram(spark, sf_dir):
+    from graphique_spark.functions.numeric import bucket
+
+    orders = table(spark, sf_dir, "orders")
+    b = bucket(F.col("o_totalprice"), [0, 50000, 100000, 200000, 600000])
+    return (
+        orders.project({"bucket": b})
+        .group(
+            by=["bucket"],
+            aggregate=[Agg("mean", "o_totalprice", alias="avg_price")],
+            counts="n",
+        )
+        .project({"avg_price": fround(F.col("avg_price"), 2)})
+        .select("bucket", "n", "avg_price")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+           floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS sum_charge,
+           floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+           floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+           floor(avg(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1, the flagship scan-filter-aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .project({"disc_price": disc_price, "charge": charge})
+        .group(
+            by=["l_returnflag", "l_linestatus"],
+            counts="count_order",
+            aggregate=[
+                Agg("sum", "l_quantity", alias="sum_qty"),
+                Agg("sum", "l_extendedprice", alias="sum_base_price"),
+                Agg("sum", "disc_price", alias="sum_disc_price"),
+                Agg("sum", "charge", alias="sum_charge"),
+                Agg("mean", "l_quantity", alias="avg_qty"),
+                Agg("mean", "l_extendedprice", alias="avg_price"),
+                Agg("mean", "l_discount", alias="avg_disc"),
+            ],
+        )
+        .project(
+            {
+                "sum_qty": fround(F.col("sum_qty"), 2),
+                "sum_base_price": fround(F.col("sum_base_price"), 2),
+                "sum_disc_price": fround(F.col("sum_disc_price"), 2),
+                "sum_charge": fround(F.col("sum_charge"), 2),
+                "avg_qty": fround(F.col("avg_qty"), 4),
+                "avg_price": fround(F.col("avg_price"), 4),
+                "avg_disc": fround(F.col("avg_disc"), 6),
+            }
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+            "count_order",
+        )
+        .df
+    )
+
+
+@query(
+    "group_agg_basic",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(DISTINCT l_partkey) AS parts,
+           CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_line,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+           floor(sum(l_extendedprice) FILTER (WHERE l_quantity > 25) * 100 + 0.5) / 100 AS big_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_agg_basic(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cast({"l_linenumber": "bigint"})
+        .group(
+            by=["l_returnflag"],
+            counts="n",
+            aggregate=[
+                Agg("nunique", "l_partkey", alias="parts"),
+                Agg("sum", "l_linenumber", alias="sum_line"),
+                Agg("min", "l_quantity", alias="min_qty"),
+                Agg("max", "l_quantity", alias="max_qty"),
+                Agg("mean", "l_extendedprice", alias="avg_price"),
+                Agg("sum", "l_extendedprice", alias="big_rev", where=F.col("l_quantity") > 25),
+            ],
+        )
+        .project(
+            {
+                "avg_price": fround(F.col("avg_price"), 4),
+                "big_rev": fround(F.col("big_rev"), 2),
+            }
+        )
+        .select("l_returnflag", "n", "parts", "sum_line", "min_qty", "max_qty", "avg_price", "big_rev")
+        .df
+    )
+
+
+@query(
+    "group_agg_stats",
+    """
+    SELECT o_orderpriority,
+           floor(stddev_samp(o_totalprice) * 1000 + 0.5) / 1000 AS sd,
+           floor(stddev_pop(o_totalprice) * 1000 + 0.5) / 1000 AS sd_pop,
+           floor(var_samp(o_totalprice) * 10 + 0.5) / 10 AS vr,
+           floor(var_pop(o_totalprice) * 10 + 0.5) / 10 AS vr_pop,
+           floor(kurtosis(o_totalprice) * 1000000 + 0.5) / 1000000 AS kurt,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_totalprice > 400000) AS any_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_agg_stats(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.project(
+            {"pos": F.col("o_totalprice") > 0, "big": F.col("o_totalprice") > 400000}
+        )
+        .group(
+            by=["o_orderpriority"],
+            aggregate=[
+                Agg("std", "o_totalprice", alias="sd"),
+                Agg("std", "o_totalprice", alias="sd_pop", how="pop"),
+                Agg("var", "o_totalprice", alias="vr"),
+                Agg("var", "o_totalprice", alias="vr_pop", how="pop"),
+                Agg("kurtosis", "o_totalprice", alias="kurt"),
+                Agg("all", "pos", alias="all_pos"),
+                Agg("any", "big", alias="any_big"),
+            ],
+        )
+        .project(
+            {
+                "sd": fround(F.col("sd"), 3),
+                "sd_pop": fround(F.col("sd_pop"), 3),
+                "vr": fround(F.col("vr"), 1),
+                "vr_pop": fround(F.col("vr_pop"), 1),
+                "kurt": fround(F.col("kurt"), 6),
+            }
+        )
+        .select("o_orderpriority", "sd", "sd_pop", "vr", "vr_pop", "kurt", "all_pos", "any_big")
+        .df
+    )
+
+
+@query(
+    "group_argminmax",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           floor(max(o_totalprice) * 100 + 0.5) / 100 AS best_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_argminmax(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.group(
+            by=["o_orderpriority"],
+            aggregate=[
+                Agg("argmax", "o_orderkey", alias="best_order", key="o_totalprice"),
+                Agg("argmin", "o_orderkey", alias="worst_order", key="o_totalprice"),
+                Agg("max", "o_totalprice", alias="best_price"),
+            ],
+        )
+        .project({"best_price": fround(F.col("best_price"), 2)})
+        .df
+    )
+
+
+@query(
+    "group_collect_concat",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nation_csv,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def group_collect_concat(spark, sf_dir):
+    nation = table(spark, sf_dir, "nation")
+    return (
+        nation.group(
+            by=["n_regionkey"],
+            counts="n",
+            aggregate=[
+                Agg("collect", "n_name", alias="nations", order_by="n_name"),
+                Agg("concat", "n_name", alias="nation_csv", sep="|", order_by="n_name"),
+            ],
+        )
+        .select("n_regionkey", "nations", "nation_csv", "n")
+        .df
+    )
+
+
+@query(
+    "group_quantile_mode",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS med_qty,
+           floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25_price,
+           floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_quantile_mode(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.group(
+            by=["l_returnflag"],
+            aggregate=[
+                Agg("quantile", "l_quantity", alias="med_qty", q=0.5),
+                Agg("quantile", "l_extendedprice", alias="p25_price", q=0.25),
+                Agg("quantile", "l_extendedprice", alias="p95_price", q=0.95),
+            ],
+        )
+        .project(
+            {
+                "med_qty": fround(F.col("med_qty"), 4),
+                "p25_price": fround(F.col("p25_price"), 4),
+                "p95_price": fround(F.col("p95_price"), 4),
+            }
+        )
+        .df
+    )
+
+
+@query(
+    "distinct_dedup",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def distinct_dedup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.distinct(on=["l_orderkey"], keep="first", order_by=["l_linenumber", "l_partkey"])
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / ordering (SURVEY §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 100
+    """,
+)
+def window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.project(
+            {
+                "rn": F.row_number().over(w),
+                "rk": F.rank().over(w),
+                "drk": F.dense_rank().over(w),
+                "quartile": F.ntile(4).over(w),
+            }
+        )
+        .filter(F.col("rn") <= 100)
+        .select("o_orderkey", "o_orderpriority", "rn", "rk", "drk", "quartile")
+        .df
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice) OVER w AS delta_prev,
+           lead(o_totalprice, 1, 0.0) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.project(
+            {
+                "delta_prev": F.col("o_totalprice") - F.lag("o_totalprice").over(w),
+                "next_price": F.lead("o_totalprice", 1, 0.0).over(w),
+            }
+        )
+        .select("o_custkey", "o_orderkey", "delta_prev", "next_price")
+        .df
+    )
+
+
+@query(
+    "window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           floor(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS moving_sum,
+           floor(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running_sum,
+           floor(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) * 100 + 0.5) / 100 AS centered_avg
+    FROM orders
+    """,
+)
+def window_frames(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.project(
+            {
+                "moving_sum": fround(F.sum("o_totalprice").over(base.rowsBetween(-2, 0)), 2),
+                "running_sum": fround(
+                    F.sum("o_totalprice").over(base.rowsBetween(Window.unboundedPreceding, 0)), 2
+                ),
+                "centered_avg": fround(F.avg("o_totalprice").over(base.rowsBetween(-1, 1)), 2),
+            }
+        )
+        .select("o_custkey", "o_orderkey", "moving_sum", "running_sum", "centered_avg")
+        .df
+    )
+
+
+@query(
+    "top_k_global",
+    """
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def top_k_global(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.order(by=["-o_totalprice", "o_orderkey"], limit=25)
+        .project({"price": F.col("o_totalprice")})
+        .select("o_orderkey", "price")
+        .df
+    )
+
+
+@query(
+    "first_rank_filter",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk
+      FROM lineitem
+    ) WHERE rk <= 2
+    """,
+)
+def first_rank_filter(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.first(by=["-l_quantity"], rank=2, dense=True, over=["l_returnflag"])
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .df
+    )
+
+
+@query(
+    "slice_page",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey OFFSET 100 LIMIT 50
+    """,
+)
+def slice_page(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return orders.order(by=["o_orderkey"]).slice(100, 50).select("o_orderkey", "o_custkey").df
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops (SURVEY §2.4, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_broadcast",
+    """
+    SELECT r_name, n_name, count(*) AS customers, floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_broadcast(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(nation, keys=["c_nationkey"], rkeys=["n_nationkey"], broadcast=True)
+        .join(region, keys=["n_regionkey"], rkeys=["r_regionkey"], broadcast=True)
+        .group(
+            by=["r_name", "n_name"],
+            counts="customers",
+            aggregate=[Agg("sum", "c_acctbal", alias="total_bal")],
+        )
+        .project({"total_bal": fround(F.col("total_bal"), 2)})
+        .select("r_name", "n_name", "customers", "total_bal")
+        .df
+    )
+
+
+@query(
+    "join_semi_anti",
+    """
+    WITH has_urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM has_urgent)) AS with_urgent,
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM has_urgent)) AS without_urgent
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(o_orderpriority={"eq": ["1-URGENT"]})
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    semi = cust.join(urgent, keys=["c_custkey"], how="semi").df.count()
+    anti = cust.join(urgent, keys=["c_custkey"], how="anti").df.count()
+    spark_session = cust.df.sparkSession
+    return spark_session.createDataFrame(
+        [(semi, anti)], "with_urgent bigint, without_urgent bigint"
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS orders_n,
+           floor(coalesce(sum(o_totalprice), 0.0) * 100 + 0.5) / 100 AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, keys=["c_custkey"], rkeys=["o_custkey"], how="left")
+        .group(
+            by=["c_custkey", "c_name"],
+            aggregate=[
+                Agg("count", "o_orderkey", alias="orders_n"),
+                Agg("sum", "o_totalprice", alias="spend"),
+            ],
+        )
+        .project({"spend": fround(F.coalesce(F.col("spend"), F.lit(0.0)), 2)})
+        .select("c_custkey", "c_name", "orders_n", "spend")
+        .df
+    )
+
+
+@query(
+    "cross_join_dims",
+    """
+    SELECT r_name, o_orderpriority FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+)
+def cross_join_dims(spark, sf_dir):
+    region = table(spark, sf_dir, "region").select("r_name")
+    priorities = table(spark, sf_dir, "orders").group(by=["o_orderpriority"])
+    return region.cross_join(priorities).df
+
+
+@query(
+    "set_operations",
+    """
+    WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM big UNION SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
+    """,
+)
+def set_operations(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    big = orders.filter(o_totalprice={"gt": 300000}).select("o_custkey")
+    urgent = orders.filter(o_orderpriority={"eq": ["1-URGENT"]}).select("o_custkey")
+    rows = [
+        ("union", big.union(urgent, distinct=True).count()),
+        ("intersect", big.intersect(urgent).count()),
+        ("except", big.difference(urgent).count()),
+    ]
+    return orders.df.sparkSession.createDataFrame(rows, "op string, n bigint")
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(event_type={"eq": ["click"]}).select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(event_type={"eq": ["purchase"]})
+        .group(by=["user_id", "ts"], aggregate=[Agg("max", "value", alias="value")])
+    )
+    return (
+        clicks.asof_join(purchases, on="ts", by=["user_id"])
+        .select("event_id", "user_id", F.col("value").alias("last_purchase_value"))
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping / runs (SURVEY §2.9, §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unnest_embeddings",
+    """
+    SELECT vec_id,
+           count(*) AS dim,
+           floor(sum(CAST(e AS DOUBLE)) * 1000 + 0.5) / 1000 AS total,
+           max(CAST(e AS DOUBLE)) AS biggest
+    FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+    GROUP BY vec_id
+    """,
+)
+def unnest_embeddings(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.unnest("embedding")
+        .project({"e": F.col("embedding").cast("double")})
+        .group(
+            by=["vec_id"],
+            counts="dim",
+            aggregate=[Agg("sum", "e", alias="total"), Agg("max", "e", alias="biggest")],
+        )
+        .project({"total": fround(F.col("total"), 3)})
+        .select("vec_id", "dim", "total", "biggest")
+        .df
+    )
+
+
+@query(
+    "unpack_struct",
+    """
+    SELECT o_orderkey, o_custkey AS cust, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def unpack_struct(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").filter(o_orderkey={"le": 300})
+    packed = orders.project(
+        {
+            "info": F.struct(
+                F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+            )
+        }
+    ).select("o_orderkey", "info")
+    return packed.unpack("info").df
+
+
+@query(
+    "runs_adjacency",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus IS DISTINCT FROM
+                  lag(o_orderstatus) OVER (ORDER BY o_custkey, o_orderdate, o_orderkey)
+                  OR o_custkey IS DISTINCT FROM
+                  lag(o_custkey) OVER (ORDER BY o_custkey, o_orderdate, o_orderkey)
+             THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ), flagged AS (
+      SELECT *, sum(chg) OVER (ORDER BY o_custkey, o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    )
+    SELECT o_orderstatus, count(*) AS n_runs, CAST(sum(run_len) AS BIGINT) AS n_rows
+    FROM (SELECT run_id, min(o_orderstatus) AS o_orderstatus, count(*) AS run_len
+          FROM flagged GROUP BY run_id)
+    GROUP BY o_orderstatus
+    """,
+)
+def runs_adjacency(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    runs = orders.runs(
+        by=["o_custkey", "o_orderstatus"],
+        order_by=["o_custkey", "o_orderdate", "o_orderkey"],
+        counts="run_len",
+    )
+    return (
+        runs.group(
+            by=["o_orderstatus"],
+            counts="n_runs",
+            aggregate=[Agg("sum", "run_len", alias="n_rows")],
+        )
+        .project({"n_rows": F.col("n_rows").cast("bigint")})
+        .select("o_orderstatus", "n_runs", "n_rows")
+        .df
+    )

@@ -1,0 +1,124 @@
+"""Mimic the driver's correctness gate: run every ``queries()[name]`` on
+Spark and the matching ``oracle_sql()[name]`` on DuckDB at sf0.01, compare
+row count, column names, and order-insensitive values.
+
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse fp noise: 12 significant digits
+        return f"{value:.12g}"
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(str(normalize(v)) for v in value) + "]"
+    if isinstance(value, dict):
+        return "{" + ",".join(f"{k}:{normalize(v)}" for k, v in sorted(value.items())) + "}"
+    try:  # Decimal → trimmed string
+        import decimal
+
+        if isinstance(value, decimal.Decimal):
+            return f"{float(value):.12g}"
+    except ImportError:
+        pass
+    return value
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(str(normalize(row[i])) for i in order))
+    return sorted(out)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    wanted = sys.argv[1:] or list(queries)
+    passed = failed = weak = 0
+    for name in wanted:
+        fn = queries[name]
+        start = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {str(exc)[:300]}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(srows)} (no oracle)")
+            weak += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            failed += 1
+            continue
+        elapsed = time.time() - start
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns differ spark={sorted(scols)} oracle={sorted(ocols)}")
+            failed += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            failed += 1
+            continue
+        s_canon, o_canon = canon(srows, scols), canon(orows, ocols)
+        if s_canon != o_canon:
+            diffs = [
+                (a, b) for a, b in zip(s_canon, o_canon) if a != b
+            ][:3]
+            print(f"FAIL {name}: values differ; first diffs (spark vs oracle):")
+            for a, b in diffs:
+                print(f"   spark : {a}")
+                print(f"   oracle: {b}")
+            failed += 1
+            continue
+        print(f"PASS {name}: {len(srows)} rows [{elapsed:.1f}s]")
+        passed += 1
+    print(f"\n{passed} passed, {failed} failed, {weak} weak (rows-only)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

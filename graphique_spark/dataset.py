@@ -102,7 +102,7 @@ class Dataset:
         """Cast columns; ``try_`` yields null on failure (reference
         interface.py:129-136)."""
         cols = {
-            name: (F.try_cast(F.col(name), typ) if try_ else F.col(name).cast(typ))
+            name: (F.col(name).try_cast(typ) if try_ else F.col(name).cast(typ))
             for name, typ in schema.items()
         }
         return self._wrap(self.df.withColumns(cols))

@@ -55,7 +55,7 @@ def truncate(col: Column, unit: str) -> Column:
 
 def delta(start: Column, end: Column, unit: str = "second") -> Column:
     """Whole-unit difference ``end - start`` (reference ibis ``delta``)."""
-    return F.timestampdiff(unit, start, end)
+    return F.timestamp_diff(unit, start, end)
 
 
 def time_of_day(col: Column) -> Column:

@@ -1,0 +1,162 @@
+"""Operator-surface semantics (modeled on reference tests/test_service.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphique_spark import Agg, Filter
+
+
+def test_count_and_any(tables):
+    nation = tables["nation"]
+    assert nation.count() == 25
+    assert nation.any()
+    assert not nation.filter(n_name={"eq": ["NOPE"]}).any()
+
+
+def test_filter_eq_list_semantics(tables):
+    """eq one-elt ==, multi isin, empty matches nothing, null matches nothing
+    (reference test_service.py:156-159)."""
+    nation = tables["nation"]
+    assert nation.filter(n_regionkey={"eq": [0]}).count() == 5
+    assert nation.filter(n_regionkey={"eq": [0, 1]}).count() == 10
+    assert nation.filter(n_regionkey={"eq": []}).count() == 0
+    assert nation.filter(n_regionkey=Filter(eq=None)).count() == 0
+    assert nation.filter(n_regionkey={"ne": [0]}).count() == 20
+
+
+def test_filter_ranges_compose(tables):
+    nation = tables["nation"]
+    assert nation.filter(n_regionkey={"ge": 1, "lt": 3}).count() == 10
+    # consecutive filters AND together
+    assert nation.filter(n_regionkey={"ge": 1}).filter(n_regionkey={"lt": 2}).count() == 5
+
+
+def test_slice_semantics(tables):
+    nation = tables["nation"].order(by=["n_nationkey"])
+    assert nation.slice(0, 5).count() == 5
+    assert nation.slice(20).count() == 5
+    assert nation.slice(-3).count() == 3
+    assert nation.slice(100, 5).count() == 0
+    keys = nation.slice(5, 3).values("n_nationkey")
+    assert keys == [5, 6, 7]
+
+
+def test_row_and_values(tables):
+    nation = tables["nation"].order(by=["n_nationkey"])
+    assert nation.row(0)["n_nationkey"] == 0
+    assert nation.row(3)["n_nationkey"] == 3
+    with pytest.raises(IndexError):
+        nation.slice(0, 2).row(7)
+
+
+def test_take_positional(tables):
+    nation = tables["nation"]
+    taken = nation.take([0, 5, 24])
+    assert taken.count() == 3
+
+
+def test_group_aggregates(tables):
+    li = tables["lineitem"]
+    out = li.group(
+        by=["l_returnflag"],
+        counts="n",
+        aggregate=[
+            Agg("sum", "l_quantity", alias="qty"),
+            Agg("nunique", "l_orderkey", alias="orders"),
+            Agg("quantile", "l_quantity", alias="med", q=0.5),
+        ],
+    )
+    rows = {r["l_returnflag"]: r for r in out.df.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert all(r["n"] > 0 and r["qty"] > 0 and r["orders"] > 0 for r in rows.values())
+
+
+def test_group_empty_by_single_row(tables):
+    li = tables["lineitem"]
+    out = li.group(aggregate=[Agg("count", alias="n"), Agg("max", "l_quantity", alias="mx")])
+    rows = out.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == li.count()
+
+
+def test_agg_where_filtering(tables, oracle):
+    li = tables["lineitem"]
+    got = li.group(
+        by=["l_linestatus"],
+        aggregate=[Agg("count", "l_quantity", alias="big", where=F.col("l_quantity") > 40)],
+    ).df.collect()
+    want = dict(
+        oracle.execute(
+            "SELECT l_linestatus, count(*) FROM lineitem WHERE l_quantity > 40 GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r["l_linestatus"]: r["big"] for r in got} == want
+
+
+def test_distinct_keep_variants(tables):
+    li = tables["lineitem"]
+    n_orders = li.group(by=["l_orderkey"]).count()
+    assert li.distinct(on=["l_orderkey"]).count() == n_orders
+    assert li.distinct(on=["l_orderkey"], keep="last").count() == n_orders
+    only_single = li.distinct(on=["l_orderkey"], keep=None).count()
+    assert only_single < n_orders  # multi-line orders dropped entirely
+
+
+def test_set_operations(tables):
+    nation = tables["nation"]
+    west = nation.filter(n_regionkey={"eq": [0]})
+    assert nation.union(west).count() == 30
+    assert nation.union(west, distinct=True).count() == 25
+    assert nation.intersect(west).count() == 5
+    assert nation.difference(west).count() == 20
+
+
+def test_join_how_variants(tables):
+    cust = tables["customer"]
+    orders = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).df.distinct()
+    semi = cust.join(orders, keys=["c_custkey"], how="semi").count()
+    anti = cust.join(orders, keys=["c_custkey"], how="anti").count()
+    assert semi + anti == cust.count()
+
+
+def test_join_rename_collision(tables):
+    nation = tables["nation"]
+    out = nation.join(
+        nation, keys=["n_regionkey"], rkeys=["n_regionkey"], rname="{name}_2"
+    )
+    assert "n_name_2" in out.column_names()
+
+
+def test_unnest_with_offset(tables):
+    emb = tables["embeddings"].slice(0, 10)
+    out = emb.unnest("embedding", offset="pos")
+    rows = out.df.groupBy("vec_id").agg(F.max("pos").alias("mx"), F.count("*").alias("n")).collect()
+    for r in rows:
+        assert r["mx"] == r["n"] - 1
+
+
+def test_unpack_struct(tables):
+    nation = tables["nation"]
+    packed = nation.project(
+        {"s": F.struct(F.col("n_name").alias("a"), F.col("n_regionkey").alias("b"))}
+    ).select("n_nationkey", "s")
+    out = packed.unpack("s")
+    assert set(out.column_names()) == {"n_nationkey", "a", "b"}
+
+
+def test_cast_try(tables):
+    part = tables["part"]
+    ok = part.project({"x": F.lit("12")}).cast({"x": "int"}, try_=True)
+    bad = part.project({"x": F.lit("oops")}).cast({"x": "int"}, try_=True)
+    assert ok.df.select("x").first()["x"] == 12
+    assert bad.df.select("x").first()["x"] is None
+
+
+def test_fill_drop_null(tables, spark):
+    df = spark.createDataFrame([(1, None), (None, "b"), (3, "c")], "a int, b string")
+    from graphique_spark import Dataset
+
+    ds = Dataset(df)
+    assert ds.drop_null().count() == 1
+    assert ds.drop_null(how="all").count() == 3
+    assert ds.fill_null(0, subset=["a"]).filter(a={"eq": [0]}).count() == 1

@@ -1,0 +1,105 @@
+"""Scalar function semantics vs reference behavior (reference
+test_service.py:85-87 capitalize, test_models.py:149-151 slice, etc.)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphique_spark.functions import arrays, numeric, strings, temporal
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.range(1)
+
+
+def eval1(df, col):
+    return df.select(col.alias("x")).first()["x"]
+
+
+def test_capitalize_whole_string(one):
+    # "NY" -> "Ny" (not initcap's per-word behavior)
+    assert eval1(one, strings.capitalize(F.lit("NY"))) == "Ny"
+    assert eval1(one, strings.capitalize(F.lit("new york"))) == "New york"
+
+
+def test_split_literal_vs_regex(one):
+    assert eval1(one, strings.split(F.lit("a.b.c"), ".")) == ["a", "b", "c"]
+    assert eval1(one, strings.re_split(F.lit("a1b22c"), "[0-9]+")) == ["a", "b", "c"]
+
+
+def test_find_zero_based(one):
+    assert eval1(one, strings.find(F.lit("hello"), "ll")) == 2
+    assert eval1(one, strings.find(F.lit("hello"), "zz")) == -1
+
+
+def test_strip_chars(one):
+    assert eval1(one, strings.strip(F.lit("xxhixx"), "x")) == "hi"
+    assert eval1(one, strings.lstrip(F.lit("xxhi"), "x")) == "hi"
+
+
+def test_bucket_edges(one):
+    edges = [0, 10, 20]
+    b = lambda v, **kw: eval1(one, numeric.bucket(F.lit(v), edges, **kw))  # noqa: E731
+    assert b(0) == 0
+    assert b(10) == 1
+    assert b(20) == 1  # close_extreme includes the max edge
+    assert b(25) is None
+    assert b(25, include_over=True) == 2
+    assert b(-5, include_under=True) == 0
+    assert b(5, include_under=True) == 1  # indices shift with underflow bucket
+
+
+def test_isinf_and_log(one):
+    assert eval1(one, numeric.isinf(F.lit(float("inf")))) is True
+    assert eval1(one, numeric.isinf(F.lit(1.0))) is False
+    assert eval1(one, numeric.log(F.lit(8.0), base=2)) == pytest.approx(3.0)
+
+
+def test_array_functions(one):
+    arr = F.array(F.lit(3), F.lit(1), F.lit(2), F.lit(1))
+    assert eval1(one, arrays.arr_sort(arr)) == [1, 1, 2, 3]
+    assert eval1(one, arrays.arr_unique(arr)) in ([3, 1, 2], [1, 2, 3])
+    assert eval1(one, arrays.sums(arr)) == 7.0
+    assert eval1(one, arrays.means(arr)) == pytest.approx(1.75)
+    assert eval1(one, arrays.modes(arr)) == 1
+    assert eval1(one, arrays.arr_index(arr, 2)) == 2
+    assert eval1(one, arrays.arr_index(arr, 99)) == -1
+    assert eval1(one, arrays.value_at(arr, 0)) == 3
+    assert eval1(one, arrays.value_at(arr, -1)) == 1
+
+
+def test_array_slice_negative_offset(one):
+    arr = F.array(*[F.lit(i) for i in range(5)])
+    assert eval1(one, arrays.arr_slice(arr, 1, 2)) == [1, 2]
+    assert eval1(one, arrays.arr_slice(arr, -2)) == [3, 4]
+    assert eval1(one, arrays.arr_slice(arr, 2)) == [2, 3, 4]
+
+
+def test_alls_anys(one):
+    tt = F.array(F.lit(True), F.lit(True))
+    tf = F.array(F.lit(True), F.lit(False))
+    assert eval1(one, arrays.alls(tt)) is True
+    assert eval1(one, arrays.alls(tf)) is False
+    assert eval1(one, arrays.anys(tf)) is True
+
+
+def test_temporal_parts(one):
+    ts = F.lit("2024-03-15 13:45:30").cast("timestamp")
+    assert eval1(one, temporal.year(ts)) == 2024
+    assert eval1(one, temporal.quarter(ts)) == 1
+    assert eval1(one, temporal.day_of_year(ts)) == 75
+    assert eval1(one, temporal.strftime(ts, "%Y-%m")) == "2024-03"
+    assert eval1(one, temporal.time_of_day(ts)) == (13 * 3600 + 45 * 60 + 30) * 1_000_000
+    assert eval1(one, temporal.delta(ts, F.lit("2024-03-16 13:45:30").cast("timestamp"), "day")) == 1
+
+
+def test_kurtosis_sample_matches_duckdb(tables, oracle):
+    from graphique_spark import Agg
+
+    got = (
+        tables["orders"]
+        .group(aggregate=[Agg("kurtosis", "o_totalprice", alias="k")])
+        .df.first()["k"]
+    )
+    want = oracle.execute("SELECT kurtosis(o_totalprice) FROM orders").fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-9)

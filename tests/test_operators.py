@@ -1,0 +1,112 @@
+"""Composite operators: row index, runs, as-of join, top-k — validated
+against DuckDB SQL or hand-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from graphique_spark.operators import asof_join, with_row_index, with_run_ids
+
+
+def test_with_row_index_dense(tables):
+    li = tables["lineitem"].df
+    indexed = with_row_index(li)
+    n = li.count()
+    stats = indexed.agg(
+        F.min("_rowid").alias("lo"), F.max("_rowid").alias("hi"),
+        F.count_distinct("_rowid").alias("d"),
+    ).first()
+    assert stats["lo"] == 0
+    assert stats["hi"] == n - 1
+    assert stats["d"] == n
+
+
+def test_run_ids_match_oracle(tables, oracle):
+    orders = tables["orders"].df
+    runs = with_run_ids(orders, ["o_orderstatus"], ["o_custkey", "o_orderdate", "o_orderkey"])
+    got = runs.agg(F.count_distinct("_run")).first()[0]
+    # NULL lag on the first row IS DISTINCT FROM its value, so DuckDB's
+    # change count equals the run count directly.
+    want = oracle.execute(
+        """
+        SELECT count(*) FROM (
+          SELECT CASE WHEN o_orderstatus IS DISTINCT FROM
+                 lag(o_orderstatus) OVER (ORDER BY o_custkey, o_orderdate, o_orderkey)
+                 THEN 1 ELSE 0 END AS chg
+          FROM orders
+        ) WHERE chg = 1
+        """
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_run_ids_contiguous(spark):
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "a"), (6, "c")], "i int, v string"
+    )
+    runs = Dataset(df).runs(by=["v"], order_by=["i"], counts="n")
+    got = {(r["v"], r["n"]) for r in runs.df.collect()}
+    assert got == {("a", 2), ("b", 1), ("a", 2), ("c", 1)}
+    assert runs.count() == 4
+
+
+def test_asof_backward_with_tolerance(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)], "sym string, t long, px double"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 99.5), ("A", 18, 100.5), ("B", 1, 49.0)], "sym string, t long, bid double"
+    )
+    out = asof_join(trades, quotes, on="t", by=["sym"]).collect()
+    got = {(r["sym"], r["t"]): r["bid"] for r in out}
+    assert got == {("A", 10): 99.5, ("A", 20): 100.5, ("B", 15): 49.0}
+
+    tol = asof_join(trades, quotes, on="t", by=["sym"], tolerance=F.lit(5)).collect()
+    got_tol = {(r["sym"], r["t"]): r["bid"] for r in tol}
+    assert got_tol == {("A", 10): 99.5, ("A", 20): 100.5, ("B", 15): None}
+
+
+def test_asof_forward_and_range_strategy(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t long")
+    right = spark.createDataFrame([(1, 12, "x"), (1, 20, "y"), (1, 5, "z")], "k int, t long, v string")
+    fwd = asof_join(left, right, on="t", by=["k"], direction="forward").collect()
+    assert fwd[0]["v"] == "x"
+    rng = asof_join(left, right, on="t", by=["k"], strategy="range").collect()
+    assert rng[0]["v"] == "z"
+
+
+def test_asof_matches_duckdb(tables, oracle):
+    events = tables["events"]
+    clicks = events.filter(event_type={"eq": ["click"]}).select("event_id", "user_id", "ts")
+    purchases = events.filter(event_type={"eq": ["purchase"]}).df.groupBy("user_id", "ts").agg(
+        F.max("value").alias("value")
+    )
+    got = asof_join(clicks.df, purchases, on="ts", by=["user_id"])
+    got_map = {r["event_id"]: r["value"] for r in got.collect()}
+    want = dict(
+        oracle.execute(
+            """
+            SELECT e.event_id, p.value
+            FROM (SELECT * FROM events WHERE event_type='click') e
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                            WHERE event_type='purchase' GROUP BY 1,2) p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+            """
+        ).fetchall()
+    )
+    assert got_map == want
+
+
+def test_order_top_k_per_group(tables):
+    orders = tables["orders"]
+    out = orders.order(by=["-o_totalprice", "o_orderkey"], limit=3, over=["o_orderpriority"])
+    counts = out.df.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_first_rank_keeps_ties(spark):
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame([("g", 1), ("g", 1), ("g", 2), ("h", 5)], "k string, v int")
+    out = Dataset(df).first(by=["v"], rank=1, over=["k"])
+    assert out.count() == 3  # both tied v=1 rows plus h's single row

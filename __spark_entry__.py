@@ -12,6 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from graphique_spark import suite
+from graphique_spark import suite_llm  # noqa: F401  (registers into suite.QUERIES)
+from graphique_spark import suite_streaming  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

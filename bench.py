@@ -26,6 +26,9 @@ def main() -> None:
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "8g")
+        # keep stdout clean: the \r-based progress bar can glue onto the
+        # final JSON line and corrupt downstream parsing
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in DEFAULT_CONF.items():
         builder = builder.config(key, value)

@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, fingerprinting.
+
+Everything is built-in-function expressions (regexp/length/md5) — JVM-side,
+codegen-friendly, and mirrorable in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def _hits(col: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+
+
+def language_id(col: Column, fallback: str = "und") -> Column:
+    """Stopword-ratio language ID. Ties break in STOPWORDS key order;
+    zero hits in every language yields ``fallback``."""
+    hit_cols = {lang: _hits(col, words) for lang, words in STOPWORDS.items()}
+    best: Column = F.lit(fallback)
+    best_hits: Column = F.lit(0)
+    for lang, hits in hit_cols.items():  # earlier language wins ties
+        is_better = hits > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization; empty text counts 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word-piece + digit + punctuation splits
+    (a regex proxy for subword tokenizers — ~chars/4 on English prose)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]{1,6}|[0-9]|[^\sA-Za-z0-9]"), F.lit(0))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^.!?,;:]", "")) / F.length(col)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return _hits(col, STOPWORDS[lang]) / token_count(col)
+
+
+def mean_word_length(col: Column) -> Column:
+    words = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+"), F.lit(0))
+    total = F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+    return F.when(F.size(words) > 0, total.cast("double") / F.size(words))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length, stopword presence, word shape,
+    punctuation moderation — the usual cheap pre-filters before expensive
+    model-based scoring."""
+    length_ok = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    stop = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    wlen = mean_word_length(col)
+    wlen_ok = F.when((wlen >= 3) & (wlen <= 8), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(col) < 0.1, 1.0).otherwise(0.5)
+    return (length_ok + stop + wlen_ok + punct_ok) / 4.0
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint over normalized text (near-dup-stable for
+    punctuation/case/whitespace variants)."""
+    return F.md5(normalize_text(col))

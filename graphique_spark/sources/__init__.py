@@ -64,7 +64,9 @@ def normalize_nanos(df: DataFrame, columns: Mapping[str, str] = ()) -> DataFrame
     from pyspark.sql import functions as F
 
     for name in columns:
-        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+        # integer `div`, not `/`: ns-since-epoch (~1.8e18) exceeds the
+        # double mantissa, so float division would corrupt microseconds
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

@@ -1,0 +1,117 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §2.10); this is the
+from-scratch extension. Design: every transformation here is written
+against a plain DataFrame so the *same function* works in batch mode (for
+testing/backfill) and on a ``readStream`` source — the Structured
+Streaming model's core property. Event-time semantics come from
+``withWatermark`` + ``window()``/``session_window()``; custom state uses
+``applyInPandasWithState``.
+
+At scale: watermarks bound state size; tumbling/session aggregations
+shuffle once on (key, window); state stores are RocksDB-backed on real
+clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark,
+    path: str,
+    schema: str | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+):
+    """Root a streaming Dataset at a file source (parquet dir = the
+    standard landing-zone pattern)."""
+    reader = spark.readStream.format(fmt).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    by: list[str] | None = None,
+    watermark: str = "2 hours",
+    value: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling event-time window aggregation; identical logic in batch
+    and streaming (pass ``streaming=True`` on a readStream frame to attach
+    the watermark)."""
+    if streaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.window(F.col(ts), duration).alias("win")] + [F.col(c) for c in (by or [])]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value:
+        aggs += [F.sum(value).alias("total"), F.avg(value).alias("mean")]
+    out = df.groupBy(*keys).agg(*aggs)
+    value_cols = ["n"] + (["total", "mean"] if value else [])
+    return out.select(F.col("win.start").alias("window_start"), *(by or []), *value_cols)
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    by: list[str] | None = None,
+    streaming: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    if streaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.window(F.col(ts), duration, slide).alias("win")] + [
+        F.col(c) for c in (by or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), *(by or []), "n")
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    by: list[str] | None = None,
+    streaming: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` (merging windows in
+    streaming mode; plain aggregation in batch)."""
+    if streaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.session_window(F.col(ts), gap).alias("win")] + [F.col(c) for c in (by or [])]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *(by or []),
+            "n_events",
+        )
+    )
+
+
+def write_stream_to_parquet(df: DataFrame, dest: str, checkpoint: str, trigger_seconds: int = 60):
+    """Standard sink: exactly-once parquet append with checkpointing."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+        .start()
+    )

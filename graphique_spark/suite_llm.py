@@ -1,0 +1,289 @@
+"""LLM-data-pipeline queries (dedup, similarity, text analysis, multimodal)
+with DuckDB oracles.
+
+The md5-based hashing in graphique_spark.llm is chosen so every stage —
+shingling, MinHash, LSH banding, SimHash bit votes, deterministic
+hyperplanes — can be reproduced exactly in the SQL oracle. Some oracles are
+generated programmatically (f-strings) because they unroll hash seeds/bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphique_spark.llm import dedup, multimodal, similarity, text
+from graphique_spark.suite import fround, query, table
+
+# --- shared SQL fragments ---------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT doc_id, text, list_distinct(
+    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substr(text, i, 5))) AS sh
+  FROM documents
+"""
+
+_NUM_HASHES, _BANDS = 8, 4
+_sig_items = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(_NUM_HASHES)
+)
+_band_keys = ", ".join(
+    f"md5(sig[{b * 2 + 1}] || '|' || sig[{b * 2 + 2}])" for b in range(_BANDS)
+)
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS tokens,
+           length(text) AS chars,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.project(
+            {
+                "tokens": text.token_count(F.col("text")),
+                "chars": F.length("text"),
+                "fingerprint": text.doc_fingerprint(F.col("text")),
+            }
+        )
+        .select("doc_id", "tokens", "chars", "fingerprint")
+        .df
+    )
+
+
+def _hits_sql(words) -> str:
+    pattern = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+def _langid_case() -> str:
+    """Mirror language_id's sequential strictly-greater update: a later
+    language wins only if its hits exceed every earlier one (and zero)."""
+    langs = list(text.STOPWORDS)
+    branches = []
+    for idx in range(len(langs) - 1, -1, -1):
+        lang = langs[idx]
+        earlier = ", ".join(_hits_sql(text.STOPWORDS[l]) for l in langs[:idx])
+        guard = f"greatest(0{', ' + earlier if earlier else ''})"
+        branches.append(f"WHEN {_hits_sql(text.STOPWORDS[lang])} > {guard} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT detected, count(*) AS n FROM (
+      SELECT {_langid_case()} AS detected FROM documents
+    ) GROUP BY detected
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.project({"detected": text.language_id(F.col("text"))})
+        .group(by=["detected"], counts="n")
+        .df
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z]+') AS words,
+             len(string_split_regex(trim(text), '\\s+')) AS tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, floor((
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + least(CAST(stop_hits AS DOUBLE) / tokens * 5.0, 1.0)
+      + CASE WHEN (CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words))
+                  BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END
+      + CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                  / length(text) < 0.1 THEN 1.0 ELSE 0.5 END
+    ) / 4.0 * 1000000 + 0.5) / 1000000 AS quality
+    FROM w
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.project({"quality": fround(text.quality_score(F.col("text")), 6)})
+        .select("doc_id", "quality")
+        .df
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT content_hash, n_copies, keep_id FROM (
+      SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM corpus GROUP BY 1
+    ) WHERE n_copies > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return dedup.exact_duplicates(docs.unionByName(copies))
+
+
+@query(
+    "dedup_minhash",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, sh, [{_sig_items}] AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh,
+             unnest([{_band_keys}]) AS key,
+             unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.0
+    )
+
+
+_BITS = 16
+_bit_votes = ",\n      ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) >= 0 THEN {1 << b} ELSE 0 END AS bit{b}"
+    for b in range(_BITS)
+)
+_bit_sum = " + ".join(f"bit{b}" for b in range(_BITS))
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    h AS (
+      SELECT doc_id,
+             list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id,
+      {_bit_votes}
+      FROM h
+    )
+    SELECT doc_id, CAST({_bit_sum} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        dedup.simhash_fingerprint(dedup.char_shingles(F.col("text")), bits=_BITS).alias(
+            "simhash"
+        ),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id, floor(length(text) / 100) AS block,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+             )) AS ng
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / len(list_distinct(a.ng || b.ng)) AS jaccard
+    FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+            / len(list_distinct(a.ng || b.ng)) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.02)
+
+
+def _cosine_sql(k: int, extra_where: str = "") -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS raw_cos
+      FROM embeddings e, q {extra_where}
+    )
+    SELECT vec_id, floor(raw_cos * 1000000 + 0.5) / 1000000 AS cosine
+    FROM sims ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+@query("similarity_topk", _cosine_sql(20))
+def similarity_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").df
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.brute_force_topk(emb, qvec, k=500)
+    return (
+        out.withColumn("cosine", fround(F.col("cosine"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+@query("similarity_ann_lsh")
+def similarity_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (weak rows-only check; recall vs brute force is
+    asserted in tests/test_llm.py)."""
+    emb = table(spark, sf_dir, "embeddings").df
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.lsh_ann_topk(emb, qvec, k=10, num_planes=4)
+    return out.withColumn("cosine", fround(F.col("cosine"), 6))
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS byte_len,
+           CAST(16 + length(text) % 64 AS INT) AS width,
+           CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+           3 AS channels,
+           list_transform(generate_series(1, 8),
+                          i -> CAST(ord(substr(text, i, 1)) AS DOUBLE) / 255.0) AS features
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
+    with_blob = multimodal.attach_fake_blob(docs)
+    return multimodal.decode_images(with_blob).withColumn(
+        "channels", F.col("channels").cast("int")
+    )

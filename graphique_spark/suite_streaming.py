@@ -1,0 +1,142 @@
+"""Event/streaming queries over the ``events`` table.
+
+The window transformations are the *same functions* used on readStream
+frames (graphique_spark.streaming); here they run in batch mode so the
+DuckDB oracle can verify the event-time semantics. Session windows are
+checked against a lag/cumsum SQL sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphique_spark import streaming
+from graphique_spark.suite import fround, query, table
+
+# events.ts is TIMESTAMP(NANOS) in parquet; the engine reads it as long ns
+# and converts to µs timestamps (sources.normalize_nanos). The oracle casts
+# DuckDB's TIMESTAMP_NS to µs TIMESTAMP for identical values.
+
+
+@query(
+    "stream_tumbling_window",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    events = table(spark, sf_dir, "events").df
+    out = streaming.tumbling_counts(
+        events, ts="ts", duration="1 hour", by=["event_type"], value="value"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        fround(F.col("total"), 2).alias("total"),
+        fround(F.col("mean"), 4).alias("mean"),
+    )
+
+
+@query(
+    "stream_sliding_window",
+    """
+    WITH slides AS (
+      SELECT CAST(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS slot, ts
+      FROM events
+    ), expanded AS (
+      SELECT slot AS window_start, ts FROM slides
+      UNION ALL
+      SELECT slot - INTERVAL '30 minutes', ts FROM slides
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start, count(*) AS n
+    FROM expanded GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows (the SQL oracle expands explicitly)."""
+    events = table(spark, sf_dir, "events").df
+    out = streaming.sliding_counts(events, duration="1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n"
+    )
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Gap-based sessions (30 min): session_window start equals the first
+    event time; the oracle reproduces it with lag/cumsum."""
+    events = table(spark, sf_dir, "events").df
+    out = streaming.session_windows(events, gap="30 minutes", by=["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events"),
+    )
+
+
+@query(
+    "stream_user_activity",
+    """
+    SELECT user_id,
+           count(*) AS events_n,
+           count(DISTINCT event_type) AS kinds,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+           strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_activity(spark, sf_dir):
+    from graphique_spark.inputs import Agg
+
+    events = table(spark, sf_dir, "events")
+    return (
+        events.group(
+            by=["user_id"],
+            counts="events_n",
+            aggregate=[
+                Agg("nunique", "event_type", alias="kinds"),
+                Agg("sum", "value", alias="total_value"),
+                Agg("min", "ts", alias="first_seen"),
+                Agg("max", "ts", alias="last_seen"),
+            ],
+        )
+        .project(
+            {
+                "total_value": fround(F.col("total_value"), 2),
+                "first_seen": F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss"),
+                "last_seen": F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss"),
+            }
+        )
+        .select("user_id", "events_n", "kinds", "total_value", "first_seen", "last_seen")
+        .df
+    )

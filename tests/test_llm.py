@@ -1,0 +1,139 @@
+"""LLM pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphique_spark.llm import dedup, multimodal, similarity, text
+
+
+def test_exact_duplicates_finds_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique one"), (3, "hello world"), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 3
+    assert out[0]["keep_id"] == 1
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world")], "doc_id long, text string"
+    )
+    fps = df.select(text.doc_fingerprint(F.col("text")).alias("f")).collect()
+    assert fps[0]["f"] == fps[1]["f"]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "idle")
+    rows = [(1, base), (2, near), (3, "completely different text about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_candidates(df, num_hashes=8, bands=4, min_jaccard=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p != (1, 3) and p != (2, 3) for p in found)
+
+
+def test_simhash_similar_texts_close(spark):
+    base = "spark dataframes shuffle partitions aggregate " * 10
+    near = base.replace("aggregate", "aggregates")
+    far = "entirely unrelated words about cooking pasta recipes " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            dedup.simhash_fingerprint(dedup.char_shingles(F.col("text")), bits=16).alias("f"),
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_ngram_jaccard_within_blocks(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        df, block_by=F.lit(0), n=3, min_jaccard=0.3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk_self_first(tables):
+    emb = tables["embeddings"].df
+    qvec = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    top = similarity.brute_force_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(tables):
+    emb = tables["embeddings"].df
+    qvec = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_ann_topk(emb, qvec, k=10, num_planes=3).collect()}
+    # LSH bucket must contain the query itself and recall a reasonable share
+    assert 7 in approx
+    assert len(exact & approx) >= 3
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der Hund und die Katze ist das"),
+            (3, "le chat et la maison les des"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", text.language_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  a b   c  "), (2, "")], "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 0}
+
+
+def test_quality_score_range(tables):
+    docs = tables["documents"].df
+    scores = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in scores)
+
+
+def test_multimodal_decode_contract(tables):
+    docs = tables["documents"].df.limit(20)
+    decoded = multimodal.decode_images(multimodal.attach_fake_blob(docs))
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["byte_len"] > 0
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_multimodal_empty_blob_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"")
+
+
+def test_frame_sampling(tables):
+    docs = tables["documents"].df.limit(5)
+    frames = multimodal.frame_sample_stub(multimodal.attach_fake_blob(docs), every=2)
+    rows = frames.collect()
+    assert len(rows) >= 5
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)

@@ -1,0 +1,78 @@
+"""Structured Streaming surface: batch/stream parity of the window
+transformations, and a real micro-batch stream run through a memory sink."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphique_spark import streaming
+
+
+def test_tumbling_batch(tables, oracle):
+    events = tables["events"].df
+    out = streaming.tumbling_counts(events, duration="1 hour", by=["event_type"])
+    got = out.agg(F.sum("n")).first()[0]
+    assert got == events.count()
+
+
+def test_session_windows_batch(tables):
+    events = tables["events"].df
+    sessions = streaming.session_windows(events, gap="30 minutes", by=["user_id"])
+    stats = sessions.agg(F.sum("n_events").alias("total"), F.count("*").alias("n")).first()
+    assert stats["total"] == events.count()
+    assert 0 < stats["n"] <= events.count()
+
+
+def test_streaming_end_to_end(spark, tables):
+    """Run the same tumbling aggregation as a real micro-batch stream from
+    a file source into a memory sink; totals must match batch mode."""
+    events = tables["events"].df
+    workdir = tempfile.mkdtemp(prefix="gs_stream_")
+    try:
+        src = f"{workdir}/src"
+        events.limit(500).coalesce(1).write.parquet(src)
+        schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        stream = streaming.read_event_stream(spark, src, schema=schema)
+        agg = streaming.tumbling_counts(
+            stream, duration="1 hour", by=["event_type"], streaming=True, watermark="2 hours"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("gs_test_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT sum(n) FROM gs_test_sink").first()[0]
+        assert got == 500
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_write_parquet_sink(spark, tables):
+    events = tables["events"].df
+    workdir = tempfile.mkdtemp(prefix="gs_sink_")
+    try:
+        src = f"{workdir}/src"
+        events.limit(200).coalesce(1).write.parquet(src)
+        schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        stream = streaming.read_event_stream(spark, src, schema=schema)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{workdir}/out")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(f"{workdir}/out").count() == 200
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

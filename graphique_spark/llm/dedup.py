@@ -20,6 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Mersenne prime 2^31-1: modulus for the affine MinHash permutations.
+#: Operands stay < 2^62, so the arithmetic never overflows int64 in Spark
+#: *or* DuckDB (which errors on BIGINT overflow rather than wrapping).
+MERSENNE = 2_147_483_647
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the one expensive hash
+    per shingle; everything downstream (MinHash permutations, SimHash bit
+    votes, Jaccard sets) is cheap integer math over it."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _affine(i: int) -> tuple[int, int]:
+    """Deterministic MinHash permutation coefficients (i-th hash)."""
+    return 1_000_003 * i + 12_345, 999_983 * i + 7
+
 
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams as an array (in-row, no explode)."""
@@ -68,29 +85,52 @@ def minhash_candidates(
     text: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash-LSH, with exact shingle
-    Jaccard computed for each candidate. Returns (id_a, id_b, jaccard)."""
+    """Candidate near-duplicate pairs via MinHash-LSH, with exact (hashed-)
+    shingle Jaccard computed for each candidate. Returns (id_a, id_b, jaccard).
+
+    Scale shape: shingles explode to one row each and are md5-hashed ONCE;
+    the ``num_hashes`` MinHash values are affine permutations of that hash,
+    folded map-side by a partial ``min`` aggregation — so the expensive
+    stage is embarrassingly parallel and shuffles only (id, 16 longs, hash
+    set). Candidates are a slim (id_a, id_b) distinct before the arrays are
+    joined back for verification, so the big arrays never go through the
+    pair-dedup shuffle.
+    """
     rows = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"), char_shingles(F.col(text), k).alias("sh")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text), k)).alias("s")
+    ).select("id", hash60(F.col("s")).alias("h"))
+    hm = F.col("h") % MERSENNE
+    mins = [
+        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE).alias(f"m{i}")
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    ]
+    sigs = exploded.groupBy("id").agg(F.collect_set("h").alias("hs"), *mins)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
     )
-    banded = shingled.select(
-        "id", "sh", F.posexplode(lsh_bands(minhash_signature(F.col("sh"), num_hashes), bands, rows)).alias("band", "key")
-    )
-    left = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (
+    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "key"))
+    left = banded.select("band", "key", F.col("id").alias("id_a"))
+    right = banded.select("band", "key", F.col("id").alias("id_b"))
+    cands = (
         left.join(right, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sets = sigs.select("id", "hs")
+    pairs = cands.join(
+        sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), on="id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), on="id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= min_jaccard)
@@ -122,6 +162,29 @@ def simhash_fingerprint(shingles: Column, bits: int = 16) -> Column:
     return fingerprint
 
 
+def simhash_table(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 5, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprints for a whole table: explode shingles, hash each
+    ONCE, then ``bits`` conditional sums folded map-side (partial agg) — one
+    shuffle of (id, 16 ints). Same fingerprint as ``simhash_fingerprint``
+    but linear in shingles instead of bits×shingles hash evaluations."""
+    exploded = df.select(
+        F.col(id_col).alias(id_col), F.explode(char_shingles(F.col(text), k)).alias("s")
+    ).select(id_col, hash60(F.col("s")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        fingerprint = fingerprint + F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select(id_col, fingerprint.alias("simhash"))
+
+
 def exact_duplicates(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", normalized: bool = False
 ) -> DataFrame:
@@ -148,18 +211,29 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard *within blocking buckets* (never a global
-    cross product). Default block: language + coarse length bucket."""
+    cross product). Default block: coarse length bucket.
+
+    n-grams are hashed to longs up front (one md5 each, in-row), and a
+    size-ratio prune runs inside the join — ``J(A,B) <= min/max`` sizes, so
+    ``J >= t`` needs both ``|A| >= t|B|`` and ``|B| >= t|A|`` — which kills
+    most candidate pairs before the array intersection is ever computed."""
     block = block_by if block_by is not None else (F.floor(F.length(text) / 100))
     docs = df.select(
-        F.col(id_col).alias("id"), block.alias("block"), word_ngrams(F.col(text), n).alias("ng")
-    )
-    left = docs.select(F.col("block"), F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
-    right = docs.select(F.col("block"), F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
+        F.col(id_col).alias("id"),
+        block.alias("block"),
+        F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60)).alias("ng"),
+    ).withColumn("sz", F.size("ng").cast("double"))
+    left = docs.select("block", F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), F.col("sz").alias("sz_a"))
+    right = docs.select("block", F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
     union = F.size(F.array_union("ng_a", "ng_b")).cast("double")
     return (
         left.join(right, on="block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= min_jaccard * F.col("sz_a"))
+            & (F.col("sz_a") >= min_jaccard * F.col("sz_b"))
+        )
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")

@@ -16,19 +16,27 @@ from graphique_spark.suite import fround, query, table
 
 # --- shared SQL fragments ---------------------------------------------------
 
-_SHINGLES_SQL = """
-  SELECT doc_id, text, list_distinct(
-    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-                   i -> substr(text, i, 5))) AS sh
-  FROM documents
+# exploded (doc_id, shingle-hash) stream: one md5 per distinct 5-gram,
+# folded to a 60-bit long — mirrors dedup.hash60 over exploded shingles
+_EX_SQL = """
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+      list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                     i -> substr(text, i, 5)))) AS s
+    FROM documents)
 """
 
-_NUM_HASHES, _BANDS = 8, 4
-_sig_items = ", ".join(
-    f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(_NUM_HASHES)
+_NUM_HASHES, _BANDS = 16, 4
+_ROWS = _NUM_HASHES // _BANDS
+_M = 2_147_483_647
+_min_items = ", ".join(
+    f"min(({1_000_003 * i + 12_345} * (h % {_M}) + {999_983 * i + 7}) % {_M}) AS m{i}"
+    for i in range(_NUM_HASHES)
 )
 _band_keys = ", ".join(
-    f"md5(sig[{b * 2 + 1}] || '|' || sig[{b * 2 + 2}])" for b in range(_BANDS)
+    "md5(" + " || '|' || ".join(f"m{b * _ROWS + r}" for r in range(_ROWS)) + ")"
+    for b in range(_BANDS)
 )
 
 
@@ -147,19 +155,24 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_minhash",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    sig AS (SELECT doc_id, sh, [{_sig_items}] AS sig FROM sh),
+    WITH ex AS ({_EX_SQL}),
+    sig AS (SELECT doc_id, list(DISTINCT h) AS hs, {_min_items} FROM ex GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, sh,
+      SELECT doc_id,
              unnest([{_band_keys}]) AS key,
              unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band
       FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(a.sh || b.sh)) AS jaccard
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                             AND a.doc_id < b.doc_id
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / len(list_distinct(sa.hs || sb.hs)) AS jaccard
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+              JOIN sig sb ON cand.id_b = sb.doc_id
     """,
 )
 def dedup_minhash(spark, sf_dir):
@@ -171,8 +184,8 @@ def dedup_minhash(spark, sf_dir):
 
 _BITS = 16
 _bit_votes = ",\n      ".join(
-    f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
-    f"THEN 1 ELSE -1 END)) >= 0 THEN {1 << b} ELSE 0 END AS bit{b}"
+    f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+    f"THEN {1 << b} ELSE 0 END AS bit{b}"
     for b in range(_BITS)
 )
 _bit_sum = " + ".join(f"bit{b}" for b in range(_BITS))
@@ -181,28 +194,18 @@ _bit_sum = " + ".join(f"bit{b}" for b in range(_BITS))
 @query(
     "dedup_simhash",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    h AS (
-      SELECT doc_id,
-             list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
-      FROM sh
-    ),
+    WITH ex AS ({_EX_SQL}),
     votes AS (
       SELECT doc_id,
       {_bit_votes}
-      FROM h
+      FROM ex GROUP BY doc_id
     )
     SELECT doc_id, CAST({_bit_sum} AS BIGINT) AS simhash FROM votes
     """,
 )
 def dedup_simhash(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df
-    return docs.select(
-        "doc_id",
-        dedup.simhash_fingerprint(dedup.char_shingles(F.col("text")), bits=_BITS).alias(
-            "simhash"
-        ),
-    )
+    return dedup.simhash_table(docs, bits=_BITS)
 
 
 @query(
@@ -211,8 +214,11 @@ def dedup_simhash(spark, sf_dir):
     WITH d AS (
       SELECT doc_id, floor(length(text) / 100) AS block,
              list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
-               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+               )),
+               g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
              )) AS ng
       FROM documents
     )
@@ -221,12 +227,12 @@ def dedup_simhash(spark, sf_dir):
              / len(list_distinct(a.ng || b.ng)) AS jaccard
     FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-            / len(list_distinct(a.ng || b.ng)) >= 0.02
+            / len(list_distinct(a.ng || b.ng)) >= 0.2
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df
-    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.02)
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2)
 
 
 def _cosine_sql(k: int, extra_where: str = "") -> str:

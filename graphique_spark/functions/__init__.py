@@ -16,3 +16,6 @@ from graphique_spark.functions.temporal import *  # noqa: F401,F403
 __all__ = (
     list(strings.__all__) + list(numeric.__all__) + list(temporal.__all__) + list(arrays.__all__)
 )
+
+#: name → callable registry, the dispatch table for GraphQL ``call`` expressions
+FUNCTIONS = {name: globals()[name] for name in __all__}

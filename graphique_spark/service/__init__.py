@@ -1,0 +1,68 @@
+"""GraphQL service: execute GraphQL documents against Spark DataFrames.
+
+The reference is a GraphQL service over columnar tables (reference
+middleware.py:41-65); this is the same architecture over PySpark:
+
+* ``GraphQLService(roots)`` derives a GraphQL schema from each root's
+  ``StructType`` (one typed Table per root; single-root mode exposes the
+  table's fields at the query root, like ``GraphQL(root)``).
+* Each resolver builds a new *lazy* Dataset; only scalar leaves
+  (``count``, ``values``, ``row``...) launch Spark jobs.
+* When a table field has multiple table/leaf sub-selections, the frame is
+  persisted (MEMORY_AND_DISK) for the duration of the request so sibling
+  fields share one materialization — the reference's ``resolve()``/
+  ``.cache()`` trick (reference interface.py:83-91) — and unpersisted when
+  the request finishes.
+
+No ASGI dependency: ``execute`` is synchronous/in-process. Any HTTP layer
+can wrap it; the engine itself stays transport-neutral.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from graphql import GraphQLSchema, graphql_sync
+from pyspark.sql import DataFrame
+
+from graphique_spark.dataset import Dataset
+from graphique_spark.service.schema import SchemaBuilder
+
+
+class GraphQLError(Exception):
+    pass
+
+
+class GraphQLService:
+    def __init__(self, roots: Mapping[str, Dataset | DataFrame] | Dataset | DataFrame, allow_sql: bool = False):
+        if isinstance(roots, (Dataset, DataFrame)):
+            roots = {"table": roots}
+        self.roots = {
+            name: ds if isinstance(ds, Dataset) else Dataset(ds) for name, ds in roots.items()
+        }
+        for ds in self.roots.values():  # join/union targets resolve by name
+            ds.roots.update(self.roots)
+        self.allow_sql = allow_sql
+        self.schema: GraphQLSchema = SchemaBuilder(self.roots).build()
+
+    def execute(self, query: str, variables: Mapping[str, Any] | None = None) -> dict:
+        """Run a GraphQL document; raise on any error (test-client style,
+        reference conftest.py:26-31)."""
+        single = len(self.roots) == 1
+        root_value = next(iter(self.roots.values())) if single else None
+        context = {"roots": self.roots, "allow_sql": self.allow_sql, "persisted": []}
+        result = graphql_sync(
+            self.schema,
+            query,
+            root_value=root_value,
+            context_value=context,
+            variable_values=dict(variables or {}),
+        )
+        for ds in context["persisted"]:
+            ds.unpersist()
+        if result.errors:
+            raise GraphQLError(result.errors) from result.errors[0].original_error
+        return result.data
+
+
+__all__ = ["GraphQLService", "GraphQLError"]

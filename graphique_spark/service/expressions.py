@@ -1,0 +1,130 @@
+"""Recursive GraphQL ``Expression`` input → ``pyspark.sql.Column``.
+
+Mirrors the reference's expression tree (reference inputs.py:249-557):
+leaves are ``name`` (nested column path) or ``value`` (JSON literal);
+interior nodes are comparison / boolean / arithmetic / conditional ops,
+plus a generic ``call {func args}`` escape into the scalar function
+library (graphique_spark.functions) so every §2.3 function is reachable
+from GraphQL without one input field per function.
+
+Exactly one leaf/op per node, as in the reference (inputs.py:311-315).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from graphql import (
+    GraphQLInputField,
+    GraphQLInputObjectType,
+    GraphQLList,
+    GraphQLNonNull,
+    GraphQLString,
+    Undefined,
+)
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from graphique_spark.functions import FUNCTIONS
+from graphique_spark.service.scalars import JSON
+
+_BINARY = {
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+}
+_VARIADIC = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "xor": lambda a, b: a ^ b,
+}
+
+
+def _expr_fields():
+    expr_list = GraphQLList(GraphQLNonNull(EXPRESSION))
+    fields = {
+        "name": GraphQLInputField(GraphQLString, description="column reference (dotted path)"),
+        "value": GraphQLInputField(JSON, description="literal"),
+        "inv": GraphQLInputField(EXPRESSION),
+        "coalesce": GraphQLInputField(expr_list),
+        "ifelse": GraphQLInputField(expr_list, description="[cond, then, else]"),
+        "isin": GraphQLInputField(expr_list, description="[needle, ...haystack literals]"),
+        "call": GraphQLInputField(
+            GraphQLInputObjectType(
+                "Call",
+                {
+                    "func": GraphQLInputField(GraphQLNonNull(GraphQLString)),
+                    "args": GraphQLInputField(expr_list),
+                    "options": GraphQLInputField(JSON),
+                },
+            ),
+            description="scalar function library escape (graphique_spark.functions)",
+        ),
+    }
+    for op in _BINARY:
+        fields[op] = GraphQLInputField(expr_list)
+    for op in _VARIADIC:
+        fields[op] = GraphQLInputField(expr_list)
+    return fields
+
+
+EXPRESSION: GraphQLInputObjectType = GraphQLInputObjectType("Expression", _expr_fields)
+
+
+def compile_expression(node: Mapping[str, Any] | None) -> Column:
+    if node is None:
+        raise ValueError("empty expression")
+    given = {k: v for k, v in node.items() if v is not Undefined}
+    if len(given) != 1:
+        raise ValueError(f"conflicting inputs: exactly one of {sorted(given)} allowed")
+    [(op, arg)] = given.items()
+    if op == "name":
+        return F.col(arg)
+    if op == "value":
+        return F.lit(arg)
+    if op == "inv":
+        return ~compile_expression(arg)
+    if op == "coalesce":
+        return F.coalesce(*[compile_expression(a) for a in arg])
+    if op == "ifelse":
+        cond, then, other = (compile_expression(a) for a in arg)
+        return F.when(cond, then).otherwise(other)
+    if op == "isin":
+        needle, *hay = arg
+        return compile_expression(needle).isin([a.get("value") for a in hay])
+    if op == "call":
+        return _compile_call(arg)
+    args = [compile_expression(a) for a in arg]
+    if op in _BINARY:
+        if len(args) != 2:
+            raise ValueError(f"{op} takes exactly 2 operands")
+        return _BINARY[op](*args)
+    fn = _VARIADIC[op]
+    out = args[0]
+    for nxt in args[1:]:
+        out = fn(out, nxt)
+    return out
+
+
+def _compile_call(spec: Mapping[str, Any]) -> Column:
+    func = spec["func"]
+    raw_args = spec.get("args") or []
+    if raw_args is Undefined:
+        raw_args = []
+    args = [compile_expression(a) for a in raw_args]
+    options = spec.get("options")
+    if options is Undefined or options is None:
+        options = {}
+    if func in FUNCTIONS:
+        return FUNCTIONS[func](*args, **options)
+    fn = getattr(F, func, None)
+    if fn is None or func.startswith("_"):
+        raise ValueError(f"unknown function: {func!r}")
+    return fn(*args, **options)

@@ -1,0 +1,653 @@
+"""GraphQL schema generation from a Spark ``StructType``.
+
+Mirrors the reference's dynamic schema machinery (reference
+middleware.py:104-157, models.py:47-68, inputs.py:80-90) on graphql-core:
+for each root table a ``Table`` object type is generated with
+
+* typed ``columns`` / ``row`` fields (one field per column),
+* a typed ``filter`` field whose *arguments* are the columns (each a
+  per-dtype ``Filter`` input), AND-ed with a ``where`` expression tree,
+* every relational operator (``group order first slice distinct runs
+  unnest unpack project cast fillNull dropNull take join crossJoin
+  asofJoin union intersect difference sql``) as a field returning the
+  same Table type — so a nested GraphQL selection *is* a dataflow
+  pipeline over lazy DataFrames, optimized by Catalyst at the leaves.
+
+Columns created at query time (aggregate aliases, projections) are
+reached via the untyped ``column(name:)`` field, as in the reference
+(docs/api.md:3-22).
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from typing import Any, Mapping
+
+from graphql import (
+    GraphQLArgument,
+    GraphQLBoolean,
+    GraphQLField,
+    GraphQLFloat,
+    GraphQLInputField,
+    GraphQLInputObjectType,
+    GraphQLInt,
+    GraphQLList,
+    GraphQLNonNull,
+    GraphQLObjectType,
+    GraphQLScalarType,
+    GraphQLSchema,
+    GraphQLString,
+    Undefined,
+)
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from graphique_spark.dataset import Dataset
+from graphique_spark.inputs import Agg, Filter as ColFilter
+from graphique_spark.service.expressions import EXPRESSION, compile_expression
+from graphique_spark.service.scalars import JSON, BigInt, graphql_type
+
+_NAME = re.compile(r"[_A-Za-z][_0-9A-Za-z]*$")
+
+
+def _with_cache(fn):
+    """Persist a table field's frame when it has multiple sub-selections so
+    sibling fields share one materialization — the reference's
+    ``resolve()``/``.cache()`` trick (reference interface.py:83-91). The
+    service unpersists everything recorded in ``context['persisted']`` at
+    request end."""
+
+    def wrapper(ds, info, **kwargs):
+        out = fn(ds, info, **kwargs)
+        node = info.field_nodes[0]
+        selections = node.selection_set.selections if node.selection_set else []
+        if len(selections) > 1 and isinstance(out, Dataset):
+            out = out.persist()
+            context = info.context or {}
+            context.setdefault("persisted", []).append(out)
+        return out
+
+    return wrapper
+
+StringList = GraphQLList(GraphQLNonNull(GraphQLString))
+
+
+def _given(args: Mapping[str, Any]) -> dict[str, Any]:
+    """Drop GraphQL ``Undefined`` (absent) arguments."""
+    return {k: v for k, v in args.items() if v is not Undefined}
+
+
+# ---------------------------------------------------------------------------
+# per-dtype Filter inputs (reference inputs.py:66-122)
+
+_filter_inputs: dict[str, GraphQLInputObjectType] = {}
+
+
+def filter_input(scalar: GraphQLScalarType) -> GraphQLInputObjectType:
+    name = f"{scalar.name}Filter"
+    if name not in _filter_inputs:
+        lst = GraphQLList(scalar)  # nullable elements: eq: null matches nothing
+        _filter_inputs[name] = GraphQLInputObjectType(
+            name,
+            {
+                "eq": GraphQLInputField(lst),
+                "ne": GraphQLInputField(lst),
+                "lt": GraphQLInputField(scalar),
+                "le": GraphQLInputField(scalar),
+                "gt": GraphQLInputField(scalar),
+                "ge": GraphQLInputField(scalar),
+            },
+        )
+    return _filter_inputs[name]
+
+
+def _to_col_filter(spec: Mapping[str, Any]) -> ColFilter:
+    spec = _given(spec)
+    if "eq" in spec and spec["eq"] is not None:
+        spec["eq"] = list(spec["eq"])
+    if "ne" in spec and spec["ne"] is not None:
+        spec["ne"] = list(spec["ne"])
+    return ColFilter(**spec)
+
+
+# ---------------------------------------------------------------------------
+# aggregate inputs (reference Aggregates, inputs.py:206-231)
+
+AGG_FIELD = GraphQLInputObjectType(
+    "AggField",
+    {
+        "name": GraphQLInputField(GraphQLString),
+        "alias": GraphQLInputField(GraphQLString),
+        "where": GraphQLInputField(EXPRESSION),
+        "distinct": GraphQLInputField(GraphQLBoolean),
+        "orderBy": GraphQLInputField(StringList),
+        "includeNull": GraphQLInputField(GraphQLBoolean),
+        "sep": GraphQLInputField(GraphQLString),
+        "q": GraphQLInputField(GraphQLList(GraphQLNonNull(GraphQLFloat))),
+        "approx": GraphQLInputField(GraphQLBoolean),
+        "how": GraphQLInputField(GraphQLString),
+        "key": GraphQLInputField(GraphQLString),
+    },
+)
+
+AGG_KINDS = (
+    "all any argmax argmin collect concat count first last kurtosis "
+    "max mean min mode nunique quantile std sum var"
+).split()
+
+AGGREGATES = GraphQLInputObjectType(
+    "Aggregates",
+    {kind: GraphQLInputField(GraphQLList(GraphQLNonNull(AGG_FIELD))) for kind in AGG_KINDS},
+)
+
+
+def _to_aggs(spec: Mapping[str, Any]) -> list[Agg]:
+    aggs = []
+    for kind, fields in _given(spec).items():
+        for raw in fields or ():
+            kw = _given(raw)
+            if "orderBy" in kw:
+                kw["order_by"] = list(kw.pop("orderBy"))
+            if "includeNull" in kw:
+                kw["include_null"] = kw.pop("includeNull")
+            if "where" in kw:
+                kw["where"] = compile_expression(kw["where"])
+            if "q" in kw:
+                qs = list(kw["q"])
+                kw["q"] = qs[0] if len(qs) == 1 else qs
+            aggs.append(Agg(kind=kind, **kw))
+    return aggs
+
+
+PROJECTION = GraphQLInputObjectType(
+    "Projection",
+    {
+        "alias": GraphQLInputField(GraphQLNonNull(GraphQLString)),
+        "expr": GraphQLInputField(GraphQLNonNull(EXPRESSION)),
+    },
+)
+
+CAST_FIELD = GraphQLInputObjectType(
+    "CastField",
+    {
+        "name": GraphQLInputField(GraphQLNonNull(GraphQLString)),
+        "type": GraphQLInputField(GraphQLNonNull(GraphQLString)),
+    },
+)
+
+
+# ---------------------------------------------------------------------------
+# Column object types (reference models.py:47-255) — shared across tables
+
+_column_types: dict[str, GraphQLObjectType] = {}
+
+
+def _col_df(source):
+    ds, name = source
+    return ds.df.select(name)
+
+
+def _col_agg(fn):
+    def resolver(source, info, **args):
+        ds, name = source
+        [[value]] = ds.df.select(fn(F.col(name), **_given(args))).collect()
+        return value
+
+    return resolver
+
+
+def _resolve_values(source, info, limit=Undefined):
+    ds, name = source
+    df = _col_df(source)
+    if limit is not Undefined and limit is not None:
+        df = df.limit(limit)
+    return [r[0] for r in df.collect()]
+
+
+def _resolve_distinct(source, info):
+    ds, name = source
+    rows = ds.df.groupBy(F.col(name).alias("v")).count().collect()
+    return {"values": [r["v"] for r in rows], "counts": [r["count"] for r in rows]}
+
+
+def set_type(scalar: GraphQLScalarType) -> GraphQLObjectType:
+    name = f"{scalar.name}Set"
+    if name not in _column_types:
+        _column_types[name] = GraphQLObjectType(
+            name,
+            {
+                "values": GraphQLField(GraphQLList(scalar), resolve=lambda s, i: s["values"]),
+                "counts": GraphQLField(
+                    GraphQLList(BigInt), resolve=lambda s, i: s["counts"]
+                ),
+                "length": GraphQLField(BigInt, resolve=lambda s, i: len(s["values"])),
+            },
+        )
+    return _column_types[name]
+
+
+def column_type(scalar: GraphQLScalarType, numeric: bool, boolean: bool = False) -> GraphQLObjectType:
+    """Typed Column object (reference models.py registry, models.py:49-68)."""
+    name = f"{scalar.name}Column"
+    if name in _column_types:
+        return _column_types[name]
+    fields: dict[str, GraphQLField] = {
+        "values": GraphQLField(
+            GraphQLList(scalar),
+            args={"limit": GraphQLArgument(GraphQLInt)},
+            resolve=_resolve_values,
+        ),
+        "count": GraphQLField(BigInt, resolve=_col_agg(F.count)),
+        "nunique": GraphQLField(
+            BigInt,
+            args={"approx": GraphQLArgument(GraphQLBoolean, default_value=False)},
+            resolve=lambda s, i, approx=False: _col_agg(
+                F.approx_count_distinct if approx else F.count_distinct
+            )(s, i),
+        ),
+        "distinct": GraphQLField(set_type(scalar), resolve=_resolve_distinct),
+        "first": GraphQLField(scalar, resolve=_col_agg(lambda c: F.first(c, ignorenulls=True))),
+        "last": GraphQLField(scalar, resolve=_col_agg(lambda c: F.last(c, ignorenulls=True))),
+        "min": GraphQLField(scalar, resolve=_col_agg(F.min)),
+        "max": GraphQLField(scalar, resolve=_col_agg(F.max)),
+        "mode": GraphQLField(scalar, resolve=_col_agg(F.mode)),
+    }
+    if numeric:
+        fields.update(
+            sum=GraphQLField(scalar, resolve=_col_agg(F.sum)),
+            mean=GraphQLField(GraphQLFloat, resolve=_col_agg(F.avg)),
+            std=GraphQLField(GraphQLFloat, resolve=_col_agg(F.stddev_samp)),
+            var=GraphQLField(GraphQLFloat, resolve=_col_agg(F.var_samp)),
+            quantile=GraphQLField(
+                GraphQLList(GraphQLFloat),
+                args={"q": GraphQLArgument(GraphQLNonNull(GraphQLList(GraphQLNonNull(GraphQLFloat))))},
+                resolve=lambda s, i, q: _col_agg(lambda c: F.percentile(c, F.array(*map(F.lit, q))))(s, i),
+            ),
+        )
+    if boolean:
+        fields.update(
+            any=GraphQLField(GraphQLBoolean, resolve=_col_agg(F.bool_or)),
+            all=GraphQLField(GraphQLBoolean, resolve=_col_agg(F.bool_and)),
+        )
+    _column_types[name] = GraphQLObjectType(name, fields)
+    return _column_types[name]
+
+
+def generic_column_type() -> GraphQLObjectType:
+    """Untyped Column for query-created names (reference docs/api.md:3-22)."""
+    if "AnyColumn" not in _column_types:
+        base = column_type(JSON, numeric=True)
+        _column_types["AnyColumn"] = GraphQLObjectType("AnyColumn", dict(base.fields))
+    return _column_types["AnyColumn"]
+
+
+def spark_column_type(dtype: T.DataType) -> GraphQLObjectType:
+    scalar = graphql_type(dtype)
+    if scalar is None:  # array / struct / map → JSON-valued column
+        return generic_column_type()
+    numeric = isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType),
+    )
+    return column_type(scalar, numeric, boolean=isinstance(dtype, T.BooleanType))
+
+
+# ---------------------------------------------------------------------------
+# Table type per root schema (reference middleware.py:104-141)
+
+
+def _valid_fields(schema: T.StructType) -> list[T.StructField]:
+    out = []
+    for field in schema.fields:
+        if _NAME.match(field.name):
+            out.append(field)
+        else:
+            warnings.warn(f"invalid GraphQL field name, skipping column: {field.name!r}")
+    return out
+
+
+class SchemaBuilder:
+    def __init__(self, roots: Mapping[str, Dataset]):
+        self.roots = dict(roots)
+        self.tables: dict[str, GraphQLObjectType] = {}
+
+    def build(self) -> GraphQLSchema:
+        for name, ds in self.roots.items():
+            self.tables[name] = self.table_type(name, ds.schema)
+        if len(self.roots) == 1:
+            [(name, _)] = self.roots.items()
+            query = GraphQLObjectType(
+                "Query", dict(self.tables[name].fields)
+            )
+        else:
+            query = GraphQLObjectType(
+                "Query",
+                {
+                    name: GraphQLField(table, resolve=(lambda n: lambda s, i: i.context["roots"][n])(name))
+                    for name, table in self.tables.items()
+                },
+            )
+        return GraphQLSchema(query=query, types=list(_column_types.values()))
+
+    # -- sub-types ---------------------------------------------------------
+
+    def columns_type(self, name: str, schema: T.StructType) -> GraphQLObjectType:
+        fields = {}
+        for field in _valid_fields(schema):
+            fields[field.name] = GraphQLField(
+                spark_column_type(field.dataType),
+                resolve=(lambda n: lambda ds, info: (ds, n))(field.name),
+            )
+        return GraphQLObjectType(f"{name.capitalize()}Columns", fields)
+
+    def row_type(self, name: str, schema: T.StructType) -> GraphQLObjectType:
+        fields = {}
+        for field in _valid_fields(schema):
+            scalar = graphql_type(field.dataType) or JSON
+            fields[field.name] = GraphQLField(
+                scalar, resolve=(lambda n: lambda row, info: row.get(n))(field.name)
+            )
+        return GraphQLObjectType(f"{name.capitalize()}Row", fields)
+
+    def filter_args(self, schema: T.StructType) -> dict[str, GraphQLArgument]:
+        args: dict[str, GraphQLArgument] = {}
+        for field in _valid_fields(schema):
+            scalar = graphql_type(field.dataType)
+            if scalar is not None:
+                args[field.name] = GraphQLArgument(filter_input(scalar))
+        args["where"] = GraphQLArgument(EXPRESSION)
+        return args
+
+    # -- the Table type ----------------------------------------------------
+
+    def table_type(self, name: str, schema: T.StructType) -> GraphQLObjectType:
+        tname = f"{name.capitalize()}Table"
+
+        def fields():
+            table = self.tables[name]
+            out: dict[str, GraphQLField] = {
+                "count": GraphQLField(BigInt, resolve=lambda ds, i: ds.count()),
+                "any": GraphQLField(
+                    GraphQLBoolean,
+                    args={"limit": GraphQLArgument(GraphQLInt, default_value=1)},
+                    resolve=lambda ds, i, limit=1: ds.any(limit),
+                ),
+                "schema": GraphQLField(
+                    GraphQLObjectType(
+                        f"{name.capitalize()}Schema",
+                        {
+                            "names": GraphQLField(StringList, resolve=lambda s, i: s["names"]),
+                            "types": GraphQLField(StringList, resolve=lambda s, i: s["types"]),
+                        },
+                    ),
+                    resolve=lambda ds, i: {
+                        "names": ds.column_names(),
+                        "types": [f.dataType.simpleString() for f in ds.schema.fields],
+                    },
+                ),
+                "toSql": GraphQLField(GraphQLString, resolve=lambda ds, i: ds.to_sql()),
+                "columns": GraphQLField(
+                    self.columns_type(name, schema), resolve=lambda ds, i: ds
+                ),
+                "column": GraphQLField(
+                    generic_column_type(),
+                    args={
+                        "name": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "cast": GraphQLArgument(GraphQLString),
+                    },
+                    resolve=self._resolve_column,
+                ),
+                "row": GraphQLField(
+                    self.row_type(name, schema),
+                    args={"index": GraphQLArgument(GraphQLInt, default_value=0)},
+                    resolve=lambda ds, i, index=0: ds.row(index),
+                ),
+                "filter": GraphQLField(
+                    table, args=self.filter_args(schema), resolve=self._resolve_filter
+                ),
+                "group": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(StringList, default_value=[]),
+                        "counts": GraphQLArgument(GraphQLString),
+                        "aggregate": GraphQLArgument(AGGREGATES),
+                    },
+                    resolve=self._resolve_group,
+                ),
+                "order": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "limit": GraphQLArgument(GraphQLInt),
+                        "over": GraphQLArgument(StringList, default_value=[]),
+                    },
+                    resolve=lambda ds, i, by, limit=Undefined, over=(): ds.order(
+                        by, None if limit is Undefined else limit, over
+                    ),
+                ),
+                "first": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "rank": GraphQLArgument(GraphQLInt, default_value=1),
+                        "dense": GraphQLArgument(GraphQLBoolean, default_value=False),
+                        "over": GraphQLArgument(StringList, default_value=[]),
+                    },
+                    resolve=lambda ds, i, by, rank=1, dense=False, over=(): ds.first(
+                        by, rank, dense, over
+                    ),
+                ),
+                "slice": GraphQLField(
+                    table,
+                    args={
+                        "offset": GraphQLArgument(GraphQLInt, default_value=0),
+                        "limit": GraphQLArgument(GraphQLInt),
+                    },
+                    resolve=lambda ds, i, offset=0, limit=Undefined: ds.slice(
+                        offset, None if limit is Undefined else limit
+                    ),
+                ),
+                "take": GraphQLField(
+                    table,
+                    args={"indices": GraphQLArgument(GraphQLNonNull(GraphQLList(GraphQLNonNull(GraphQLInt))))},
+                    resolve=lambda ds, i, indices: ds.take(indices),
+                ),
+                "distinct": GraphQLField(
+                    table,
+                    args={
+                        "on": GraphQLArgument(StringList, default_value=[]),
+                        "keep": GraphQLArgument(GraphQLString, default_value="first"),
+                        "counts": GraphQLArgument(GraphQLString),
+                        "orderBy": GraphQLArgument(StringList, default_value=[]),
+                    },
+                    resolve=lambda ds, i, on=(), keep="first", counts=Undefined, orderBy=(): ds.distinct(
+                        on,
+                        None if keep in (None, "null") else keep,
+                        None if counts is Undefined else counts,
+                        orderBy,
+                    ),
+                ),
+                "runs": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "orderBy": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "counts": GraphQLArgument(GraphQLString),
+                        "aggregate": GraphQLArgument(AGGREGATES),
+                    },
+                    resolve=lambda ds, i, by, orderBy, counts=Undefined, aggregate=Undefined: ds.runs(
+                        by,
+                        orderBy,
+                        aggregate=_to_aggs(aggregate) if aggregate is not Undefined else (),
+                        counts=None if counts is Undefined else counts,
+                    ),
+                ),
+                "project": GraphQLField(
+                    table,
+                    args={"columns": GraphQLArgument(GraphQLNonNull(GraphQLList(GraphQLNonNull(PROJECTION))))},
+                    resolve=lambda ds, i, columns: ds.project(
+                        {p["alias"]: compile_expression(p["expr"]) for p in columns}
+                    ),
+                ),
+                "cast": GraphQLField(
+                    table,
+                    args={
+                        "schema": GraphQLArgument(GraphQLNonNull(GraphQLList(GraphQLNonNull(CAST_FIELD)))),
+                        "try": GraphQLArgument(GraphQLBoolean, default_value=False),
+                    },
+                    resolve=lambda ds, i, schema, **kw: ds.cast(
+                        {c["name"]: c["type"] for c in schema}, try_=kw.get("try", False)
+                    ),
+                ),
+                "fillNull": GraphQLField(
+                    table,
+                    args={
+                        "value": GraphQLArgument(GraphQLNonNull(JSON)),
+                        "subset": GraphQLArgument(StringList),
+                    },
+                    resolve=lambda ds, i, value, subset=Undefined: ds.fill_null(
+                        value, None if subset is Undefined else subset
+                    ),
+                ),
+                "dropNull": GraphQLField(
+                    table,
+                    args={
+                        "subset": GraphQLArgument(StringList),
+                        "how": GraphQLArgument(GraphQLString, default_value="any"),
+                    },
+                    resolve=lambda ds, i, subset=Undefined, how="any": ds.drop_null(
+                        None if subset is Undefined else subset, how
+                    ),
+                ),
+                "unnest": GraphQLField(
+                    table,
+                    args={
+                        "name": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "offset": GraphQLArgument(GraphQLString),
+                        "keepEmpty": GraphQLArgument(GraphQLBoolean, default_value=False),
+                    },
+                    resolve=lambda ds, i, name, offset=Undefined, keepEmpty=False: ds.unnest(
+                        name, None if offset is Undefined else offset, keepEmpty
+                    ),
+                ),
+                "unpack": GraphQLField(
+                    table,
+                    args={"names": GraphQLArgument(GraphQLNonNull(StringList))},
+                    resolve=lambda ds, i, names: ds.unpack(*names),
+                ),
+                "join": GraphQLField(
+                    table,
+                    args={
+                        "right": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "keys": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "rkeys": GraphQLArgument(StringList),
+                        "how": GraphQLArgument(GraphQLString, default_value="inner"),
+                        "broadcast": GraphQLArgument(GraphQLBoolean, default_value=False),
+                    },
+                    resolve=lambda ds, i, right, keys, rkeys=Undefined, how="inner", broadcast=False: ds.join(
+                        right,
+                        keys,
+                        None if rkeys is Undefined else rkeys,
+                        how=how,
+                        broadcast=broadcast,
+                    ),
+                ),
+                "crossJoin": GraphQLField(
+                    table,
+                    args={"right": GraphQLArgument(GraphQLNonNull(StringList))},
+                    resolve=lambda ds, i, right: ds.cross_join(*right),
+                ),
+                "asofJoin": GraphQLField(
+                    table,
+                    args={
+                        "right": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "on": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "keys": GraphQLArgument(StringList, default_value=[]),
+                        "tolerance": GraphQLArgument(GraphQLFloat),
+                    },
+                    resolve=lambda ds, i, right, on, keys=(), tolerance=Undefined: ds.asof_join(
+                        right,
+                        on,
+                        keys=list(keys),
+                        tolerance=None if tolerance is Undefined else tolerance,
+                    ),
+                ),
+                "takeFrom": GraphQLField(
+                    table,
+                    args={
+                        "field": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "source": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                    },
+                    resolve=lambda ds, i, field, source: ds.take_from(field, source),
+                ),
+                "union": GraphQLField(
+                    table,
+                    args={
+                        "tables": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "distinct": GraphQLArgument(GraphQLBoolean, default_value=False),
+                    },
+                    resolve=lambda ds, i, tables, distinct=False: ds.union(*tables, distinct=distinct),
+                ),
+                "intersect": GraphQLField(
+                    table,
+                    args={
+                        "table": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "distinct": GraphQLArgument(GraphQLBoolean, default_value=True),
+                    },
+                    resolve=lambda ds, i, table, distinct=True: ds.intersect(table, distinct),
+                ),
+                "difference": GraphQLField(
+                    table,
+                    args={
+                        "table": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                        "distinct": GraphQLArgument(GraphQLBoolean, default_value=True),
+                    },
+                    resolve=lambda ds, i, table, distinct=True: ds.difference(table, distinct),
+                ),
+                "sql": GraphQLField(
+                    table,
+                    args={"query": GraphQLArgument(GraphQLNonNull(GraphQLString))},
+                    resolve=self._resolve_sql,
+                ),
+            }
+            for fld in out.values():
+                if fld.type is table:
+                    fld.resolve = _with_cache(fld.resolve)
+            return out
+
+        table = GraphQLObjectType(tname, fields)
+        return table
+
+    # -- resolvers needing context ----------------------------------------
+
+    @staticmethod
+    def _resolve_filter(ds: Dataset, info, where=Undefined, **columns):
+        filters = {
+            name: _to_col_filter(spec) for name, spec in columns.items() if spec is not Undefined
+        }
+        cond = compile_expression(where) if where is not Undefined else None
+        return ds.filter(where=cond, **filters)
+
+    @staticmethod
+    def _resolve_group(ds: Dataset, info, by=(), counts=Undefined, aggregate=Undefined):
+        return ds.group(
+            by,
+            aggregate=_to_aggs(aggregate) if aggregate is not Undefined else (),
+            counts=None if counts is Undefined else counts,
+        )
+
+    @staticmethod
+    def _resolve_column(ds: Dataset, info, name: str, cast=Undefined):
+        col = F.col(name)
+        out = "_col"
+        if cast is not Undefined and cast is not None:
+            col = col.cast(cast)
+        return (ds.select(col.alias(out)), out)
+
+    @staticmethod
+    def _resolve_sql(ds: Dataset, info, query: str):
+        context = info.context or {}
+        if not context.get("allow_sql"):  # denied by default, reference interface.py:56-60
+            raise PermissionError("raw SQL is not allowed (pass allow_sql=True)")
+        return ds.sql(query)

@@ -1,0 +1,171 @@
+"""End-to-end GraphQL queries with golden values — the reference's test
+style (reference tests/test_service.py): execute a document, assert exact
+counts/values; errors raise.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def service(tables):
+    from graphique_spark.service import GraphQLService
+
+    return GraphQLService(
+        {name: tables[name] for name in ["nation", "region", "orders", "lineitem", "customer"]}
+    )
+
+
+@pytest.fixture(scope="module")
+def single(tables):
+    from graphique_spark.service import GraphQLService
+
+    return GraphQLService(tables["nation"])
+
+
+def test_reflection(service):
+    data = service.execute("{ nation { count schema { names types } } }")
+    assert data["nation"]["count"] == 25
+    assert data["nation"]["schema"]["names"] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert data["nation"]["schema"]["types"] == ["int", "string", "int"]
+
+
+def test_columns_and_row(service):
+    data = service.execute(
+        """{ nation {
+            columns { n_name { values(limit: 2) count }
+                      n_regionkey { min max nunique distinct { length } } }
+            row(index: 3) { n_name n_nationkey } } }"""
+    )
+    nation = data["nation"]
+    assert nation["columns"]["n_name"] == {"values": ["NATION_0", "NATION_1"], "count": 25}
+    assert nation["columns"]["n_regionkey"] == {
+        "min": 0, "max": 4, "nunique": 5, "distinct": {"length": 5}
+    }
+    assert nation["row"] == {"n_name": "NATION_3", "n_nationkey": 3}
+
+
+def test_typed_filter_and_where(service, oracle):
+    data = service.execute(
+        """{ orders { filter(
+              o_orderstatus: {eq: ["F"]},
+              where: {gt: [{name: "o_totalprice"}, {value: 150000}]}) { count } } }"""
+    )
+    [[expected]] = oracle.execute(
+        "SELECT count(*) FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000"
+    ).fetchall()
+    assert data["orders"]["filter"]["count"] == expected
+
+
+def test_filter_eq_list_and_empty(service):
+    data = service.execute(
+        """{ nation { filter(n_regionkey: {eq: [0, 2]}) { count } } }"""
+    )
+    assert data["nation"]["filter"]["count"] == 10
+    data = service.execute("""{ nation { filter(n_regionkey: {eq: []}) { count } } }""")
+    assert data["nation"]["filter"]["count"] == 0
+
+
+def test_group_aggregate_order(service, oracle):
+    data = service.execute(
+        """{ orders { group(by: ["o_orderpriority"], counts: "n",
+                aggregate: {sum: [{name: "o_totalprice", alias: "total"}]}) {
+              order(by: ["-n"], limit: 2) {
+                columns { o_orderpriority { values } }
+                n: column(name: "n") { values }
+                total: column(name: "total") { values } } } } }"""
+    )
+    rows = oracle.execute(
+        """SELECT o_orderpriority, count(*) n, sum(o_totalprice) total
+           FROM orders GROUP BY 1 ORDER BY n DESC LIMIT 2"""
+    ).fetchall()
+    got = data["orders"]["group"]["order"]
+    assert got["columns"]["o_orderpriority"]["values"] == [r[0] for r in rows]
+    assert got["n"]["values"] == [r[1] for r in rows]
+    assert got["total"]["values"] == pytest.approx([r[2] for r in rows])
+
+
+def test_project_expression_call(service, oracle):
+    data = service.execute(
+        """{ orders { project(columns: [{alias: "year",
+                expr: {call: {func: "year", args: [{name: "o_orderdate"}]}}}]) {
+              group(by: ["year"], counts: "n") { order(by: ["year"]) {
+                y: column(name: "year") { values } } } } } }"""
+    )
+    rows = oracle.execute(
+        "SELECT year(o_orderdate) y FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert data["orders"]["project"]["group"]["order"]["y"]["values"] == [r[0] for r in rows]
+
+
+def test_join_broadcast(service):
+    data = service.execute(
+        """{ nation { join(right: "region", keys: ["n_regionkey"],
+                           rkeys: ["r_regionkey"], broadcast: true) { count } } }"""
+    )
+    assert data["nation"]["join"]["count"] == 25
+
+
+def test_set_ops_and_distinct(service):
+    data = service.execute(
+        """{ nation { union(tables: ["nation"]) { count
+              distinct(on: ["n_nationkey"]) { count } } } }"""
+    )
+    assert data["nation"]["union"]["count"] == 50
+    assert data["nation"]["union"]["distinct"]["count"] == 25
+
+
+def test_single_root_mode(single):
+    data = single.execute("{ count slice(offset: 2, limit: 1) { row { n_name } } }")
+    assert data["count"] == 25
+    assert data["slice"]["row"]["n_name"] == "NATION_2"
+
+
+def test_order_within_groups(service):
+    data = service.execute(
+        """{ nation { order(by: ["n_nationkey"], limit: 1, over: ["n_regionkey"]) {
+              count } } }"""
+    )
+    assert data["nation"]["order"]["count"] == 5  # one top row per region
+
+
+def test_sql_denied_and_allowed(tables):
+    from graphique_spark.service import GraphQLError, GraphQLService
+
+    denied = GraphQLService(tables["nation"])
+    with pytest.raises(GraphQLError):
+        denied.execute('{ sql(query: "SELECT 1 AS one FROM self") { count } }')
+    allowed = GraphQLService(tables["nation"], allow_sql=True)
+    data = allowed.execute(
+        '{ sql(query: "SELECT * FROM self WHERE n_regionkey = 0") { count } }'
+    )
+    assert data["sql"]["count"] == 5
+
+
+def test_conflicting_expression_inputs(service):
+    from graphique_spark.service import GraphQLError
+
+    with pytest.raises(GraphQLError, match="conflicting"):
+        service.execute(
+            """{ orders { filter(where: {name: "o_totalprice", value: 1}) { count } } }"""
+        )
+
+
+def test_unnest_and_cast(service, tables):
+    from graphique_spark.service import GraphQLService
+
+    svc = GraphQLService(tables["embeddings"])
+    data = svc.execute(
+        """{ slice(limit: 2) { unnest(name: "embedding", offset: "pos") { count } } }"""
+    )
+    assert data["slice"]["unnest"]["count"] == 2 * 64  # two 64-dim vectors
+
+
+def test_invalid_column_names_skipped(spark):
+    from graphique_spark.dataset import Dataset
+    from graphique_spark.service import GraphQLService
+
+    df = spark.createDataFrame([(1, 2)], ["ok", "0bad"])
+    with pytest.warns(UserWarning, match="0bad"):
+        svc = GraphQLService(Dataset(df))
+    data = svc.execute("{ columns { ok { values } } }")
+    assert data["columns"]["ok"]["values"] == [1]

@@ -138,6 +138,21 @@ class Dataset:
         grouped = self.df.groupBy(*by) if by else self.df.groupBy()
         return self._wrap(grouped.agg(*aggs))
 
+    def rollup(self, by: Sequence[str], aggregate: Sequence[Agg] = (), counts: str | None = None) -> "Dataset":
+        """Hierarchical subtotals (beyond the reference — SURVEY §2.5 notes
+        grouping sets as a free Spark win). Same agg surface as ``group``."""
+        aggs = [agg.to_column() for agg in aggregate]
+        if counts:
+            aggs.append(F.count(F.lit(1)).alias(counts))
+        return self._wrap(self.df.rollup(*by).agg(*aggs))
+
+    def cube(self, by: Sequence[str], aggregate: Sequence[Agg] = (), counts: str | None = None) -> "Dataset":
+        """All grouping-set combinations of ``by`` (beyond the reference)."""
+        aggs = [agg.to_column() for agg in aggregate]
+        if counts:
+            aggs.append(F.count(F.lit(1)).alias(counts))
+        return self._wrap(self.df.cube(*by).agg(*aggs))
+
     def distinct(
         self,
         on: Sequence[str] = (),

@@ -82,6 +82,89 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into cells around
+    centroids, probe only the ``nprobe`` cells nearest the query.
+
+    Centroids here are a deterministic stride sample (``id % stride == 0``)
+    so the whole index build is a pure, reproducible dataflow; a real
+    deployment would swap in k-means centroids built offline — the probe
+    and assignment plumbing is identical. Assignment is a broadcast
+    cross-join + ``max_by`` (map-side; no shuffle of the embeddings), so
+    build cost is linear in rows × centroids. At scale the table would be
+    written partitioned by ``cell`` and a probe reads ``nprobe`` partitions
+    only.
+    """
+    cents = df.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("cvec"))
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id"), sim.alias("csim"))
+        .groupBy(id_col)
+        .agg(F.max_by("cent_id", "csim").alias("cell"), F.first(vec_col).alias(vec_col))
+    )
+    q = F.array(*[F.lit(float(v)) for v in query])
+    probe = [
+        r["cent_id"]
+        for r in cents.select(
+            "cent_id", cosine_similarity(F.col("cvec"), q).alias("qsim")
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    qsim = cosine_similarity(F.col(vec_col), q)
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), qsim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by sign-projection
+    LSH bucket: only within-bucket pairs are compared (near-identical
+    vectors land in the same bucket with high probability), so the pair
+    count is ~n²/2^planes instead of n². Returns (id_a, id_b, cosine)."""
+    planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = docs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    right = docs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query: Sequence[float],

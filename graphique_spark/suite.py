@@ -899,3 +899,97 @@ def runs_adjacency(spark, sf_dir):
         .select("o_orderstatus", "n_runs", "n_rows")
         .df
     )
+
+
+@query(
+    "group_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS rev
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def group_rollup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            by=["l_returnflag", "l_linestatus"],
+            counts="n",
+            aggregate=[Agg("sum", "l_extendedprice", alias="rev")],
+        )
+        .project({"rev": fround(F.col("rev"), 2)})
+        .select("l_returnflag", "l_linestatus", "n", "rev")
+        .df
+    )
+
+
+@query(
+    "group_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def group_cube(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube(by=["o_orderstatus", "o_orderpriority"], counts="n").df
+
+
+@query(
+    "window_ntile_cume",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS tile,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_cume(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.project(
+            {
+                "tile": F.ntile(4).over(w),
+                "pct": fround(F.percent_rank().over(w), 6),
+                "cd": fround(F.cume_dist().over(w), 6),
+            }
+        )
+        .select("o_orderkey", "tile", "pct", "cd")
+        .df
+    )
+
+
+@query(
+    "graphql_pipeline",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def graphql_pipeline(spark, sf_dir):
+    """GraphQL string -> lazy DataFrame via the generated schema's
+    resolvers: the engine's GraphQL-to-SQL translation path end-to-end."""
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.service.translate import compile_query
+
+    orders = table(spark, sf_dir, "orders")
+    svc = GraphQLService({"orders": orders, "customer": table(spark, sf_dir, "customer")})
+    df = compile_query(
+        svc,
+        """{ orders { filter(o_orderstatus: {eq: ["F"]}) {
+               group(by: ["o_orderpriority"], counts: "n",
+                     aggregate: {sum: [{name: "o_totalprice", alias: "rev"}]}) {
+                 count } } } }""",
+    )
+    return (
+        Dataset(df)
+        .project({"rev": fround(F.col("rev"), 2)})
+        .select("o_orderpriority", "n", "rev")
+        .df
+    )

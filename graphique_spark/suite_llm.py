@@ -293,3 +293,98 @@ def multimodal_decode(spark, sf_dir):
     return multimodal.decode_images(with_blob).withColumn(
         "channels", F.col("channels").cast("int")
     )
+
+
+# --- IVF ANN + embedding near-dup -------------------------------------------
+
+
+def _cos_frag(a: str, b: str) -> str:
+    """Cosine between two double-list columns (SQL fragment)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+
+
+_IVF_STRIDE, _NPROBE = 37, 2
+
+
+@query(
+    "similarity_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    a AS (SELECT e.vec_id, arg_max(cent_id, {_cos_frag("e.v", "cv")}) AS cell
+          FROM e, c GROUP BY e.vec_id),
+    probe AS (SELECT cent_id FROM c, q
+              ORDER BY {_cos_frag("cv", "qv")} DESC, cent_id LIMIT {_NPROBE})
+    SELECT e.vec_id, floor({_cos_frag("e.v", "qv")} * 1000000 + 0.5) / 1000000 AS cosine
+    FROM e JOIN a USING (vec_id), q
+    WHERE a.cell IN (SELECT cent_id FROM probe)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ivf(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").df
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.ivf_topk(
+        emb, qvec, k=50, centroid_stride=_IVF_STRIDE, nprobe=_NPROBE
+    )
+    return (
+        out.withColumn("cosine", fround(F.col("cosine"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_PLANES = 4
+_plane_lits = [
+    "[" + ", ".join(f"{w:.3f}" for w in similarity._hyperplane(p, 64)) + "]"
+    for p in range(_PLANES)
+]
+_bucket_frag = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    f"i -> v[i] * ({_plane_lits[p]})[i])) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_PLANES)
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE) + 0.02 * (((i - 1) % 5) - 2))
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    b AS (SELECT vec_id, v, {_bucket_frag} AS bucket FROM corpus)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           floor({_cos_frag("a.v", "c.v")} * 1000000 + 0.5) / 1000000 AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_frag("a.v", "c.v")} >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucket-blocked; the corpus
+    plants perturbed copies (cosine ~0.99) of every 10th vector."""
+    emb = table(spark, sf_dir, "embeddings").df
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") + 0.02 * ((i % 5) - 2)
+        ).alias("embedding"),
+    )
+    out = similarity.embedding_near_dups(
+        base.unionByName(pert), threshold=0.9, num_planes=_PLANES
+    )
+    return out.withColumn("cosine", fround(F.col("cosine"), 6))

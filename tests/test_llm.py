@@ -137,3 +137,23 @@ def test_frame_sampling(tables):
     rows = frames.collect()
     assert len(rows) >= 5
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+def test_ivf_topk_matches_brute_force_mostly(tables):
+    emb = tables["embeddings"].df
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, qvec, k=5).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(emb, qvec, k=5).collect()]
+    assert approx[0] == 0  # the query vector itself survives probing
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_near_dups_finds_planted(spark):
+    base = [1.0, 0.5, -0.25, 0.125] * 4
+    near = [v + 0.001 for v in base]
+    far = [(-1.0) ** i * (i + 1.0) for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    pairs = similarity.embedding_near_dups(df, threshold=0.99, num_planes=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

@@ -110,3 +110,16 @@ def test_first_rank_keeps_ties(spark):
     df = spark.createDataFrame([("g", 1), ("g", 1), ("g", 2), ("h", 5)], "k string, v int")
     out = Dataset(df).first(by=["v"], rank=1, over=["k"])
     assert out.count() == 3  # both tied v=1 rows plus h's single row
+
+
+def test_rollup_and_cube(tables):
+    from graphique_spark.inputs import Agg
+
+    nation = tables["nation"]
+    rolled = nation.rollup(by=["n_regionkey"], counts="n").df.collect()
+    assert len(rolled) == 6  # 5 regions + grand total
+    assert {r["n"] for r in rolled if r["n_regionkey"] is None} == {25}
+    cubed = nation.cube(
+        by=["n_regionkey"], aggregate=[Agg("nunique", "n_name", alias="u")]
+    ).df.collect()
+    assert len(cubed) == 6

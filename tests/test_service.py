@@ -169,3 +169,20 @@ def test_invalid_column_names_skipped(spark):
         svc = GraphQLService(Dataset(df))
     data = svc.execute("{ columns { ok { values } } }")
     assert data["columns"]["ok"]["values"] == [1]
+
+
+def test_compile_query_translates_without_executing(service, oracle):
+    from graphique_spark.service.translate import compile_query
+
+    df = compile_query(
+        service,
+        """{ orders { filter(o_orderstatus: {eq: ["O"]}) {
+               group(by: ["o_orderpriority"], counts: "n") { count } } } }""",
+    )
+    got = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+    expected = set(
+        oracle.execute(
+            "SELECT o_orderpriority, count(*) FROM orders WHERE o_orderstatus='O' GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == expected

@@ -210,14 +210,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard *within blocking buckets* (never a global
-    cross product). Default block: coarse length bucket.
+    """n-gram Jaccard similarity join. Returns every pair with
+    ``J >= min_jaccard`` as (id_a, id_b, jaccard).
 
-    n-grams are hashed to longs up front (one md5 each, in-row), and a
-    size-ratio prune runs inside the join — ``J(A,B) <= min/max`` sizes, so
-    ``J >= t`` needs both ``|A| >= t|B|`` and ``|B| >= t|A|`` — which kills
-    most candidate pairs before the array intersection is ever computed."""
-    block = block_by if block_by is not None else (F.floor(F.length(text) / 100))
+    Default strategy is a **prefix-filtered set-similarity join** (the
+    PPJoin family): sort each doc's hashed n-gram set; for ``J >= t`` two
+    sets must share at least one token among their ``|A| - ceil(t*|A|) + 1``
+    smallest — so only those prefix tokens are exploded and equi-joined to
+    generate candidates, which are verified by exact intersection after a
+    slim (id_a, id_b) dedup. Exact w.r.t. the threshold (no block-boundary
+    loss) and scales as token-frequency², not corpus².
+
+    Pass ``block_by`` to use coarse blocking instead (all pairs within a
+    bucket, with a size-ratio prune inside the join).
+
+    n-grams are hashed to longs up front — one md5 each, in-row."""
+    if block_by is None:
+        return _prefix_jaccard(df, text, id_col, n, min_jaccard)
+    block = block_by
     docs = df.select(
         F.col(id_col).alias("id"),
         block.alias("block"),
@@ -236,5 +246,36 @@ def ngram_jaccard_pairs(
         )
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _prefix_jaccard(
+    df: DataFrame, text: str, id_col: str, n: int, t: float
+) -> DataFrame:
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60))
+        ).alias("ng"),
+    ).withColumn("sz", F.size("ng"))
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    pref = docs.select("id", F.explode(F.slice("ng", F.lit(1), plen)).alias("tok"))
+    cands = (
+        pref.select("tok", F.col("id").alias("id_a"))
+        .join(pref.select("tok", F.col("id").alias("id_b")), on="tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = docs.select("id", "ng")
+    pairs = cands.join(
+        sets.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a")), on="id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b")), on="id_b")
+    inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
+    union = F.size(F.array_union("ng_a", "ng_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
     )

@@ -212,27 +212,37 @@ def dedup_simhash(spark, sf_dir):
     "dedup_ngram_jaccard",
     """
     WITH d AS (
-      SELECT doc_id, floor(length(text) / 100) AS block,
-             list_distinct(list_transform(
+      SELECT doc_id, list_sort(list_distinct(list_transform(
                list_distinct(list_transform(
                  generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
                  i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
                )),
                g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
-             )) AS ng
+             ))) AS ng
       FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, unnest(list_slice(ng, 1, len(ng) - CAST(ceil(0.5 * len(ng)) AS INT) + 1)) AS tok
+      FROM d
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-             / len(list_distinct(a.ng || b.ng)) AS jaccard
-    FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-            / len(list_distinct(a.ng || b.ng)) >= 0.2
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(da.ng, db.ng)) AS DOUBLE)
+             / len(list_distinct(da.ng || db.ng)) AS jaccard
+    FROM cand JOIN d da ON cand.id_a = da.doc_id
+              JOIN d db ON cand.id_b = db.doc_id
+    WHERE CAST(len(list_intersect(da.ng, db.ng)) AS DOUBLE)
+            / len(list_distinct(da.ng || db.ng)) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact set-similarity join at J>=0.5 via prefix filtering (no
+    blocking loss): see dedup.ngram_jaccard_pairs."""
     docs = table(spark, sf_dir, "documents").df
-    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2)
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.5)
 
 
 def _cosine_sql(k: int, extra_where: str = "") -> str:

@@ -113,6 +113,30 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
     return out
 
 
+#: window-spec keys recognized inside ``call.options`` (reference Window
+#: input, inputs.py:490-557): partition ``over``, sort ``by`` ('-' prefix =
+#: descending), optional rows/range frame.
+_WINDOW_KEYS = ("over", "orderBy", "preceding", "following", "range")
+
+
+def _window_spec(opts: dict[str, Any]):
+    from pyspark.sql import Window
+
+    spec = Window.partitionBy(*[F.col(c) for c in opts.get("over") or []])
+    order = [
+        F.col(c.lstrip("-")).desc() if c.startswith("-") else F.col(c)
+        for c in opts.get("orderBy") or []
+    ]
+    if order:
+        spec = spec.orderBy(*order)
+    preceding, following = opts.get("preceding"), opts.get("following")
+    if preceding is not None or following is not None:
+        lo = -int(preceding) if preceding is not None else -(1 << 62)
+        hi = int(following) if following is not None else 1 << 62
+        spec = spec.rangeBetween(lo, hi) if opts.get("range") else spec.rowsBetween(lo, hi)
+    return spec
+
+
 def _compile_call(spec: Mapping[str, Any]) -> Column:
     func = spec["func"]
     raw_args = spec.get("args") or []
@@ -122,9 +146,15 @@ def _compile_call(spec: Mapping[str, Any]) -> Column:
     options = spec.get("options")
     if options is Undefined or options is None:
         options = {}
+    options = dict(options)
+    window = {k: options.pop(k) for k in _WINDOW_KEYS if k in options}
     if func in FUNCTIONS:
-        return FUNCTIONS[func](*args, **options)
-    fn = getattr(F, func, None)
-    if fn is None or func.startswith("_"):
-        raise ValueError(f"unknown function: {func!r}")
-    return fn(*args, **options)
+        out = FUNCTIONS[func](*args, **options)
+    else:
+        fn = getattr(F, func, None)
+        if fn is None or func.startswith("_"):
+            raise ValueError(f"unknown function: {func!r}")
+        out = fn(*args, **options)
+    if window:
+        out = out.over(_window_spec(window))
+    return out

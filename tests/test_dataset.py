@@ -160,3 +160,17 @@ def test_fill_drop_null(tables, spark):
     assert ds.drop_null().count() == 1
     assert ds.drop_null(how="all").count() == 3
     assert ds.fill_null(0, subset=["a"]).filter(a={"eq": [0]}).count() == 1
+
+
+def test_write_partitioned_roundtrip(spark, tables, tmp_path):
+    from graphique_spark.sources import write_partitioned
+
+    dest = str(tmp_path / "nation_by_region")
+    write_partitioned(
+        tables["nation"].df, dest, keys=["n_regionkey"], sort_within=["n_name"]
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == 25
+    # hive layout: one directory per partition key value
+    assert back.select("n_regionkey").distinct().count() == 5
+    assert sorted(back.columns) == sorted(tables["nation"].df.columns)

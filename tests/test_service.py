@@ -186,3 +186,25 @@ def test_compile_query_translates_without_executing(service, oracle):
         ).fetchall()
     )
     assert got == expected
+
+
+def test_window_in_project(service, oracle):
+    data = service.execute(
+        """{ orders { project(columns: [
+              {alias: "rnk", expr: {call: {func: "rank",
+                 options: {over: ["o_orderpriority"], orderBy: ["-o_totalprice"]}}}},
+              {alias: "run_rev", expr: {call: {func: "sum",
+                 args: [{name: "o_totalprice"}],
+                 options: {over: ["o_orderpriority"], orderBy: ["o_orderkey"],
+                           preceding: 1, following: 0}}}}]) {
+            filter(where: {eq: [{name: "rnk"}, {value: 1}]}) {
+              count
+              top: column(name: "o_totalprice") { max } } } } }"""
+    )
+    rows = oracle.execute(
+        """SELECT max(o_totalprice) FROM (
+             SELECT o_totalprice, rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC) rnk FROM orders) WHERE rnk = 1"""
+    ).fetchall()
+    assert data["orders"]["project"]["filter"]["count"] == 5
+    assert data["orders"]["project"]["filter"]["top"]["max"] == pytest.approx(rows[0][0])

@@ -105,6 +105,55 @@ def session_windows(
     )
 
 
+def stateful_user_totals(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    watermark: str = "2 hours",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running event count and value sum carried in the state store
+    across micro-batches (RocksDB-backed on a real cluster), emitted in
+    update mode each batch. The watermark bounds state growth for keys
+    that stop arriving.
+
+    Arrow-batched (pandas) on the state path only — the one place custom
+    state genuinely needs Python; everything else in this module is
+    built-in windowed aggregation.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} long, events_total long, value_total double, batches long"
+    state_schema = "total long, vsum double, batches long"
+
+    def update(keys, pdf_iter, state):
+        import pandas as pd
+
+        total, vsum, batches = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            total += len(pdf)
+            vsum += float(pdf[value].fillna(0.0).sum())
+        batches += 1
+        state.update((total, vsum, batches))
+        yield pd.DataFrame(
+            {
+                key: [keys[0]],
+                "events_total": [total],
+                "value_total": [vsum],
+                "batches": [batches],
+            }
+        )
+
+    return (
+        df.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def write_stream_to_parquet(df: DataFrame, dest: str, checkpoint: str, trigger_seconds: int = 60):
     """Standard sink: exactly-once parquet append with checkpointing."""
     return (

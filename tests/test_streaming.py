@@ -76,3 +76,37 @@ def test_stream_write_parquet_sink(spark, tables):
         for q in spark.streams.active:
             q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_user_totals_across_batches(spark, tables):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (two source files, maxFilesPerTrigger=1 -> two batches)."""
+    events = tables["events"].df
+    workdir = tempfile.mkdtemp(prefix="gs_state_")
+    try:
+        src = f"{workdir}/src"
+        half = events.limit(400)
+        half.limit(200).coalesce(1).write.mode("append").parquet(src)
+        half.subtract(half.limit(200)).coalesce(1).write.mode("append").parquet(src)
+        schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        stream = streaming.read_event_stream(spark, src, schema=schema, max_files_per_trigger=1)
+        out = streaming.stateful_user_totals(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gs_state_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        latest = spark.sql(
+            """SELECT sum(events_total) FROM (
+                 SELECT user_id, max_by(events_total, batches) AS events_total
+                 FROM gs_state_sink GROUP BY user_id)"""
+        ).first()[0]
+        assert latest == 400
+        assert spark.sql("SELECT max(batches) FROM gs_state_sink").first()[0] >= 2
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -274,14 +274,8 @@ def similarity_topk(spark, sf_dir):
     )
 
 
-@query("similarity_ann_lsh")
-def similarity_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (weak rows-only check; recall vs brute force is
-    asserted in tests/test_llm.py)."""
-    emb = table(spark, sf_dir, "embeddings").df
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    out = similarity.lsh_ann_topk(emb, qvec, k=10, num_planes=4)
-    return out.withColumn("cosine", fround(F.col("cosine"), 6))
+# similarity_ann_lsh is registered at the bottom of this module (its oracle
+# reuses the hyperplane literals defined for dedup_embedding_cosine)
 
 
 @query(
@@ -398,3 +392,36 @@ def dedup_embedding_cosine(spark, sf_dir):
         base.unionByName(pert), threshold=0.9, num_planes=_PLANES
     )
     return out.withColumn("cosine", fround(F.col("cosine"), 6))
+
+
+_bucket_v2 = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    f"i -> v[i] * ({_plane_lits[p]})[i])) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_PLANES)
+)
+
+
+@query(
+    "similarity_ann_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_v2} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id, floor({_cos_frag("v", "qv")} * 1000000 + 0.5) / 1000000 AS cosine
+    FROM b, q
+    WHERE bit_count(xor(bucket, qb)) <= 1
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Sign-projection LSH ANN with multi-probe (hamming<=1 buckets);
+    deterministic hyperplanes make even the probe set oracle-checkable."""
+    emb = table(spark, sf_dir, "embeddings").df
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.lsh_ann_topk(emb, qvec, k=50, num_planes=_PLANES, probe_radius=1)
+    return (
+        out.withColumn("cosine", fround(F.col("cosine"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -105,6 +105,24 @@ def session_windows(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Ingest-time exact dedup for at-least-once sources (the first stage
+    of any streaming training-data pipeline). In streaming mode uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state store is bounded
+    by the watermark instead of growing forever; batch mode is a plain
+    ``dropDuplicates`` for backfills."""
+    keys = list(keys or ["event_id"])
+    if streaming:
+        return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def stateful_user_totals(
     df: DataFrame,
     key: str = "user_id",

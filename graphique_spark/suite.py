@@ -993,3 +993,132 @@ def graphql_pipeline(spark, sf_dir):
         .select("o_orderpriority", "n", "rev")
         .df
     )
+
+
+@query(
+    "asof_tolerance",
+    """
+    SELECT e.event_id,
+           CASE WHEN e.ts - p.ts <= INTERVAL 30 MINUTE THEN p.value END AS recent_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_tolerance(spark, sf_dir):
+    """As-of join with a look-back tolerance window: matches further than
+    30 minutes back are nulled (left rows kept)."""
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(event_type={"eq": ["click"]}).select("event_id", "user_id", "ts")
+    purchases = events.filter(event_type={"eq": ["purchase"]}).group(
+        by=["user_id", "ts"], aggregate=[Agg("max", "value", alias="value")]
+    )
+    return (
+        clicks.asof_join(
+            purchases, on="ts", by=["user_id"], tolerance="INTERVAL 30 MINUTES"
+        )
+        .select("event_id", F.col("value").alias("recent_purchase"))
+        .df
+    )
+
+
+@query(
+    "take_positional",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders
+    )
+    SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price, rid
+    FROM r WHERE rid IN (0, 500, 999, 1499)
+    """,
+)
+def take_positional(spark, sf_dir):
+    """Positional take: dense row index (two-phase, no global-sort task)
+    over an ordered frame, then a broadcast semi-join on the index."""
+    orders = table(spark, sf_dir, "orders")
+    taken = (
+        orders.order(["o_orderkey"])
+        .with_row_index("rid")
+        .take([0, 500, 999, 1499], rowid="rid")
+    )
+    return (
+        taken.project({"price": fround(F.col("o_totalprice"), 2)})
+        .select("o_orderkey", "price", "rid")
+        .df
+    )
+
+
+@query(
+    "fill_drop_null",
+    """
+    WITH aj AS (
+      SELECT e.event_id,
+             CASE WHEN e.ts - p.ts <= INTERVAL 30 MINUTE THEN p.value END AS v
+      FROM (SELECT * FROM events WHERE event_type = 'click') e
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT count(*) AS n_all,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           floor(sum(coalesce(v, -1.0)) * 100 + 0.5) / 100 AS filled_sum
+    FROM aj
+    """,
+)
+def fill_drop_null(spark, sf_dir):
+    """fillNull over a null-bearing as-of result; dropNull checked by the
+    n_all/n_missing arithmetic."""
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(event_type={"eq": ["click"]}).select("event_id", "user_id", "ts")
+    purchases = events.filter(event_type={"eq": ["purchase"]}).group(
+        by=["user_id", "ts"], aggregate=[Agg("max", "value", alias="value")]
+    )
+    asof = clicks.asof_join(
+        purchases, on="ts", by=["user_id"], tolerance="INTERVAL 30 MINUTES"
+    ).select("event_id", F.col("value").alias("v"))
+    filled = asof.fill_null(-1.0, subset=["v"])
+    return (
+        asof.group(
+            counts="n_all",
+            aggregate=[Agg("count", "v", alias="n_present")],
+        )
+        .cross_join(
+            filled.group(aggregate=[Agg("sum", "v", alias="filled_sum")])
+        )
+        .project(
+            {
+                "n_missing": (F.col("n_all") - F.col("n_present")).cast("bigint"),
+                "filled_sum": fround(F.col("filled_sum"), 2),
+            }
+        )
+        .select("n_all", "n_missing", "filled_sum")
+        .df
+    )
+
+
+@query(
+    "quantile_multi",
+    """
+    SELECT l_returnflag,
+           [floor(quantile_cont(l_extendedprice, 0.1) * 10000 + 0.5) / 10000,
+            floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000,
+            floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000] AS deciles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_multi(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.group(
+            by=["l_returnflag"],
+            aggregate=[Agg("quantile", "l_extendedprice", alias="q", q=[0.1, 0.5, 0.9])],
+        )
+        .project({"deciles": F.transform("q", lambda x: fround(x, 4))})
+        .select("l_returnflag", "deciles")
+        .df
+    )

@@ -174,3 +174,19 @@ def test_write_partitioned_roundtrip(spark, tables, tmp_path):
     # hive layout: one directory per partition key value
     assert back.select("n_regionkey").distinct().count() == 5
     assert sorted(back.columns) == sorted(tables["nation"].df.columns)
+
+
+def test_hive_partition_pruning(spark, tables, tmp_path):
+    """A filter on the hive partition key must prune at the scan: the plan
+    carries it as a PartitionFilter (no data read from other partitions)."""
+    from graphique_spark.sources import write_partitioned
+
+    dest = str(tmp_path / "events_by_type")
+    write_partitioned(tables["events"].df, dest, keys=["event_type"])
+    df = spark.read.parquet(dest).filter("event_type = 'click'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    # and the result is right
+    expected = tables["events"].df.filter("event_type = 'click'").count()
+    assert df.count() == expected

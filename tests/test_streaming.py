@@ -110,3 +110,31 @@ def test_stateful_user_totals_across_batches(spark, tables):
         for q in spark.streams.active:
             q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark, tables):
+    """Duplicate events across two micro-batches must be emitted once."""
+    events = tables["events"].df
+    workdir = tempfile.mkdtemp(prefix="gs_dedup_")
+    try:
+        src = f"{workdir}/src"
+        batch = events.limit(300)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        batch.limit(100).coalesce(1).write.mode("append").parquet(src)  # dupes
+        schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        stream = streaming.read_event_stream(spark, src, schema=schema, max_files_per_trigger=1)
+        out = streaming.stream_dedup(stream, keys=["event_id"], streaming=True)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gs_dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        n = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM gs_dedup_sink").first()
+        assert n[0] == n[1] == 300
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

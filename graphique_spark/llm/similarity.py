@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,6 +129,40 @@ def ivf_topk(
         .select(F.col(id_col), qsim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN join: exact cosine top-k *per query vector* — the batch shape
+    of similarity search (one query → use :func:`brute_force_topk`).
+
+    The query set broadcasts (it is the small side by construction); the
+    corpus streams through map-side, so cost is |corpus| × |queries| dot
+    products with no corpus shuffle; the per-query top-k window runs on
+    |queries| × |corpus| scored rows partitioned by query id. At scale,
+    bucket both sides (LSH/IVF cell) first and join on the cell instead of
+    cross-joining.
+    Returns (query_id, vec_id, cosine) with rank <= k per query.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

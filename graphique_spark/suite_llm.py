@@ -425,3 +425,78 @@ def similarity_ann_lsh(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "knn_join",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_frag("e.v", "q.qv")} AS raw_cos
+      FROM e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, raw_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw_cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, floor(raw_cos * 1000000 + 0.5) / 1000000 AS cosine
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_join(spark, sf_dir):
+    """Batch k-NN: exact top-5 neighbours for each of 10 query vectors via
+    broadcast cross-score + per-query window."""
+    emb = table(spark, sf_dir, "embeddings").df
+    out = similarity.knn_join(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cosine", fround(F.col("cosine"), 6))
+
+
+@query(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[^\\sA-Za-z0-9]')) AS bpe_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter(doc_id={"lt": 300})
+    return (
+        docs.project(
+            {
+                "ws_tokens": text.token_count(F.col("text")),
+                "bpe_tokens": text.bpe_ish_token_count(F.col("text")),
+            }
+        )
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .df
+    )
+
+
+@query(
+    "sample_hash",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by id hash — reproducible across engines,
+    runs, and cluster sizes (unlike seed-based sampling), which is what a
+    100 TB training pipeline needs for resumable subset selection."""
+    docs = table(spark, sf_dir, "documents").df
+    sampled = docs.filter(
+        dedup.hash60(F.col("doc_id").cast("string")) % 100 < 10
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from graphique_spark.functions import FUNCTIONS
-from graphique_spark.service.scalars import JSON
+from graphique_spark.service.scalars import JSON, Date, Datetime, Duration
 
 _BINARY = {
     "eq": lambda a, b: a == b,
@@ -51,7 +51,11 @@ def _expr_fields():
     expr_list = GraphQLList(GraphQLNonNull(EXPRESSION))
     fields = {
         "name": GraphQLInputField(GraphQLString, description="column reference (dotted path)"),
-        "value": GraphQLInputField(JSON, description="literal"),
+        "value": GraphQLInputField(JSON, description="untyped literal"),
+        # typed scalar leaves (reference `scalar` one-of, inputs.py:234-246)
+        "date": GraphQLInputField(Date),
+        "datetime": GraphQLInputField(Datetime),
+        "duration": GraphQLInputField(Duration, description="ISO-8601, e.g. P1DT2H"),
         "inv": GraphQLInputField(EXPRESSION),
         "coalesce": GraphQLInputField(expr_list),
         "ifelse": GraphQLInputField(expr_list, description="[cond, then, else]"),
@@ -87,8 +91,8 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
     [(op, arg)] = given.items()
     if op == "name":
         return F.col(arg)
-    if op == "value":
-        return F.lit(arg)
+    if op in ("value", "date", "datetime", "duration"):
+        return F.lit(arg)  # typed leaves arrive pre-parsed by their scalar
     if op == "inv":
         return ~compile_expression(arg)
     if op == "coalesce":

@@ -208,3 +208,18 @@ def test_window_in_project(service, oracle):
     ).fetchall()
     assert data["orders"]["project"]["filter"]["count"] == 5
     assert data["orders"]["project"]["filter"]["top"]["max"] == pytest.approx(rows[0][0])
+
+
+def test_typed_scalar_leaves(service, oracle):
+    data = service.execute(
+        """{ orders {
+          filter(where: {ge: [{name: "o_orderdate"}, {datetime: "2000-01-01T00:00:00"}]}) { count }
+          shifted: project(columns: [{alias: "due",
+              expr: {add: [{name: "o_orderdate"}, {duration: "P30D"}]}}]) {
+            row { o_orderkey } } } }"""
+    )
+    [[expected]] = oracle.execute(
+        "SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'"
+    ).fetchall()
+    assert data["orders"]["filter"]["count"] == expected
+    assert data["orders"]["shifted"]["row"]["o_orderkey"] is not None

@@ -1,0 +1,72 @@
+"""Skew mitigation for joins and aggregations.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew at
+runtime for sort-merge joins. These helpers cover the cases AQE cannot:
+shuffle-hash paths, skewed aggregations, and deliberately pre-salted
+layouts.
+
+* :func:`salted_join` — classic salting: the skewed (big) side gets a
+  random-ish salt in ``[0, salts)``, the small side is exploded ``salts``
+  times; the join key becomes ``(key, salt)``, spreading each hot key over
+  ``salts`` reducers. Salt is derived from a hash of the row's other
+  columns, not ``rand()``, so plans stay deterministic and re-executable
+  (speculative retries, AQE re-optimization, and oracles all see the same
+  data).
+* :func:`two_phase_agg` — salted partial aggregation for hot group keys:
+  aggregate on ``(key, salt)`` first (spreads the hot key), then
+  re-aggregate on ``key``. Only algebraic aggregates (sum/count/min/max)
+  compose this way.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__gs_salt"
+
+
+def _det_salt(df: DataFrame, salts: int) -> Column:
+    """Deterministic pseudo-random salt in [0, salts): xxhash64 over all
+    columns (JVM-side, no Python)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed key values: spread each key over
+    ``salts`` sub-keys. ``small`` is replicated ``salts`` times (keep it the
+    genuinely smaller side)."""
+    keys = list(keys)
+    b = big.withColumn(_SALT, _det_salt(big, salts))
+    s = small.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    out = b.join(s, on=keys + [_SALT], how=how)
+    return out.drop(_SALT)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: str | None = None,
+    salts: int = 16,
+) -> DataFrame:
+    """Sum/count aggregation resilient to hot group keys: partial agg on
+    (by, salt), final agg on by."""
+    by = list(by)
+    salted = df.withColumn(_SALT, _det_salt(df, salts))
+    partial_aggs = [F.sum(c).alias(f"__p_{c}") for c in sums]
+    if counts:
+        partial_aggs.append(F.count(F.lit(1)).alias("__p_n"))
+    partial = salted.groupBy(*by, _SALT).agg(*partial_aggs)
+    final_aggs = [F.sum(f"__p_{c}").alias(c) for c in sums]
+    if counts:
+        final_aggs.append(F.sum("__p_n").cast("long").alias(counts))
+    return partial.groupBy(*by).agg(*final_aggs)

@@ -1,6 +1,7 @@
 """Composite operators: row index, runs, as-of join, top-k — validated
 against DuckDB SQL or hand-computed expectations."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphique_spark.operators import asof_join, with_row_index, with_run_ids
@@ -123,3 +124,37 @@ def test_rollup_and_cube(tables):
         by=["n_regionkey"], aggregate=[Agg("nunique", "n_name", alias="u")]
     ).df.collect()
     assert len(cubed) == 6
+
+
+def test_salted_join_matches_plain(tables):
+    from graphique_spark.operators.skew import salted_join
+
+    li = tables["lineitem"].df.select("l_orderkey", "l_extendedprice")
+    orders = tables["orders"].df.select("l_orderkey", "o_orderpriority").toDF(
+        "l_orderkey", "o_orderpriority"
+    ) if "l_orderkey" in tables["orders"].df.columns else tables["orders"].df.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, on="l_orderkey").count()
+    salted = salted_join(li, orders, keys=["l_orderkey"], salts=8).count()
+    assert salted == plain
+
+
+def test_two_phase_agg_matches_plain(tables):
+    from graphique_spark.operators.skew import two_phase_agg
+
+    li = tables["lineitem"].df
+    plain = {
+        r["l_returnflag"]: (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    two = {
+        r["l_returnflag"]: (r["l_quantity"], r["n"])
+        for r in two_phase_agg(li, by=["l_returnflag"], sums=["l_quantity"], counts="n").collect()
+    }
+    assert set(two) == set(plain)
+    for k in plain:
+        assert two[k][0] == pytest.approx(plain[k][0])
+        assert two[k][1] == plain[k][1]

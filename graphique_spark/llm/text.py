@@ -91,3 +91,54 @@ def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint over normalized text (near-dup-stable for
     punctuation/case/whitespace variants)."""
     return F.md5(normalize_text(col))
+
+
+def chunk_text(col: Column, size: int = 64, overlap: int = 16) -> Column:
+    """Split text into word chunks of ``size`` tokens with ``overlap``
+    tokens of context between consecutive chunks — the standard shape for
+    embedding/pretraining corpora. Returns an array of chunk strings
+    (in-row HOFs; explode downstream to get one row per chunk)."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    words = F.split(F.trim(col), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(words) - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * step + 1, size), " "),
+    )
+
+
+def term_frequencies(df, text: str = "text", id_col: str = "doc_id"):
+    """(doc, term, tf) rows: lowercase word terms exploded, counted per
+    doc. One narrow explode + map-side-combinable count."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))).alias("term"),
+    )
+    return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1):
+    """Top-k characteristic terms per doc by tf-idf.
+
+    Document frequencies are a second small aggregate over distinct
+    (doc, term); idf = ln((N+1)/(df+1)). The df table joins back broadcast
+    (vocabulary << corpus at scale)."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text, id_col)
+    n_docs = df.count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+    scored = tf.join(F.broadcast(docfreq), on="term").withColumn(
+        "tfidf", F.col("tf") * idf
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

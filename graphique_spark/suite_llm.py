@@ -500,3 +500,97 @@ def sample_hash(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).cast("bigint").alias("chars"),
     )
+
+
+@query(
+    "chunk_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(CAST(ceil((len(words) - 16) / 48.0) AS INT), 1) - 1),
+               i -> array_to_string(list_slice(words, i * 48 + 1, i * 48 + 64), ' ')
+             )) AS chunk
+      FROM w
+    )
+    SELECT count(*) AS n_chunks,
+           CAST(sum(len(string_split_regex(chunk, '\\s+'))) AS BIGINT) AS total_tokens,
+           max(length(chunk)) AS longest
+    FROM c
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """64-token chunks with 16-token overlap, exploded to one row per
+    chunk; aggregate shape check over the whole corpus."""
+    docs = table(spark, sf_dir, "documents").df
+    chunks = docs.select(
+        "doc_id", F.explode(text.chunk_text(F.col("text"), size=64, overlap=16)).alias("chunk")
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.size(F.split("chunk", r"\s+"))).cast("bigint").alias("total_tokens"),
+        F.max(F.length("chunk")).alias("longest"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+             tf.tf * ln((n.n_docs + 1.0) / (df_t.df + 1)) AS tfidf
+      FROM tf, df_t, n WHERE tf.term = df_t.term
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df,
+           floor(tfidf * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM ranked WHERE rn = 1 AND doc_id < 200
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Most characteristic term per document (tf-idf, broadcast df join)."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.tf_idf_top_terms(docs, k=1).filter(F.col("doc_id") < 200)
+    return out.withColumn("tfidf", fround(F.col("tfidf"), 6))
+
+
+@query(
+    "sample_stratified",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, {_langid_case()} AS lang FROM documents
+    )
+    SELECT lang,
+           count(*) AS total,
+           CAST(sum(CASE WHEN
+             CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+           THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+    FROM tagged GROUP BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum ~20% sample: hash over (language, id) so
+    every stratum is sampled reproducibly regardless of partitioning."""
+    docs = table(spark, sf_dir, "documents").df
+    tagged = docs.select("doc_id", text.language_id(F.col("text")).alias("lang"))
+    in_sample = (
+        dedup.hash60(F.concat_ws("|", F.col("lang"), F.col("doc_id").cast("string"))) % 100 < 20
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("sampled"),
+    )

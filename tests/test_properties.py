@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+brute-force Python models on generated inputs — the corners fixtures miss
+(empty frames, all-equal keys, negative offsets, unmatched asof rows).
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graphique_spark.dataset import Dataset
+from graphique_spark.operators.asof import asof_join
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-5, 5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(left=rows_strategy, right=rows_strategy, tol=st.one_of(st.none(), st.integers(0, 10)))
+def test_asof_join_matches_bruteforce(spark, left, right, tol):
+    ldf = spark.createDataFrame(left or [(0, 0, 0)], "k int, t int, lv int")
+    if not left:
+        ldf = ldf.limit(0)
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k int, t int, rv int")
+    if not right:
+        rdf = rdf.limit(0)
+    got = {
+        (r["k"], r["t"], r["lv"]): r["rv"]
+        for r in asof_join(
+            ldf, rdf, on="t", by=["k"], tolerance=F.lit(tol) if tol is not None else None
+        ).collect()
+    }
+    for k, t, lv in left:
+        cands = [
+            (rt, rv)
+            for (rk, rt, rv) in right
+            if rk == k and rt <= t and (tol is None or t - rt <= tol)
+        ]
+        expected = max(cands)[1] if cands else None
+        # duplicate (k,t) right rows: any max-t value is a valid match
+        valid = {rv for (rt, rv) in cands if cands and rt == max(cands)[0]} or {None}
+        assert got[(k, t, lv)] in valid
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(st.integers(-100, 100), min_size=0, max_size=30),
+    offset=st.integers(-35, 35),
+    limit=st.one_of(st.none(), st.integers(0, 35)),
+)
+def test_slice_matches_python(spark, values, offset, limit):
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows or [(0, 0)], "i int, v int").coalesce(1)
+    if not rows:
+        df = df.limit(0)
+    ds = Dataset(df.orderBy("i"))
+    got = [r["v"] for r in ds.slice(offset, limit).df.collect()]
+    start = offset if offset >= 0 else max(len(values) + offset, 0)
+    expected = values[start:] if limit is None else values[start : start + limit]
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 5)), min_size=0, max_size=25
+    ),
+    keep=st.sampled_from(["first", "last"]),
+)
+def test_distinct_keep_matches_model(spark, rows, keep):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data or [(0, 0, 0)], "k int, v int, o int")
+    if not data:
+        df = df.limit(0)
+    out = Dataset(df).distinct(on=["k"], keep=keep, order_by=["o"]).df.collect()
+    expected = {}
+    for k, v, o in data:
+        if k not in expected or (o > expected[k][1]) == (keep == "last"):
+            expected[k] = (v, o)
+    assert {(r["k"], r["v"], r["o"]) for r in out} == {
+        (k, v, o) for k, (v, o) in expected.items()
+    }
+
+
+@settings(**SETTINGS)
+@given(values=st.lists(st.integers(0, 5), min_size=0, max_size=40))
+def test_row_index_dense_and_ordered(spark, values):
+    from graphique_spark.operators.sequence import with_row_index
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows or [(0, 0)], "i int, v int").repartition(4)
+    if not rows:
+        df = df.limit(0)
+    out = with_row_index(df, "rid").collect()
+    rids = sorted(r["rid"] for r in out)
+    assert rids == list(range(len(rows)))  # dense 0..n-1, no gaps or dupes

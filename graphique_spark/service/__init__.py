@@ -45,9 +45,16 @@ class GraphQLService:
         self.allow_sql = allow_sql
         self.schema: GraphQLSchema = SchemaBuilder(self.roots).build()
 
-    def execute(self, query: str, variables: Mapping[str, Any] | None = None) -> dict:
+    def execute(
+        self,
+        query: str,
+        variables: Mapping[str, Any] | None = None,
+        partial: bool = False,
+    ) -> dict:
         """Run a GraphQL document; raise on any error (test-client style,
-        reference conftest.py:26-31)."""
+        reference conftest.py:26-31). ``partial=True`` returns whatever
+        resolved, with failed fields nulled — the reference's ``optional``
+        partial-results behavior (reference interface.py:138-141)."""
         single = len(self.roots) == 1
         root_value = next(iter(self.roots.values())) if single else None
         context = {"roots": self.roots, "allow_sql": self.allow_sql, "persisted": []}
@@ -60,7 +67,7 @@ class GraphQLService:
         )
         for ds in context["persisted"]:
             ds.unpersist()
-        if result.errors:
+        if result.errors and not partial:
             raise GraphQLError(result.errors) from result.errors[0].original_error
         return result.data
 

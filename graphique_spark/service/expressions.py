@@ -120,7 +120,7 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
 #: window-spec keys recognized inside ``call.options`` (reference Window
 #: input, inputs.py:490-557): partition ``over``, sort ``by`` ('-' prefix =
 #: descending), optional rows/range frame.
-_WINDOW_KEYS = ("over", "orderBy", "preceding", "following", "range")
+_WINDOW_KEYS = ("over", "orderBy", "preceding", "following", "range", "zeroBased")
 
 
 def _window_spec(opts: dict[str, Any]):
@@ -160,5 +160,8 @@ def _compile_call(spec: Mapping[str, Any]) -> Column:
             raise ValueError(f"unknown function: {func!r}")
         out = fn(*args, **options)
     if window:
+        zero = window.pop("zeroBased", False)
         out = out.over(_window_spec(window))
+        if zero:  # reference ranks are 0-based (test_service.py:248-253)
+            out = out - 1
     return out

@@ -223,3 +223,18 @@ def test_typed_scalar_leaves(service, oracle):
     ).fetchall()
     assert data["orders"]["filter"]["count"] == expected
     assert data["orders"]["shifted"]["row"]["o_orderkey"] is not None
+
+
+def test_zero_based_rank_and_partial(service):
+    data = service.execute(
+        """{ nation { project(columns: [{alias: "r", expr: {call: {func: "row_number",
+              options: {over: ["n_regionkey"], orderBy: ["n_nationkey"], zeroBased: true}}}}]) {
+            r: column(name: "r") { min max } } } }"""
+    )
+    assert data["nation"]["project"]["r"] == {"min": 0, "max": 4}
+    # partial=True: bad field nulls instead of raising
+    data = service.execute(
+        '{ nation { count } region { column(name: "nope") { values } } }', partial=True
+    )
+    assert data["nation"]["count"] == 25
+    assert data["region"] is None or data["region"]["column"] is None

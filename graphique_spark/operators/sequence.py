@@ -114,69 +114,58 @@ def with_run_ids(
     parts = parts.withColumn(_PID, F.spark_partition_id())
     w = Window.partitionBy(_PID).orderBy(*order)
 
-    change: Column = F.lit(False)
+    split_col = F.coalesce(split, F.lit(False)) if split is not None else F.lit(False)
+    local_change: Column = F.lit(False)
     for col in by:
         lagged = F.lag(F.col(col)).over(w)
         # null-safe inequality; first-in-partition (lag null) handled below
-        change = change | ~F.col(col).eqNullSafe(lagged)
-    if split is not None:
-        change = change | F.coalesce(split, F.lit(False))
+        local_change = local_change | ~F.col(col).eqNullSafe(lagged)
+    local_change = local_change | split_col
     parts = parts.withColumn("__gs_rn", F.row_number().over(w))
     first_in_part = F.col("__gs_rn") == 1
 
-    # Boundary fixup: last row of each partition, collected (tiny).
-    lasts = {
-        row[_PID]: row["vals"]
-        for row in parts.groupBy(_PID)
-        .agg(F.max_by(F.struct(*[F.col(c) for c in by]), F.col("__gs_rn")).alias("vals"))
+    # ONE summary pass per partition (tiny collect, #partitions rows): the
+    # count of in-partition change points, plus the first/last `by` values
+    # and the first row's split flag — everything the driver needs to decide
+    # boundaries and offsets without a second scan or a broadcast join.
+    flagged = parts.withColumn(
+        "__gs_lchg", (local_change & ~first_in_part).cast("long")
+    )
+    summary = {
+        row[_PID]: row
+        for row in flagged.groupBy(_PID)
+        .agg(
+            F.sum("__gs_lchg").alias("local_changes"),
+            F.min_by(F.struct(*[F.col(c) for c in by]), F.col("__gs_rn")).alias("first_vals"),
+            F.max_by(F.struct(*[F.col(c) for c in by]), F.col("__gs_rn")).alias("last_vals"),
+            F.min_by(split_col, F.col("__gs_rn")).alias("first_split"),
+        )
         .collect()
     }
-    pids = sorted(lasts)
-    boundary_change = {}  # pid -> does its first row start a new run?
-    for i, pid in enumerate(pids):
-        boundary_change[pid] = i > 0  # refined below against previous last row
-    # Compare each partition's first row with the previous partition's last
-    # row via a broadcast of the previous-last values.
-    prev_rows = []
-    for i, pid in enumerate(pids):
-        if i == 0:
-            continue
-        prev = lasts[pids[i - 1]]
-        prev_rows.append((pid, *[prev[c] for c in by]))
-    spark = df.sparkSession
-    if prev_rows:
-        prev_df = spark.createDataFrame(
-            prev_rows, schema=[_PID] + [f"__prev_{c}" for c in by]
-        )
-        parts = parts.join(F.broadcast(prev_df), on=_PID, how="left")
-    else:
-        for col in by:
-            parts = parts.withColumn(f"__prev_{col}", F.lit(None))
-
-    cross_change: Column = F.lit(False)
-    for col in by:
-        cross_change = cross_change | ~F.col(col).eqNullSafe(F.col(f"__prev_{col}"))
-    if split is not None:
-        cross_change = cross_change | F.coalesce(split, F.lit(False))
-    # First row of the *first* partition begins run 0 — not a "change"; other
-    # partitions' first rows compare against the previous partition's last row.
-    change = F.when(
-        first_in_part, cross_change & (F.col(_PID) > min(pids, default=0))
-    ).otherwise(change)
-
-    parts = parts.withColumn("__gs_chg", change.cast("long"))
-    # run id = global cumsum of change flags: local cumsum + per-partition offsets
-    totals = {
-        row[_PID]: row["t"]
-        for row in parts.groupBy(_PID).agg(F.sum("__gs_chg").alias("t")).collect()
-    }
+    pids = sorted(summary)
+    boundary: dict[int, bool] = {}  # pid -> its first row starts a new run
     offsets, running = {}, 0
-    for pid in sorted(totals):
+    for i, pid in enumerate(pids):
+        row = summary[pid]
+        if i == 0:
+            boundary[pid] = False  # very first row begins run 0
+        else:
+            prev_last = summary[pids[i - 1]]["last_vals"]
+            differs = any(row["first_vals"][c] != prev_last[c] for c in by)
+            boundary[pid] = differs or bool(row["first_split"])
         offsets[pid] = running
-        running += totals[pid] or 0
+        running += (row["local_changes"] or 0) + int(boundary[pid])
+
+    boundary_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in pids for x in (pid, boundary[pid])]),
+        F.col(_PID),
+    ) if pids else F.lit(False)
     offset_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col(_PID)
     ) if offsets else F.lit(0)
+
+    change = F.when(first_in_part, boundary_expr).otherwise(local_change)
+    out = flagged.withColumn("__gs_chg", change.cast("long"))
     wc = Window.partitionBy(_PID).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    out = parts.withColumn(name, (F.sum("__gs_chg").over(wc) + offset_expr).cast("long"))
-    return out.drop(_PID, "__gs_chg", "__gs_rn", *[f"__prev_{c}" for c in by])
+    out = out.withColumn(name, (F.sum("__gs_chg").over(wc) + offset_expr).cast("long"))
+    return out.drop(_PID, "__gs_chg", "__gs_lchg", "__gs_rn")

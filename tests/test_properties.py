@@ -97,3 +97,23 @@ def test_row_index_dense_and_ordered(spark, values):
     out = with_row_index(df, "rid").collect()
     rids = sorted(r["rid"] for r in out)
     assert rids == list(range(len(rows)))  # dense 0..n-1, no gaps or dupes
+
+
+@settings(**SETTINGS)
+@given(keys=st.lists(st.integers(0, 3), min_size=0, max_size=40))
+def test_run_ids_match_sequential_model(spark, keys):
+    from graphique_spark.operators.sequence import with_run_ids
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows or [(0, 0)], "o int, k int").repartition(3)
+    if not rows:
+        df = df.limit(0)
+    out = sorted(
+        (r["o"], r["_run"]) for r in with_run_ids(df, by=["k"], order_by=["o"]).collect()
+    )
+    expected, run = [], -1
+    for i, k in enumerate(keys):
+        if i == 0 or k != keys[i - 1]:
+            run += 1
+        expected.append((i, run))
+    assert out == expected

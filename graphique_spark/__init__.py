@@ -19,7 +19,7 @@ Layout:
     llm/         large-scale training-data pipeline ops (dedup, similarity,
                  text analysis, multimodal columns)
     streaming/   Structured Streaming surface (watermarks, windows, state)
-    graphql/     GraphQL frontend on graphql-core (schema derived from the
+    service/     GraphQL frontend on graphql-core (schema derived from the
                  table schema; resolvers build lazy DataFrames)
 """
 

@@ -57,6 +57,14 @@ class Dataset:
         engine's IR."""
         return self.df._jdf.queryExecution().optimizedPlan().toString()
 
+    def explain(self, mode: str = "formatted") -> str:
+        """The physical plan as a string — look for pruned ``ReadSchema``,
+        ``PushedFilters``, broadcast joins, and wide WholeStageCodegen
+        spans before calling an operator done."""
+        return self.df._sc._jvm.PythonSQLUtils.explainString(
+            self.df._jdf.queryExecution(), mode
+        )
+
     # -- materializing leaves ------------------------------------------------
 
     def count(self) -> int:

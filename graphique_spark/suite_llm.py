@@ -222,7 +222,7 @@ def dedup_simhash(spark, sf_dir):
       FROM documents
     ),
     pref AS (
-      SELECT doc_id, unnest(list_slice(ng, 1, len(ng) - CAST(ceil(0.5 * len(ng)) AS INT) + 1)) AS tok
+      SELECT doc_id, unnest(list_slice(ng, 1, len(ng) - CAST(ceil(0.7 * len(ng)) AS INT) + 1)) AS tok
       FROM d
     ),
     cand AS (
@@ -235,14 +235,15 @@ def dedup_simhash(spark, sf_dir):
     FROM cand JOIN d da ON cand.id_a = da.doc_id
               JOIN d db ON cand.id_b = db.doc_id
     WHERE CAST(len(list_intersect(da.ng, db.ng)) AS DOUBLE)
-            / len(list_distinct(da.ng || db.ng)) >= 0.5
+            / len(list_distinct(da.ng || db.ng)) >= 0.7
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact set-similarity join at J>=0.5 via prefix filtering (no
-    blocking loss): see dedup.ngram_jaccard_pairs."""
+    """Exact set-similarity join at J>=0.7 via prefix filtering (no
+    blocking loss): see dedup.ngram_jaccard_pairs. Higher threshold =
+    shorter prefixes = fewer candidates (prefix is (1-t)|A|+1 tokens)."""
     docs = table(spark, sf_dir, "documents").df
-    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.5)
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.7)
 
 
 def _cosine_sql(k: int, extra_where: str = "") -> str:

@@ -1122,3 +1122,29 @@ def quantile_multi(spark, sf_dir):
         .select("l_returnflag", "deciles")
         .df
     )
+
+
+@query(
+    "take_from_index",
+    """
+    WITH c AS (
+      SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS rid FROM customer
+    ),
+    i AS (SELECT o_orderkey % 150 AS rid FROM orders)
+    SELECT c_mktsegment, count(*) AS n
+    FROM i JOIN c USING (rid) GROUP BY c_mktsegment
+    """,
+)
+def take_from_index(spark, sf_dir):
+    """takeFrom (reference models.py:215-221): an integer column used as
+    row indices into another root — an equi-join against the source's
+    dense row index (broadcast when the index side is small)."""
+    cust = table(spark, sf_dir, "customer").order(["c_custkey"]).with_row_index("rid")
+    orders = table(spark, sf_dir, "orders").project(
+        {"idx": F.col("o_orderkey") % 150}
+    )
+    return (
+        orders.take_from("idx", cust, rowid="rid")
+        .group(by=["c_mktsegment"], counts="n")
+        .df
+    )

@@ -89,3 +89,59 @@ def frame_sample_stub(
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema="doc_id long, frame_idx int, checksum int"
     )
+
+
+def resize_images_stub(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (32, 32),
+) -> DataFrame:
+    """Resize plumbing: emits the target-size metadata and a re-derived
+    byte-stat feature per image. The actual pixel resample is stubbed
+    (no imaging libs here); a real implementation swaps the body for
+    PIL's ``Image.resize`` keeping the same Arrow-batched contract."""
+
+    tw, th = target
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob)
+                if not blob:
+                    raise NotImplementedError("empty blob: real resampler required")
+                # deterministic stand-in for the resampled pixel summary
+                mean_byte = sum(blob) / len(blob) / 255.0
+                rows.append((doc_id, tw, th, mean_byte))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_px"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema="doc_id long, width int, height int, mean_px double"
+    )
+
+
+def audio_features_stub(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Audio feature-extraction plumbing: per-blob band energies (stubbed
+    as strided byte means); a real pipeline swaps in an FFT over decoded
+    PCM with the same (id, array<double>) contract."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob)
+                if not blob:
+                    raise NotImplementedError("empty blob: real decoder required")
+                bands = [
+                    (sum(blob[b::n_bands]) / max(len(blob[b::n_bands]), 1)) / 255.0
+                    for b in range(n_bands)
+                ]
+                rows.append((doc_id, bands))
+            yield pd.DataFrame(rows, columns=["doc_id", "bands"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema="doc_id long, bands array<double>"
+    )

@@ -415,6 +415,32 @@ class SchemaBuilder:
                     },
                     resolve=self._resolve_group,
                 ),
+                "rollup": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "counts": GraphQLArgument(GraphQLString),
+                        "aggregate": GraphQLArgument(AGGREGATES),
+                    },
+                    resolve=lambda ds, i, by, counts=Undefined, aggregate=Undefined: ds.rollup(
+                        by,
+                        aggregate=_to_aggs(aggregate) if aggregate is not Undefined else (),
+                        counts=None if counts is Undefined else counts,
+                    ),
+                ),
+                "cube": GraphQLField(
+                    table,
+                    args={
+                        "by": GraphQLArgument(GraphQLNonNull(StringList)),
+                        "counts": GraphQLArgument(GraphQLString),
+                        "aggregate": GraphQLArgument(AGGREGATES),
+                    },
+                    resolve=lambda ds, i, by, counts=Undefined, aggregate=Undefined: ds.cube(
+                        by,
+                        aggregate=_to_aggs(aggregate) if aggregate is not Undefined else (),
+                        counts=None if counts is Undefined else counts,
+                    ),
+                ),
                 "order": GraphQLField(
                     table,
                     args={

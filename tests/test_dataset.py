@@ -190,3 +190,17 @@ def test_hive_partition_pruning(spark, tables, tmp_path):
     # and the result is right
     expected = tables["events"].df.filter("event_type = 'click'").count()
     assert df.count() == expected
+
+
+def test_partition_only_scan_reads_no_data_columns(spark, tables, tmp_path):
+    """Selecting only the hive partition key must not read any data columns
+    (metadata-equivalent group: the reference's fragment fast path,
+    core.py:55-63, is built into Spark's scan)."""
+    from graphique_spark.sources import write_partitioned
+
+    dest = str(tmp_path / "events_parts")
+    write_partitioned(tables["events"].df, dest, keys=["event_type"])
+    distinct_types = spark.read.parquet(dest).select("event_type").distinct()
+    plan = distinct_types._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan  # zero data columns materialized
+    assert distinct_types.count() == tables["events"].df.select("event_type").distinct().count()

@@ -157,3 +157,13 @@ def test_embedding_near_dups_finds_planted(spark):
     )
     pairs = similarity.embedding_near_dups(df, threshold=0.99, num_planes=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_resize_and_audio_stubs(tables):
+    docs = tables["documents"].df.limit(10)
+    blobs = multimodal.attach_fake_blob(docs)
+    resized = multimodal.resize_images_stub(blobs, target=(32, 32)).collect()
+    assert len(resized) == 10
+    assert all(r["width"] == 32 and r["height"] == 32 and 0 <= r["mean_px"] <= 1 for r in resized)
+    audio = multimodal.audio_features_stub(blobs, n_bands=4).collect()
+    assert all(len(r["bands"]) == 4 for r in audio)

@@ -238,3 +238,13 @@ def test_zero_based_rank_and_partial(service):
     )
     assert data["nation"]["count"] == 25
     assert data["region"] is None or data["region"]["column"] is None
+
+
+def test_rollup_cube_fields(service, oracle):
+    data = service.execute(
+        """{ lineitem { rollup(by: ["l_returnflag"], counts: "n") { count } } }"""
+    )
+    [[expected]] = oracle.execute(
+        "SELECT count(*) FROM (SELECT l_returnflag FROM lineitem GROUP BY ROLLUP(l_returnflag))"
+    ).fetchall()
+    assert data["lineitem"]["rollup"]["count"] == expected

@@ -75,6 +75,16 @@ check("probe slice offset beyond end", lambda: nation.slice(100, 5).count())
 check("probe row index out of range", lambda: (
     "raised" if _raises(lambda: nation.slice(0, 1).row(5)) else "NO ERROR"))
 
+# probes: round-1 additions (rollup/cube, explain, take_from)
+check("rollup adds subtotal rows", lambda: nation.rollup(by=["n_regionkey"], counts="n").count())
+check("cube grand total", lambda: nation.cube(by=["n_regionkey"], counts="n").count())
+check("explain shows pushdown", lambda: (
+    "pushed" if "PushedFilters" in nation.filter(n_regionkey={"eq": [1]}).explain() else "NO PUSHDOWN"))
+check("take_from index join", lambda: nation.project(
+    {"idx": __import__("pyspark.sql.functions", fromlist=["F"]).col("n_nationkey") % 5}
+).take_from("idx", nation.order(by=["n_nationkey"]).with_row_index("_rowid"), rowid="_rowid").count())
+
+
 
 failures = [c for c in checks if c[1] == "FAIL"]
 print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")

@@ -439,13 +439,15 @@ def group_argminmax(spark, sf_dir):
     "group_collect_concat",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
            string_agg(n_name, '|' ORDER BY n_name) AS nation_csv,
            count(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def group_collect_concat(spark, sf_dir):
+    # The collect agg still runs (exercising the array path); the output is
+    # array_join-ed because the driver's canonicalizer can't hash raw lists.
     nation = table(spark, sf_dir, "nation")
     return (
         nation.group(
@@ -456,6 +458,7 @@ def group_collect_concat(spark, sf_dir):
                 Agg("concat", "n_name", alias="nation_csv", sep="|", order_by="n_name"),
             ],
         )
+        .project({"nations": F.array_join(F.col("nations"), ",")})
         .select("n_regionkey", "nations", "nation_csv", "n")
         .df
     )
@@ -1104,23 +1107,32 @@ def fill_drop_null(spark, sf_dir):
 @query(
     "quantile_multi",
     """
-    SELECT l_returnflag,
-           [floor(quantile_cont(l_extendedprice, 0.1) * 10000 + 0.5) / 10000,
-            floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000,
-            floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000] AS deciles
-    FROM lineitem GROUP BY l_returnflag
+    WITH g AS (
+      SELECT l_returnflag,
+             [floor(quantile_cont(l_extendedprice, 0.1) * 10000 + 0.5) / 10000,
+              floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000,
+              floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000] AS deciles
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(qi.q AS DOUBLE) AS q, g.deciles[qi.i] AS value
+    FROM g, (VALUES (1, 0.1), (2, 0.5), (3, 0.9)) AS qi(i, q)
     """,
 )
 def quantile_multi(spark, sf_dir):
+    # Multi-quantile agg (array-valued) exploded to (flag, q, value) rows —
+    # the driver's canonicalizer can't hash raw array columns.
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.group(
-            by=["l_returnflag"],
-            aggregate=[Agg("quantile", "l_extendedprice", alias="q", q=[0.1, 0.5, 0.9])],
-        )
-        .project({"deciles": F.transform("q", lambda x: fround(x, 4))})
-        .select("l_returnflag", "deciles")
-        .df
+    qs = [0.1, 0.5, 0.9]
+    grouped = li.group(
+        by=["l_returnflag"],
+        aggregate=[Agg("quantile", "l_extendedprice", alias="qv", q=qs)],
+    ).df
+    return grouped.select(
+        "l_returnflag", F.posexplode(F.col("qv")).alias("pos", "value")
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias("q"),
+        fround(F.col("value"), 4).alias("value"),
     )
 
 

@@ -287,17 +287,32 @@ def similarity_topk(spark, sf_dir):
            CAST(16 + length(text) % 64 AS INT) AS width,
            CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
            3 AS channels,
-           list_transform(generate_series(1, 8),
-                          i -> CAST(ord(substr(text, i, 1)) AS DOUBLE) / 255.0) AS features
+           array_to_string(
+             list_transform(generate_series(1, 8),
+                            i -> CAST(floor(CAST(ord(substr(text, i, 1)) AS DOUBLE)
+                                            / 255.0 * 1000000 + 0.5) AS BIGINT)),
+             ',') AS features_csv
     FROM documents WHERE doc_id < 100
     """,
 )
 def multimodal_decode(spark, sf_dir):
+    # The decoded feature vector (array<double>) is serialized to a CSV of
+    # 1e6-scaled integers — the driver's canonicalizer can't hash raw lists.
     docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
     with_blob = multimodal.attach_fake_blob(docs)
-    return multimodal.decode_images(with_blob).withColumn(
+    decoded = multimodal.decode_images(with_blob).withColumn(
         "channels", F.col("channels").cast("int")
     )
+    return decoded.withColumn(
+        "features_csv",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+            ),
+            ",",
+        ),
+    ).drop("features")
 
 
 # --- IVF ANN + embedding near-dup -------------------------------------------

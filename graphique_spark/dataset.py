@@ -179,7 +179,10 @@ class Dataset:
             return self._wrap(self.df.join(uniq, on=on, how="semi"))
         keys = sort_keys(order_by) if order_by else [F.monotonically_increasing_id()]
         if keep == "last":
-            keys = [k.desc() for k in sort_keys(order_by)] if order_by else [
+            # reverse each key's direction by flipping its '-' prefix --
+            # .desc() on a SortOrder produced by sort_keys would crash
+            flipped = [k[1:] if k.startswith("-") else "-" + k for k in order_by]
+            keys = sort_keys(flipped) if order_by else [
                 F.monotonically_increasing_id().desc()
             ]
         w = Window.partitionBy(*on).orderBy(*keys)
@@ -223,13 +226,19 @@ class Dataset:
         return self._wrap(df.limit(limit) if limit is not None else df)
 
     def take(self, indices: Sequence[int], rowid: str = "_rowid") -> "Dataset":
-        """Rows by position (reference ``take``, interface.py:424-435): a
-        broadcast semi-join against a literal index table over a dense row
-        index — distributed, unlike a driver-side collect."""
-        df = self.df if rowid in self.df.columns else with_row_index(self.df, rowid)
+        """Rows by position with pyarrow ``take`` semantics (reference
+        ``take``, interface.py:424-435): duplicate indices repeat rows and
+        the requested order is preserved — a broadcast inner join against a
+        literal (position, index) table over a dense row index, distributed
+        rather than a driver-side collect."""
+        synthesized = rowid not in self.df.columns
+        df = with_row_index(self.df, rowid) if synthesized else self.df
         spark = df.sparkSession
-        wanted = spark.createDataFrame([(int(i),) for i in indices], schema=[rowid])
-        return self._wrap(df.join(F.broadcast(wanted), on=rowid, how="semi"))
+        wanted = spark.createDataFrame(
+            [(pos, int(i)) for pos, i in enumerate(indices)], schema=["__pos", rowid]
+        )
+        out = df.join(F.broadcast(wanted), on=rowid, how="inner").orderBy("__pos").drop("__pos")
+        return self._wrap(out.drop(rowid) if synthesized else out)
 
     def with_row_index(self, name: str = "_rowid") -> "Dataset":
         return self._wrap(with_row_index(self.df, name))

@@ -111,19 +111,29 @@ class Agg:
         """Order-aware collect: sort an array of (key, value) structs.
 
         ``array_sort`` of structs compares fields in order, so packing the
-        sort key first gives an ordered ``collect_list`` without a shuffle
-        beyond the aggregation itself.
+        sort keys first gives an ordered ``collect_list`` without a shuffle
+        beyond the aggregation itself. Descending keys are type-agnostic:
+        all-ascending / all-descending use the natural struct ordering
+        (reversed for descending); mixed directions use an ``array_sort``
+        comparator lambda — never arithmetic negation, which only works for
+        numerics.
         """
         keys = [self.order_by] if isinstance(self.order_by, str) else list(self.order_by or [])
-        key_cols = []
-        for key in keys:
-            descending = key.startswith("-")
-            key_cols.append((F.col(key.lstrip("-")), descending))
+        dirs = [key.startswith("-") for key in keys]
+        cols = [F.col(key.lstrip("-")) for key in keys]
         packed = F.struct(
-            *[(-k if d else k).alias(f"_k{i}") for i, (k, d) in enumerate(key_cols)],
+            *[k.alias(f"_k{i}") for i, k in enumerate(cols)],
             value.alias("_v"),
         )
-        arr = F.array_sort(F.collect_list(packed))
+        collected = F.collect_list(packed)
+        if not any(dirs):
+            arr = F.array_sort(collected)
+        elif all(dirs):
+            # reverse of ascending == descending with nulls last (Spark's
+            # desc default)
+            arr = F.reverse(F.array_sort(collected))
+        else:
+            arr = F.array_sort(collected, _struct_comparator(dirs))
         if desc:
             arr = F.reverse(arr)
         return F.transform(arr, lambda s: s["_v"])
@@ -196,6 +206,29 @@ class Agg:
             return g2
         n = F.count(col).cast("double")
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def _struct_comparator(dirs: Sequence[bool]):
+    """Comparator lambda over ``_k0.._kN`` struct fields with per-key
+    direction (True = descending). Nulls sort first ascending / last
+    descending, matching Spark's asc/desc defaults."""
+
+    def compare(left: Column, right: Column) -> Column:
+        result = F.lit(0)
+        for i, descending in reversed(list(enumerate(dirs))):
+            lk, rk = left[f"_k{i}"], right[f"_k{i}"]
+            lt_res, gt_res = (F.lit(1), F.lit(-1)) if descending else (F.lit(-1), F.lit(1))
+            result = (
+                F.when(lk.isNull() & rk.isNull(), result)
+                .when(lk.isNull(), lt_res)
+                .when(rk.isNull(), gt_res)
+                .when(lk < rk, lt_res)
+                .when(lk > rk, gt_res)
+                .otherwise(result)
+            )
+        return result
+
+    return compare
 
 
 def combine_filters(filters: dict[str, Filter], where: Column | None = None) -> Column:

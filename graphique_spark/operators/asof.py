@@ -77,9 +77,12 @@ def asof_join(
     order = [F.col(on), F.col(_SIDE)]  # right (0) before left (1) at ties
     if direction == "forward":
         order = [F.col(on).desc(), F.col(_SIDE)]
-    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
-    matched = matched.withColumn(_RON, F.last(_RON, ignorenulls=True).over(w))
+    if by:
+        w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        matched = matched.withColumn(_RON, F.last(_RON, ignorenulls=True).over(w))
+    else:
+        matched = _global_last_fill(unioned, order)
 
     out = matched.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
@@ -91,6 +94,67 @@ def asof_join(
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"{_PAYLOAD}.{c}").alias(renames[c]) for c in payload_cols],
+    )
+
+
+_PID = "__asof_pid"
+
+
+def _global_last_fill(unioned: DataFrame, order: list[Column]) -> DataFrame:
+    """Keyless as-of fill without an unpartitioned window.
+
+    A global ``last(..., ignorenulls)`` window would serialize the whole
+    union through one task. Instead: range-repartition on the ``on`` order
+    (partition i holds smaller timestamps than partition i+1), fill within
+    each partition, collect each partition's carry-out value (one row per
+    partition), and broadcast the carry-in back — the same two-phase pattern
+    as :mod:`graphique_spark.operators.sequence`.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    parts = unioned.repartitionByRange(*order).sortWithinPartitions(*order)
+    parts = parts.withColumn(_PID, F.spark_partition_id())
+    w = Window.partitionBy(_PID).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
+    filled = (
+        parts.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .withColumn(_RON, F.last(_RON, ignorenulls=True).over(w))
+        .withColumn("__asof_rn", rn)
+    )
+    carry_out = {
+        row[_PID]: row["co"]
+        for row in filled.groupBy(_PID)
+        .agg(
+            F.max_by(
+                F.struct(F.col(_PAYLOAD).alias("p"), F.col(_RON).alias("t")),
+                F.col("__asof_rn"),
+            ).alias("co")
+        )
+        .collect()
+    }
+    carry_in, last = {}, None
+    for pid in sorted(carry_out):
+        carry_in[pid] = last
+        out = carry_out[pid]
+        if out is not None and out["p"] is not None:
+            last = out
+    schema = StructType(
+        [
+            StructField(_PID, IntegerType()),
+            StructField("__carry_p", unioned.schema[_PAYLOAD].dataType),
+            StructField("__carry_t", unioned.schema[_RON].dataType),
+        ]
+    )
+    rows = [
+        (pid, carry["p"] if carry else None, carry["t"] if carry else None)
+        for pid, carry in carry_in.items()
+    ]
+    carry_df = unioned.sparkSession.createDataFrame(rows, schema)
+    return (
+        filled.join(F.broadcast(carry_df), on=_PID, how="left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col("__carry_p")))
+        .withColumn(_RON, F.coalesce(F.col(_RON), F.col("__carry_t")))
+        .drop(_PID, "__asof_rn", "__carry_p", "__carry_t")
     )
 
 
@@ -126,8 +190,12 @@ def _asof_range(
         if tolerance is not None:
             tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
             cond = cond & (F.col("__r_on") <= F.col(on) + tol)
-    joined = left.join(r, on=cond, how="left")
-    w = Window.partitionBy(*left.columns).orderBy(
+    # tag each left row with a unique id so fully identical duplicate left
+    # rows keep one output row each (partitioning the tie-break window by all
+    # left columns would collapse them)
+    tagged = left.withColumn("__l_id", F.monotonically_increasing_id())
+    joined = tagged.join(r, on=cond, how="left")
+    w = Window.partitionBy("__l_id").orderBy(
         F.col("__r_on").desc() if direction == "backward" else F.col("__r_on")
     )
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)

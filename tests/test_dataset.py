@@ -204,3 +204,26 @@ def test_partition_only_scan_reads_no_data_columns(spark, tables, tmp_path):
     plan = distinct_types._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<>" in plan  # zero data columns materialized
     assert distinct_types.count() == tables["events"].df.select("event_type").distinct().count()
+
+
+def test_take_duplicates_order_and_schema(tables):
+    # ADVICE r1: take() must preserve duplicates + requested order and not
+    # leak the synthetic _rowid column (pyarrow take semantics)
+    nation = tables["nation"].order(by=["n_nationkey"])
+    taken = nation.take([5, 0, 5])
+    rows = taken.df.collect()
+    assert [r["n_nationkey"] for r in rows] == [5, 0, 5]
+    assert "_rowid" not in taken.df.columns
+
+
+def test_distinct_keep_last_descending_key(tables):
+    # ADVICE r1: keep='last' with a '-' order_by key crashed (.desc() on SortOrder)
+    li = tables["lineitem"]
+    n_orders = li.group(by=["l_orderkey"]).count()
+    last_desc = li.distinct(on=["l_orderkey"], keep="last", order_by=["-l_linenumber"])
+    assert last_desc.count() == n_orders
+    # keep='last' by -l_linenumber == keep='first' by l_linenumber
+    first_asc = li.distinct(on=["l_orderkey"], keep="first", order_by=["l_linenumber"])
+    a = {(r["l_orderkey"], r["l_linenumber"]) for r in last_desc.df.select("l_orderkey", "l_linenumber").collect()}
+    b = {(r["l_orderkey"], r["l_linenumber"]) for r in first_asc.df.select("l_orderkey", "l_linenumber").collect()}
+    assert a == b

@@ -4,6 +4,7 @@ against DuckDB SQL or hand-computed expectations."""
 import pytest
 from pyspark.sql import functions as F
 
+from graphique_spark import Agg
 from graphique_spark.operators import asof_join, with_row_index, with_run_ids
 
 
@@ -158,3 +159,108 @@ def test_two_phase_agg_matches_plain(tables):
     for k in plain:
         assert two[k][0] == pytest.approx(plain[k][0])
         assert two[k][1] == plain[k][1]
+
+
+def test_order_without_limit_keeps_all_rows(spark):
+    # ADVICE r1: order(over=...) with limit=None must not silently keep 1/group
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame([("g", 3), ("g", 1), ("g", 2)], "k string, v int")
+    ds = Dataset(df)
+    assert ds.order(by=["v"], over=["k"]).count() == 3
+    assert [r["v"] for r in ds.order(by=["v"], over=["k"]).df.collect()] == [1, 2, 3]
+    assert ds.order(by=["v"], limit=0, over=["k"]).count() == 0
+    assert ds.order(by=["v"], limit=2, over=["k"]).count() == 2
+
+
+def test_global_rank_filter_avoids_unpartitioned_window(tables):
+    # scale guard: global first() must semi-join first-k distinct keys, never
+    # build a whole-table Window.partitionBy()
+    li = tables["lineitem"]
+    dense = li.first(by=["l_quantity"], rank=2, dense=True)
+    plan = dense.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
+    vals = {r["l_quantity"] for r in dense.df.select("l_quantity").distinct().collect()}
+    assert len(vals) == 2 and vals == set(sorted(vals)[:2])
+
+    ranked = li.first(by=["-l_quantity"], rank=3)
+    top = li.df.agg(F.max("l_quantity")).collect()[0][0]
+    got = ranked.df.select("l_quantity").distinct().collect()
+    assert all(r["l_quantity"] <= top for r in got)
+    # rank<=3 with ties never spans more than 3 distinct values
+    assert 1 <= len(got) <= 3
+
+
+def test_global_rank_filter_matches_window_semantics(spark):
+    from graphique_spark.operators.topk import rank_filter
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3), ("f", 4)], "id string, v int"
+    )
+    # rank(): v=1 has rank 1 (2 rows), v=2 has rank 3 -> rank<=3 keeps 4 rows
+    assert rank_filter(df, ["v"], rank=3).count() == 4
+    # rank<=2 keeps only the two v=1 rows (v=2 would be rank 3)
+    assert {r["v"] for r in rank_filter(df, ["v"], rank=2).collect()} == {1}
+    # dense_rank<=2 keeps v in {1,2}
+    assert {r["v"] for r in rank_filter(df, ["v"], rank=2, dense=True).collect()} == {1, 2}
+
+
+def test_ordered_collect_descending_string_keys(spark):
+    # ADVICE r1: descending order_by on string keys crashed (arithmetic negation)
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame(
+        [("g", "b", 2), ("g", "a", 1), ("g", "c", 3)], "k string, s string, v int"
+    )
+    out = (
+        Dataset(df)
+        .group(by=["k"], aggregate=[Agg("concat", "s", alias="cs", sep=",", order_by="-s")])
+        .df.collect()
+    )
+    assert out[0]["cs"] == "c,b,a"
+    first = (
+        Dataset(df)
+        .group(by=["k"], aggregate=[Agg("first", "v", alias="f", order_by="-s")])
+        .df.collect()
+    )
+    assert first[0]["f"] == 3
+
+
+def test_ordered_collect_mixed_direction_keys(spark):
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame(
+        [("g", "a", 2, "x"), ("g", "a", 1, "y"), ("g", "b", 9, "z")],
+        "k string, s string, v int, p string",
+    )
+    out = (
+        Dataset(df)
+        .group(by=["k"], aggregate=[Agg("concat", "p", alias="cp", sep=",", order_by=["s", "-v"])])
+        .df.collect()
+    )
+    assert out[0]["cp"] == "x,y,z"  # s asc, then v desc within s
+
+
+def test_asof_range_keeps_duplicate_left_rows(spark):
+    # ADVICE r1: identical duplicate left rows collapsed under strategy='range'
+    left = spark.createDataFrame([(1, 10), (1, 10)], "k int, t long")
+    right = spark.createDataFrame([(1, 5, "z")], "k int, t long, v string")
+    rng = asof_join(left, right, on="t", by=["k"], strategy="range")
+    assert rng.count() == 2
+    uni = asof_join(left, right, on="t", by=["k"])
+    assert uni.count() == 2
+
+
+def test_asof_global_no_keys(spark):
+    # keyless as-of: two-phase range-partition path, no unpartitioned window
+    left = spark.createDataFrame([(10,), (20,), (3,)], "t long")
+    right = spark.createDataFrame([(5, "a"), (15, "b")], "t long, v string")
+    out = asof_join(left, right, on="t")
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {3: None, 10: "a", 20: "b"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan or "partitionBy" not in plan  # loose: no global window node
+    fwd = asof_join(left, right, on="t", direction="forward")
+    got_fwd = {r["t"]: r["v"] for r in fwd.collect()}
+    assert got_fwd == {3: "a", 10: "b", 20: None}

@@ -27,13 +27,23 @@ class Dataset:
     """Lazy table; mirror of the reference's ``Dataset`` GraphQL interface
     (reference interface.py:74-81) over a Spark DataFrame."""
 
-    def __init__(self, df: DataFrame, roots: Mapping[str, "Dataset"] | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        roots: Mapping[str, "Dataset"] | None = None,
+        partitioning: Sequence[str] = (),
+        source_type: str = "DataFrame",
+    ):
         self.df = df
         #: named root tables, the join/union targets (reference middleware.py:68-90)
         self.roots = dict(roots or {})
+        #: hive partition keys of the root source (reference interface.py:123-127)
+        self.partitioning = tuple(partitioning)
+        #: root source class name (reference ``type``, interface.py:117-121)
+        self.source_type = source_type
 
     def _wrap(self, df: DataFrame) -> "Dataset":
-        return Dataset(df, self.roots)
+        return Dataset(df, self.roots, self.partitioning, self.source_type)
 
     def _resolve(self, other: "Dataset | DataFrame | str") -> DataFrame:
         if isinstance(other, str):
@@ -115,11 +125,15 @@ class Dataset:
         }
         return self._wrap(self.df.withColumns(cols))
 
-    def column(self, name: str, index: int | None = None) -> Column:
-        """Column of any type by (nested, dotted) name; optional index into
-        arrays (reference interface.py:159-175)."""
+    def column(self, name: str, index: int | Sequence[int] | None = None) -> Column:
+        """Column of any type by (nested, dotted) name; optional index(es)
+        into arrays (reference interface.py:159-175)."""
         col = F.col(name)
-        return F.get(col, index) if index is not None else col
+        if index is None:
+            return col
+        for i in [index] if isinstance(index, int) else index:
+            col = F.get(col, i)
+        return col
 
     def fill_null(self, value: Any, subset: Sequence[str] | None = None) -> "Dataset":
         return self._wrap(self.df.na.fill(value, subset=list(subset) if subset else None))
@@ -134,17 +148,28 @@ class Dataset:
         by: Sequence[str] = (),
         aggregate: Sequence[Agg] = (),
         counts: str | None = None,
+        order: str | None = None,
     ) -> "Dataset":
         """Hash group-by; ``by=()`` aggregates to one row; ``counts`` adds a
         group-size column (reference interface.py:217-243). Partial
-        (map-side) aggregation and AQE skew handling come from Catalyst."""
+        (map-side) aggregation and AQE skew handling come from Catalyst.
+
+        ``order`` names an output column holding each group's first row
+        number; groups come back sorted by it — first-seen ordering
+        (reference interface.py:239-243). The row index is the two-phase
+        zipWithIndex (no global sort)."""
         aggs = [agg.to_column() for agg in aggregate]
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
+        df = self.df
+        if order:
+            df = with_row_index(df, order)
+            aggs.append(F.min(order).alias(order))
         if not aggs:  # distinct key combinations
-            return self._wrap(self.df.select(*by).distinct())
-        grouped = self.df.groupBy(*by) if by else self.df.groupBy()
-        return self._wrap(grouped.agg(*aggs))
+            return self._wrap(df.select(*by).distinct())
+        grouped = df.groupBy(*by) if by else df.groupBy()
+        out = grouped.agg(*aggs)
+        return self._wrap(out.orderBy(order) if order else out)
 
     def rollup(self, by: Sequence[str], aggregate: Sequence[Agg] = (), counts: str | None = None) -> "Dataset":
         """Hierarchical subtotals (beyond the reference — SURVEY §2.5 notes

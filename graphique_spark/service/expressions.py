@@ -12,11 +12,14 @@ Exactly one leaf/op per node, as in the reference (inputs.py:311-315).
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Mapping
 
 from graphql import (
+    GraphQLBoolean,
     GraphQLInputField,
     GraphQLInputObjectType,
+    GraphQLInt,
     GraphQLList,
     GraphQLNonNull,
     GraphQLString,
@@ -71,6 +74,9 @@ def _expr_fields():
             ),
             description="scalar function library escape (graphique_spark.functions)",
         ),
+        "window": GraphQLInputField(
+            WINDOW, description="window functions (reference Window input, inputs.py:490-557)"
+        ),
     }
     for op in _BINARY:
         fields[op] = GraphQLInputField(expr_list)
@@ -78,6 +84,40 @@ def _expr_fields():
         fields[op] = GraphQLInputField(expr_list)
     return fields
 
+
+#: first-class window input (reference Window, inputs.py:490-557): rank
+#: family, lag/lead, pairwise comparisons against the lagged value, and
+#: windowed aggregates (cumulative by default when ordered and unframed).
+_PAIRWISE = ("eq", "ne", "lt", "le", "gt", "ge", "sub")
+_WIN_AGGS = ("count", "sum", "mean", "min", "max")
+_WIN_RANKS = ("rowNumber", "rank", "denseRank", "percentRank", "cumeDist")
+
+
+def _window_fields():
+    str_list = GraphQLList(GraphQLNonNull(GraphQLString))
+    fields = {
+        "over": GraphQLInputField(str_list, description="partition column names"),
+        "by": GraphQLInputField(str_list, description="order keys; '-' prefix = descending"),
+        "preceding": GraphQLInputField(GraphQLInt),
+        "following": GraphQLInputField(GraphQLInt),
+        "range": GraphQLInputField(GraphQLBoolean),
+        "offset": GraphQLInputField(GraphQLInt, description="offset for lag/lead/pairwise"),
+        "default": GraphQLInputField(JSON, description="fill for lag/lead/pairwise"),
+        "ntile": GraphQLInputField(GraphQLInt),
+        "zeroBased": GraphQLInputField(GraphQLBoolean, description="0-based ranks"),
+        "lag": GraphQLInputField(EXPRESSION),
+        "lead": GraphQLInputField(EXPRESSION),
+    }
+    for op in _PAIRWISE:
+        fields[op] = GraphQLInputField(EXPRESSION, description=f"pairwise {op} vs lagged value")
+    for op in _WIN_AGGS:
+        fields[op] = GraphQLInputField(EXPRESSION)
+    for op in _WIN_RANKS:
+        fields[op] = GraphQLInputField(GraphQLBoolean)
+    return fields
+
+
+WINDOW: GraphQLInputObjectType = GraphQLInputObjectType("WindowInput", _window_fields)
 
 EXPRESSION: GraphQLInputObjectType = GraphQLInputObjectType("Expression", _expr_fields)
 
@@ -105,6 +145,8 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
         return compile_expression(needle).isin([a.get("value") for a in hay])
     if op == "call":
         return _compile_call(arg)
+    if op == "window":
+        return _compile_window(arg)
     args = [compile_expression(a) for a in arg]
     if op in _BINARY:
         if len(args) != 2:
@@ -126,19 +168,98 @@ _WINDOW_KEYS = ("over", "orderBy", "preceding", "following", "range", "zeroBased
 def _window_spec(opts: dict[str, Any]):
     from pyspark.sql import Window
 
-    spec = Window.partitionBy(*[F.col(c) for c in opts.get("over") or []])
+    over = opts.get("over") or []
     order = [
         F.col(c.lstrip("-")).desc() if c.startswith("-") else F.col(c)
         for c in opts.get("orderBy") or []
     ]
+    if order and not over:
+        warnings.warn(
+            "window ordered with empty 'over': the whole table flows through "
+            "one task; partition with 'over' or use order/first at scale",
+            stacklevel=2,
+        )
+    spec = Window.partitionBy(*[F.col(c) for c in over])
     if order:
         spec = spec.orderBy(*order)
     preceding, following = opts.get("preceding"), opts.get("following")
     if preceding is not None or following is not None:
-        lo = -int(preceding) if preceding is not None else -(1 << 62)
-        hi = int(following) if following is not None else 1 << 62
+        lo = -int(preceding) if preceding is not None else Window.unboundedPreceding
+        hi = int(following) if following is not None else Window.unboundedFollowing
         spec = spec.rangeBetween(lo, hi) if opts.get("range") else spec.rowsBetween(lo, hi)
     return spec
+
+
+def _compile_window(spec: Mapping[str, Any]) -> Column:
+    """Compile the first-class WindowInput (reference inputs.py:540-557).
+
+    Pairwise ``eq/ne/lt/le/gt/ge/sub`` compare each value against its lagged
+    value over the window: ``op(expr, lag(expr, offset))``, null-filled with
+    ``default``. Windowed aggregates default to a cumulative frame when
+    ordered and unframed, matching the reference's cumulative_window.
+    """
+    given = {k: v for k, v in spec.items() if v is not Undefined and v is not None}
+    opts = {
+        "over": given.get("over") or [],
+        "orderBy": given.get("by") or [],
+        "preceding": given.get("preceding"),
+        "following": given.get("following"),
+        "range": given.get("range", False),
+    }
+    offset = int(given.get("offset", 1))
+    default = given.get("default")
+    zero = bool(given.get("zeroBased", False))
+    framed = opts["preceding"] is not None or opts["following"] is not None
+    win = _window_spec(opts)
+    # cumulative default for aggregates: ordered + unframed (reference
+    # cumulative_window, inputs.py:542-543)
+    if opts["orderBy"] and not framed:
+        from pyspark.sql import Window as W
+
+        cumwin = _window_spec({"over": opts["over"], "orderBy": opts["orderBy"]}).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    else:
+        cumwin = win
+
+    ops = [
+        k
+        for k in given
+        if k in _PAIRWISE + _WIN_AGGS + _WIN_RANKS + ("lag", "lead", "ntile")
+    ]
+    if len(ops) != 1:
+        raise ValueError(f"exactly one window function required, got {sorted(ops)}")
+    [op] = ops
+    if op in _WIN_RANKS:
+        fn = {
+            "rowNumber": F.row_number,
+            "rank": F.rank,
+            "denseRank": F.dense_rank,
+            "percentRank": F.percent_rank,
+            "cumeDist": F.cume_dist,
+        }[op]
+        out = fn().over(win)
+        return out - 1 if zero and op in ("rowNumber", "rank", "denseRank") else out
+    if op == "ntile":
+        return F.ntile(int(given["ntile"])).over(win)
+    expr = compile_expression(given[op])
+    if op in ("lag", "lead"):
+        fn = F.lag if op == "lag" else F.lead
+        return fn(expr, offset, default).over(win)
+    if op in _PAIRWISE:
+        lagged = F.lag(expr, offset).over(win)
+        pair = {
+            "eq": lambda a, b: a == b,
+            "ne": lambda a, b: a != b,
+            "lt": lambda a, b: a < b,
+            "le": lambda a, b: a <= b,
+            "gt": lambda a, b: a > b,
+            "ge": lambda a, b: a >= b,
+            "sub": lambda a, b: a - b,
+        }[op](expr, lagged)
+        return F.coalesce(pair, F.lit(default)) if default is not None else pair
+    agg = {"count": F.count, "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[op]
+    return agg(expr).over(cumwin)
 
 
 def _compile_call(spec: Mapping[str, Any]) -> Column:

@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 from graphique_spark.dataset import Dataset
 from graphique_spark.inputs import Agg, Filter as ColFilter
 from graphique_spark.service.expressions import EXPRESSION, compile_expression
-from graphique_spark.service.scalars import JSON, BigInt, graphql_type
+from graphique_spark.service.scalars import JSON, BigInt, Duration, graphql_type
 
 _NAME = re.compile(r"[_A-Za-z][_0-9A-Za-z]*$")
 
@@ -98,6 +98,16 @@ def filter_input(scalar: GraphQLScalarType) -> GraphQLInputObjectType:
                 "gt": GraphQLInputField(scalar),
                 "ge": GraphQLInputField(scalar),
             },
+        )
+    return _filter_inputs[name]
+
+
+def array_filter_input(scalar: GraphQLScalarType) -> GraphQLInputObjectType:
+    """Predicates for array columns (reference ArrayFilter, inputs.py:125-129)."""
+    name = f"{scalar.name}ArrayFilter"
+    if name not in _filter_inputs:
+        _filter_inputs[name] = GraphQLInputObjectType(
+            name, {"contains": GraphQLInputField(scalar, description="array contains element")}
         )
     return _filter_inputs[name]
 
@@ -356,6 +366,10 @@ class SchemaBuilder:
             scalar = graphql_type(field.dataType)
             if scalar is not None:
                 args[field.name] = GraphQLArgument(filter_input(scalar))
+            elif isinstance(field.dataType, T.ArrayType):
+                element = graphql_type(field.dataType.elementType)
+                if element is not None:
+                    args[field.name] = GraphQLArgument(array_filter_input(element))
         args["where"] = GraphQLArgument(EXPRESSION)
         return args
 
@@ -379,13 +393,24 @@ class SchemaBuilder:
                         {
                             "names": GraphQLField(StringList, resolve=lambda s, i: s["names"]),
                             "types": GraphQLField(StringList, resolve=lambda s, i: s["types"]),
+                            "partitioning": GraphQLField(
+                                StringList, resolve=lambda s, i: s["partitioning"]
+                            ),
                         },
                     ),
                     resolve=lambda ds, i: {
                         "names": ds.column_names(),
                         "types": [f.dataType.simpleString() for f in ds.schema.fields],
+                        "partitioning": [
+                            c for c in ds.partitioning if c in ds.df.columns
+                        ],
                     },
                 ),
+                # root source class (reference ``type``, interface.py:117-121)
+                "type": GraphQLField(GraphQLString, resolve=lambda ds, i: ds.source_type),
+                # nullable boundary that stops error propagation, enabling
+                # partial results (reference ``optional``, interface.py:138-141)
+                "optional": GraphQLField(table, resolve=lambda ds, i: ds),
                 "toSql": GraphQLField(GraphQLString, resolve=lambda ds, i: ds.to_sql()),
                 "columns": GraphQLField(
                     self.columns_type(name, schema), resolve=lambda ds, i: ds
@@ -395,6 +420,11 @@ class SchemaBuilder:
                     args={
                         "name": GraphQLArgument(GraphQLNonNull(GraphQLString)),
                         "cast": GraphQLArgument(GraphQLString),
+                        "try": GraphQLArgument(GraphQLBoolean, default_value=False),
+                        "index": GraphQLArgument(
+                            GraphQLList(GraphQLNonNull(GraphQLInt)),
+                            description="array offsets applied after name lookup",
+                        ),
                     },
                     resolve=self._resolve_column,
                 ),
@@ -412,6 +442,10 @@ class SchemaBuilder:
                         "by": GraphQLArgument(StringList, default_value=[]),
                         "counts": GraphQLArgument(GraphQLString),
                         "aggregate": GraphQLArgument(AGGREGATES),
+                        "order": GraphQLArgument(
+                            GraphQLString,
+                            description="column name for first-seen row number; groups sort by it",
+                        ),
                     },
                     resolve=self._resolve_group,
                 ),
@@ -590,14 +624,16 @@ class SchemaBuilder:
                         "right": GraphQLArgument(GraphQLNonNull(GraphQLString)),
                         "on": GraphQLArgument(GraphQLNonNull(GraphQLString)),
                         "keys": GraphQLArgument(StringList, default_value=[]),
+                        "rkeys": GraphQLArgument(
+                            StringList, description="right-side key names; defaults to keys"
+                        ),
                         "tolerance": GraphQLArgument(GraphQLFloat),
+                        "toleranceIso": GraphQLArgument(
+                            Duration, description="ISO-8601 duration tolerance for timestamps"
+                        ),
+                        "direction": GraphQLArgument(GraphQLString, default_value="backward"),
                     },
-                    resolve=lambda ds, i, right, on, keys=(), tolerance=Undefined: ds.asof_join(
-                        right,
-                        on,
-                        keys=list(keys),
-                        tolerance=None if tolerance is Undefined else tolerance,
-                    ),
+                    resolve=self._resolve_asof,
                 ),
                 "takeFrom": GraphQLField(
                     table,
@@ -656,20 +692,47 @@ class SchemaBuilder:
         return ds.filter(where=cond, **filters)
 
     @staticmethod
-    def _resolve_group(ds: Dataset, info, by=(), counts=Undefined, aggregate=Undefined):
+    def _resolve_group(ds: Dataset, info, by=(), counts=Undefined, aggregate=Undefined, order=Undefined):
         return ds.group(
             by,
             aggregate=_to_aggs(aggregate) if aggregate is not Undefined else (),
             counts=None if counts is Undefined else counts,
+            order=None if order is Undefined else order,
         )
 
     @staticmethod
-    def _resolve_column(ds: Dataset, info, name: str, cast=Undefined):
-        col = F.col(name)
+    def _resolve_column(ds: Dataset, info, name: str, cast=Undefined, index=Undefined, **kw):
+        col = ds.column(name, None if index in (Undefined, None) else list(index))
         out = "_col"
         if cast is not Undefined and cast is not None:
-            col = col.cast(cast)
+            col = col.try_cast(cast) if kw.get("try") else col.cast(cast)
         return (ds.select(col.alias(out)), out)
+
+    @staticmethod
+    def _resolve_asof(
+        ds: Dataset,
+        info,
+        right,
+        on,
+        keys=(),
+        rkeys=Undefined,
+        tolerance=Undefined,
+        toleranceIso=Undefined,
+        direction="backward",
+    ):
+        tol = None
+        if toleranceIso not in (Undefined, None):
+            tol = F.lit(toleranceIso)  # timedelta -> day-time interval literal
+        elif tolerance not in (Undefined, None):
+            tol = F.lit(tolerance)
+        return ds.asof_join(
+            right,
+            on,
+            by=list(keys),
+            right_by=None if rkeys in (Undefined, None) else list(rkeys),
+            tolerance=tol,
+            direction=direction,
+        )
 
     @staticmethod
     def _resolve_sql(ds: Dataset, info, query: str):

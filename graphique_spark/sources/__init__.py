@@ -18,6 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 from graphique_spark.dataset import Dataset
 
 
+def hive_partition_keys(path: str) -> tuple[str, ...]:
+    """Discover hive-style ``key=value`` partition directory levels under
+    ``path`` (reference ``Parquet.schema(...).names``, interface.py:123-127).
+    Walks one representative branch — every level of a hive layout uses the
+    same key, so one path suffices and the scan is O(depth)."""
+    import os
+
+    keys: list[str] = []
+    current = path
+    while os.path.isdir(current):
+        subdirs = [d for d in sorted(os.listdir(current)) if "=" in d and
+                   os.path.isdir(os.path.join(current, d))]
+        if not subdirs:
+            break
+        keys.append(subdirs[0].split("=", 1)[0])
+        current = os.path.join(current, subdirs[0])
+    return tuple(keys)
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -28,23 +47,24 @@ def read_parquet(
     a mapping selects-and-renames. Hive-style ``key=value`` subdirectories
     are discovered and pruned automatically by Catalyst."""
     df = spark.read.parquet(path)
+    partitioning = hive_partition_keys(path) if "://" not in path else ()
     if isinstance(columns, Mapping):
         df = df.select(*[df[orig].alias(new) for new, orig in columns.items()])
     elif columns:
         df = df.select(*columns)
-    return Dataset(df)
+    return Dataset(df, partitioning=partitioning, source_type="ParquetDataset")
 
 
 def read_table(spark: SparkSession, name: str) -> Dataset:
     """Root at a catalog table (the ibis-backend analog)."""
-    return Dataset(spark.table(name))
+    return Dataset(spark.table(name), source_type="Table")
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> Dataset:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for key, value in options.items():
         reader = reader.option(key, value)
-    return Dataset(reader.load())
+    return Dataset(reader.load(), source_type="JDBCTable")
 
 
 def roots(tables: Mapping[str, Dataset | DataFrame]) -> dict[str, Dataset]:

@@ -248,3 +248,112 @@ def test_rollup_cube_fields(service, oracle):
         "SELECT count(*) FROM (SELECT l_returnflag FROM lineitem GROUP BY ROLLUP(l_returnflag))"
     ).fetchall()
     assert data["lineitem"]["rollup"]["count"] == expected
+
+
+def test_type_and_optional_reflection(service, tables, tmp_path):
+    data = service.execute("{ nation { type optional { count } } }")
+    assert data["nation"]["type"] == "DataFrame"
+    assert data["nation"]["optional"]["count"] == 25
+
+    # hive-partitioned root reports its partition keys + ParquetDataset type
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.sources import read_parquet
+
+    dest = str(tmp_path / "events_by_type")
+    tables["events"].df.write.partitionBy("event_type").parquet(dest)
+    spark = tables["events"].df.sparkSession
+    svc = GraphQLService(read_parquet(spark, dest))
+    out = svc.execute("{ type schema { partitioning } }")
+    assert out["type"] == "ParquetDataset"
+    assert out["schema"]["partitioning"] == ["event_type"]
+
+
+def test_optional_stops_error_propagation(service):
+    # partial results: the failing optional subtree nulls out, siblings survive
+    from graphql import graphql_sync
+
+    result = graphql_sync(
+        service.schema,
+        '{ nation { count optional { column(name: "nope") { count } } } }',
+        root_value=next(iter(service.roots.values())),
+        context_value={"roots": service.roots},
+    )
+    assert result.data["nation"]["count"] == 25
+    # every field is nullable, so the error stops at the failing leaf --
+    # even finer-grained partial results than the reference's optional
+    assert result.data["nation"]["optional"] == {"column": None}
+    assert result.errors
+
+
+def test_group_order_first_seen(service):
+    data = service.execute(
+        """{ orders { order(by: ["o_orderkey"]) {
+               group(by: ["o_orderpriority"], order: "seen", counts: "n") {
+                 columns { o_orderpriority { values } } column(name: "seen") { count } } } } }"""
+    )
+    grouped = data["orders"]["order"]["group"]
+    # groups come back in first-seen order of the o_orderkey sort
+    priorities = grouped["columns"]["o_orderpriority"]["values"]
+    assert len(priorities) == len(set(priorities)) > 1
+    assert grouped["column"]["count"] == len(priorities)
+
+
+def test_column_index_and_try(service, tables, spark):
+    from graphique_spark.service import GraphQLService
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame([([1, 2, 3], "x"), ([9], "7")], "arr array<int>, s string")
+    svc = GraphQLService(Dataset(df))
+    out = svc.execute('{ column(name: "arr", index: [1]) { values } }')
+    assert out["column"]["values"] == [2, None]
+    cast = svc.execute('{ column(name: "s", cast: "int", try: true) { values } }')
+    assert cast["column"]["values"] == [None, 7]
+
+
+def test_array_filter_contains(spark):
+    from graphique_spark.service import GraphQLService
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame([([1, 2], "a"), ([3], "b")], "tags array<int>, id string")
+    svc = GraphQLService(Dataset(df))
+    out = svc.execute('{ filter(tags: {contains: 2}) { columns { id { values } } } }')
+    assert out["filter"]["columns"]["id"]["values"] == ["a"]
+
+
+def test_asof_join_rkeys_and_direction(spark):
+    from graphique_spark.service import GraphQLService
+    from graphique_spark import Dataset
+    from graphique_spark.sources import roots
+
+    trades = spark.createDataFrame([("A", 10)], "sym string, t long")
+    quotes = spark.createDataFrame([("A", 8, 99.5), ("A", 18, 100.5)], "s string, t long, bid double")
+    rs = roots({"trades": Dataset(trades), "quotes": Dataset(quotes)})
+    svc = GraphQLService(rs)
+    out = svc.execute(
+        """{ trades { asofJoin(right: "quotes", on: "t", keys: ["sym"], rkeys: ["s"],
+                              direction: "forward") { column(name: "bid") { values } } } }"""
+    )
+    assert out["trades"]["asofJoin"]["column"]["values"] == [100.5]
+
+
+def test_first_class_window_ops(service, oracle):
+    data = service.execute(
+        """{ lineitem { filter(l_orderkey: {le: 5}) { project(columns: [
+              {alias: "gap", expr: {window: {sub: {name: "l_quantity"},
+                                             over: ["l_orderkey"], by: ["l_linenumber"]}}},
+              {alias: "chg", expr: {window: {ne: {name: "l_partkey"},
+                                             over: ["l_orderkey"], by: ["l_linenumber"],
+                                             default: false}}}
+            ]) { column(name: "chg") { values } } } } }"""
+    )
+    values = data["lineitem"]["filter"]["project"]["column"]["values"]
+    want = [
+        row[0]
+        for row in oracle.execute(
+            """SELECT coalesce(l_partkey != lag(l_partkey) OVER w, false)
+               FROM lineitem WHERE l_orderkey <= 5
+               WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+               ORDER BY 1"""
+        ).fetchall()
+    ]
+    assert sorted(values) == want

@@ -34,7 +34,15 @@ class GraphQLError(Exception):
 
 
 class GraphQLService:
-    def __init__(self, roots: Mapping[str, Dataset | DataFrame] | Dataset | DataFrame, allow_sql: bool = False):
+    def __init__(
+        self,
+        roots: Mapping[str, Dataset | DataFrame] | Dataset | DataFrame,
+        allow_sql: bool = False,
+        keys: Mapping[str, list[str]] | None = None,
+    ):
+        """``keys`` marks roots as federation entities (reference
+        interface.py:93-98): ``{root_name: [key column, ...]}`` enables the
+        ``_entities(representations:)`` and ``_service { sdl }`` fields."""
         if isinstance(roots, (Dataset, DataFrame)):
             roots = {"table": roots}
         self.roots = {
@@ -43,7 +51,7 @@ class GraphQLService:
         for ds in self.roots.values():  # join/union targets resolve by name
             ds.roots.update(self.roots)
         self.allow_sql = allow_sql
-        self.schema: GraphQLSchema = SchemaBuilder(self.roots).build()
+        self.schema: GraphQLSchema = SchemaBuilder(self.roots, keys=keys).build()
 
     def execute(
         self,

@@ -318,27 +318,84 @@ def _valid_fields(schema: T.StructType) -> list[T.StructField]:
 
 
 class SchemaBuilder:
-    def __init__(self, roots: Mapping[str, Dataset]):
+    def __init__(self, roots: Mapping[str, Dataset], keys: Mapping[str, list[str]] | None = None):
         self.roots = dict(roots)
         self.tables: dict[str, GraphQLObjectType] = {}
+        #: federation entity keys per root (reference interface.py:93-98)
+        self.keys = dict(keys or {})
+        self._typename_roots: dict[str, str] = {}
 
     def build(self) -> GraphQLSchema:
         for name, ds in self.roots.items():
             self.tables[name] = self.table_type(name, ds.schema)
+            self._typename_roots[self.tables[name].name] = name
         if len(self.roots) == 1:
             [(name, _)] = self.roots.items()
-            query = GraphQLObjectType(
-                "Query", dict(self.tables[name].fields)
-            )
+            fields = dict(self.tables[name].fields)
         else:
-            query = GraphQLObjectType(
-                "Query",
-                {
-                    name: GraphQLField(table, resolve=(lambda n: lambda s, i: i.context["roots"][n])(name))
-                    for name, table in self.tables.items()
-                },
-            )
+            fields = {
+                name: GraphQLField(table, resolve=(lambda n: lambda s, i: i.context["roots"][n])(name))
+                for name, table in self.tables.items()
+            }
+        fields.update(self.federation_fields())
+        query = GraphQLObjectType("Query", fields)
         return GraphQLSchema(query=query, types=list(_column_types.values()))
+
+    # -- federation (reference interface.py:93-98, middleware.py:56-61) ----
+
+    def federation_fields(self) -> dict[str, GraphQLField]:
+        """Apollo-federation subgraph surface on graphql-core: ``_entities``
+        resolves representations to key-filtered tables; ``_service { sdl }``
+        exposes the schema document."""
+        if not self.keys:
+            return {}
+        from graphql import GraphQLUnionType, print_schema
+
+        unknown = set(self.keys) - set(self.roots)
+        if unknown:
+            raise ValueError(f"federation keys for unknown roots: {sorted(unknown)}")
+        any_scalar = GraphQLScalarType(
+            "_Any", serialize=lambda v: v, parse_value=lambda v: v
+        )
+        entity = GraphQLUnionType(
+            "_Entity",
+            [self.tables[name] for name in self.keys],
+            resolve_type=lambda value, info, _type: getattr(value, "_gql_typename", None),
+        )
+        service = GraphQLObjectType(
+            "_Service",
+            {"sdl": GraphQLField(GraphQLString, resolve=lambda s, i: s["sdl"])},
+        )
+        return {
+            "_entities": GraphQLField(
+                GraphQLList(entity),
+                args={
+                    "representations": GraphQLArgument(
+                        GraphQLNonNull(GraphQLList(GraphQLNonNull(any_scalar)))
+                    )
+                },
+                resolve=self._resolve_entities,
+            ),
+            "_service": GraphQLField(
+                service, resolve=lambda s, i: {"sdl": print_schema(i.schema)}
+            ),
+        }
+
+    def _resolve_entities(self, source, info, representations):
+        out = []
+        for rep in representations:
+            typename = rep["__typename"]
+            root_name = self._typename_roots[typename]
+            if root_name not in self.keys:
+                raise ValueError(f"not a federation entity: {typename}")
+            ds = info.context["roots"][root_name]
+            filters = {
+                k: ColFilter(eq=[v]) for k, v in rep.items() if k != "__typename"
+            }
+            resolved = ds.filter(**filters)
+            resolved._gql_typename = typename
+            out.append(resolved)
+        return out
 
     # -- sub-types ---------------------------------------------------------
 

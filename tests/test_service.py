@@ -357,3 +357,36 @@ def test_first_class_window_ops(service, oracle):
         ).fetchall()
     ]
     assert sorted(values) == want
+
+
+def test_federation_entities_and_sdl(tables):
+    # reference test_dataset.py:140-157 — _entities resolve key-filtered tables
+    from graphique_spark.service import GraphQLService
+
+    svc = GraphQLService(
+        {"nation": tables["nation"], "region": tables["region"]},
+        keys={"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+    )
+    data = svc.execute(
+        '{ _service { sdl } nation { __typename count } region { __typename count } }'
+    )
+    assert "NationTable" in data["_service"]["sdl"]
+    assert data["nation"] == {"__typename": "NationTable", "count": 25}
+    assert data["region"] == {"__typename": "RegionTable", "count": 5}
+
+    data = svc.execute(
+        """{ _entities(representations: {__typename: "NationTable", n_nationkey: 3}) {
+             ... on NationTable { count type row { n_name } } } }"""
+    )
+    assert data["_entities"] == [
+        {"count": 1, "type": "DataFrame", "row": {"n_name": "NATION_3"}}
+    ]
+    multi = svc.execute(
+        """{ _entities(representations: [{__typename: "NationTable", n_nationkey: 0},
+                                         {__typename: "RegionTable", r_regionkey: 1}]) {
+             __typename ... on NationTable { count } ... on RegionTable { count } } }"""
+    )
+    assert multi["_entities"] == [
+        {"__typename": "NationTable", "count": 1},
+        {"__typename": "RegionTable", "count": 1},
+    ]

@@ -88,6 +88,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.0,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH, with exact (hashed-)
     shingle Jaccard computed for each candidate. Returns (id_a, id_b, jaccard).
@@ -99,6 +100,12 @@ def minhash_candidates(
     set). Candidates are a slim (id_a, id_b) distinct before the arrays are
     joined back for verification, so the big arrays never go through the
     pair-dedup shuffle.
+
+    ``max_band_freq`` is the boilerplate-skew guard: a band key shared by m
+    docs yields m²/2 candidate pairs, so one boilerplate bucket (headers,
+    licenses, templates) can dominate the whole join. Keys above the cap
+    are dropped via a broadcast anti-join against the (tiny) hot-key set —
+    boilerplate that common isn't a useful near-dup signal anyway.
     """
     rows = num_hashes // bands
     exploded = df.select(
@@ -117,6 +124,14 @@ def minhash_candidates(
         ]
     )
     banded = sigs.select("id", F.posexplode(band_keys).alias("band", "key"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_band_freq)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
     left = banded.select("band", "key", F.col("id").alias("id_a"))
     right = banded.select("band", "key", F.col("id").alias("id_b"))
     cands = (

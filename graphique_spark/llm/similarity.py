@@ -82,50 +82,65 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def hash60(col: Column) -> Column:
+    """Oracle-reproducible 60-bit hash: ``conv(substr(md5, 1, 15), 16, 10)``
+    == DuckDB ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    centroid_stride: int = 37,
+    num_centroids: int = 16,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition vectors into cells around
     centroids, probe only the ``nprobe`` cells nearest the query.
 
-    Centroids here are a deterministic stride sample (``id % stride == 0``)
-    so the whole index build is a pure, reproducible dataflow; a real
-    deployment would swap in k-means centroids built offline — the probe
-    and assignment plumbing is identical. Assignment is a broadcast
-    cross-join + ``max_by`` (map-side; no shuffle of the embeddings), so
-    build cost is linear in rows × centroids. At scale the table would be
-    written partitioned by ``cell`` and a probe reads ``nprobe`` partitions
-    only.
+    Centroids are a *fixed-size* deterministic sample: the ``num_centroids``
+    rows with the smallest ``hash60(id)`` (a hash-ordered top-k —
+    TakeOrderedAndProject, no shuffle of the vectors). Fixed k keeps the
+    centroid broadcast and the n × k assignment cost bounded no matter the
+    corpus size — a stride sample (``id % s == 0``) would grow O(n) and blow
+    up both at scale. A real deployment swaps in offline k-means centroids;
+    the probe and assignment plumbing is identical. Assignment is a
+    broadcast cross-join + ``max_by`` (map-side; no shuffle of the
+    embeddings). At scale the table would be written partitioned by
+    ``cell`` and a probe reads ``nprobe`` partitions only.
     """
-    cents = df.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
-    sim = cosine_similarity(F.col(vec_col), F.col("cvec"))
-    assigned = (
-        df.crossJoin(F.broadcast(cents))
-        .select(F.col(id_col), F.col(vec_col), F.col("cent_id"), sim.alias("csim"))
-        .groupBy(id_col)
-        .agg(F.max_by("cent_id", "csim").alias("cell"), F.first(vec_col).alias(vec_col))
-    )
-    q = F.array(*[F.lit(float(v)) for v in query])
-    probe = [
-        r["cent_id"]
-        for r in cents.select(
-            "cent_id", cosine_similarity(F.col("cvec"), q).alias("qsim")
-        )
-        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
-        .limit(nprobe)
+    centroids = (
+        df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(hash60(F.col("cent_id")), F.col("cent_id"))
+        .limit(num_centroids)
         .collect()
-    ]
+    )  # tiny: num_centroids rows, collected once at plan-build
+    # probe choice on the driver: left-to-right fold == Spark's aggregate HOF
+    def _py_cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return num / (na * nb)
+
+    ranked = sorted(
+        centroids, key=lambda r: (-_py_cos(r["cvec"], query), r["cent_id"])
+    )
+    probe = [r["cent_id"] for r in ranked[:nprobe]]
+    # assignment as a pure map-side expression over centroid literals: no
+    # cross join, no groupBy shuffle of the embeddings
+    cells = []
+    for r in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in r["cvec"]])
+        sim = cosine_similarity(F.col(vec_col), cv)
+        cells.append(F.struct(sim.alias("s"), F.lit(int(r["cent_id"])).alias("c")))
+    cell = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
+    q = F.array(*[F.lit(float(v)) for v in query])
     qsim = cosine_similarity(F.col(vec_col), q)
     return (
-        assigned.filter(F.col("cell").isin(probe))
+        df.withColumn("__cell", cell)
+        .filter(F.col("__cell").isin(probe))
         .select(F.col(id_col), qsim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -171,12 +186,25 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.98,
-    num_planes: int = 4,
+    num_planes: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-projection
     LSH bucket: only within-bucket pairs are compared (near-identical
     vectors land in the same bucket with high probability), so the pair
-    count is ~n²/2^planes instead of n². Returns (id_a, id_b, cosine)."""
+    count is ~n²/2^planes instead of n². Returns (id_a, id_b, cosine).
+
+    ``num_planes`` defaults to ``log2(n / target_bucket_rows)`` so the
+    bucket count *scales with the corpus* and expected within-bucket pairs
+    stay ~n · target_bucket_rows / 2 — linear in n, not quadratic. A fixed
+    plane count (e.g. 16 buckets forever) reverts to n²/16 at 100× scale.
+    The sizing count() is one cheap scan at plan-build time.
+    """
+    if num_planes is None:
+        import math
+
+        n = df.count()
+        num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
     planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
     docs = df.select(
         F.col(id_col).alias("id"),
@@ -197,6 +225,124 @@ def embedding_near_dups(
 
 def _dim(df: DataFrame, vec_col: str) -> int:
     return len(df.select(vec_col).first()[0])
+
+
+def _py_bucket(vec: Sequence[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket of a literal vector: left-to-right fold, matching
+    Spark's ``aggregate`` HOF bit-for-bit."""
+    bucket = 0
+    for p, weights in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(vec, weights):
+            acc += float(x) * w
+        if acc >= 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def _probe_masks(num_planes: int, radius: int) -> list[int]:
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(num_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            masks.append(mask)
+    return masks
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+) -> list[list[float]]:
+    """Materialize the LSH index the :func:`lsh_ann_topk` docstring promises:
+    buckets precomputed once, table written hive-partitioned by ``bucket``.
+    A probe is then a partition-pruned scan (the bucket IN-filter never
+    touches non-probed directories) instead of recomputing every signature
+    per query. Returns the hyperplanes (deterministic, so callers can also
+    re-derive them from ``num_planes`` + dim)."""
+    planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
+    out = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    out.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    return planes
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 4,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Probe a :func:`write_lsh_index` table: compute the query's bucket and
+    probe set driver-side, then scan only those partitions — at scale this
+    reads ~|probe|/2^planes of the data and zero signature math."""
+    planes = [_hyperplane(p, len(query)) for p in range(num_planes)]
+    query_bucket = _py_bucket(query, planes)
+    probe = [query_bucket ^ m for m in _probe_masks(num_planes, probe_radius)]
+    q = F.array(*[F.lit(float(v)) for v in query])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_planes: int = 4,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Bucketed k-NN join — the scale path :func:`knn_join` points at.
+
+    Both sides are LSH-bucketed; each query row explodes to its probe
+    buckets (hamming <= ``probe_radius``) and equi-joins the corpus on
+    ``bucket``. Comparisons scale with bucket occupancy x probe count, not
+    |corpus| x |queries|. Approximate: recall follows the LSH collision
+    probability; ``probe_radius=num_planes`` degenerates to exact.
+    Returns (query_id, vec_id, cosine) with rank <= k per query.
+    """
+    dim = _dim(corpus, vec_col)
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    masks = _probe_masks(num_planes, probe_radius)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qb", lsh_bucket(F.col("__qv"), planes))
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.array(*[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    scored = c.join(F.broadcast(q), on="bucket").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def lsh_ann_topk(

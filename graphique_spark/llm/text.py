@@ -125,15 +125,17 @@ def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1)
     """Top-k characteristic terms per doc by tf-idf.
 
     Document frequencies are a second small aggregate over distinct
-    (doc, term); idf = ln((N+1)/(df+1)). The df table joins back broadcast
-    (vocabulary << corpus at scale)."""
+    (doc, term); idf = ln((N+1)/(df+1)). The df join is left unhinted: at
+    web scale the full vocabulary can exceed executor memory, so forcing a
+    broadcast would OOM — AQE picks broadcast when the term table actually
+    fits and a shuffle join when it doesn't."""
     from pyspark.sql import Window
 
     tf = term_frequencies(df, text, id_col)
     n_docs = df.count()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-    scored = tf.join(F.broadcast(docfreq), on="term").withColumn(
+    scored = tf.join(docfreq, on="term").withColumn(
         "tfidf", F.col("tf") * idf
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))

@@ -327,7 +327,7 @@ def _cos_frag(a: str, b: str) -> str:
     )
 
 
-_IVF_STRIDE, _NPROBE = 37, 2
+_IVF_K, _NPROBE = 16, 2
 
 
 @query(
@@ -335,7 +335,9 @@ _IVF_STRIDE, _NPROBE = 37, 2
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+    c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT {_IVF_K}),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     a AS (SELECT e.vec_id, arg_max(cent_id, {_cos_frag("e.v", "cv")}) AS cell
           FROM e, c GROUP BY e.vec_id),
@@ -348,10 +350,13 @@ _IVF_STRIDE, _NPROBE = 37, 2
     """,
 )
 def similarity_ivf(spark, sf_dir):
+    """Fixed-k hash-sampled centroids (scale-safe: the centroid broadcast
+    and the n x k assignment stay bounded as the corpus grows; a stride
+    sample would produce O(n) centroids)."""
     emb = table(spark, sf_dir, "embeddings").df
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = similarity.ivf_topk(
-        emb, qvec, k=50, centroid_stride=_IVF_STRIDE, nprobe=_NPROBE
+        emb, qvec, k=50, num_centroids=_IVF_K, nprobe=_NPROBE
     )
     return (
         out.withColumn("cosine", fround(F.col("cosine"), 6))

@@ -167,3 +167,60 @@ def test_resize_and_audio_stubs(tables):
     assert all(r["width"] == 32 and r["height"] == 32 and 0 <= r["mean_px"] <= 1 for r in resized)
     audio = multimodal.audio_features_stub(blobs, n_bands=4).collect()
     assert all(len(r["bands"]) == 4 for r in audio)
+
+
+def test_lsh_index_partition_pruned_probe(tables, tmp_path):
+    emb = tables["embeddings"].df
+    path = str(tmp_path / "lsh_index")
+    similarity.write_lsh_index(emb, path, num_planes=3)
+    qvec = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    spark = emb.sparkSession
+    out = similarity.lsh_ann_topk_indexed(spark, path, qvec, k=10, num_planes=3)
+    live = similarity.lsh_ann_topk(emb, qvec, k=10, num_planes=3)
+    assert [r["vec_id"] for r in out.collect()] == [r["vec_id"] for r in live.collect()]
+    # probing must prune partitions: the scan's PartitionFilters carry the
+    # bucket IN-list, so non-probed bucket directories are never read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_knn_join_lsh_bucketed(tables):
+    emb = tables["embeddings"].df.limit(60)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.knn_join(emb, queries, k=3)
+    # full probe radius == exact: every bucket is probed
+    full = similarity.knn_join_lsh(emb, queries, k=3, num_planes=3, probe_radius=3)
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert got == want
+    # tight probe returns <= k per query, query itself always collides
+    tight = similarity.knn_join_lsh(emb, queries, k=3, num_planes=3, probe_radius=0)
+    per_query = {}
+    for r in tight.collect():
+        per_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, ids in per_query.items():
+        assert len(ids) <= 3 and qid in ids
+
+
+def test_near_dups_auto_planes_scale(spark):
+    import math
+
+    base = [1.0, 0.5, -0.25, 0.125] * 4
+    rows = [(i, [v + 0.000001 * i for v in base]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # auto-sizing: planes grow with n/target (here 64/8 -> >= 4 planes)
+    pairs = similarity.embedding_near_dups(df, threshold=0.999999, target_bucket_rows=8)
+    assert pairs.count() > 0  # near-identical vectors share every bucket
+    assert similarity._py_bucket(base, [similarity._hyperplane(0, 16)]) in (0, 1)
+
+
+def test_minhash_band_frequency_cap(spark):
+    # identical boilerplate docs all share every band key; the cap drops
+    # those hot keys so no candidate pairs emerge, while distinct near-dups
+    # (below the cap) still pair up
+    boiler = [(i, "the same license header text repeated verbatim") for i in range(10)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = dedup.minhash_candidates(df, max_band_freq=5)
+    assert capped.count() == 0
+    uncapped = dedup.minhash_candidates(df)
+    assert uncapped.count() == 45  # all 10-choose-2 pairs

@@ -292,9 +292,136 @@ def generic_column_type() -> GraphQLObjectType:
     return _column_types["AnyColumn"]
 
 
+def _jsonable(value):
+    from pyspark.sql import Row
+
+    if isinstance(value, Row):
+        return {k: _jsonable(v) for k, v in value.asDict().items()}
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
+    return value
+
+
+def _resolve_json_values(source, info, limit=Undefined):
+    ds, name = source
+    df = ds.df.select(name)
+    if limit not in (Undefined, None):
+        df = df.limit(limit)
+    return [_jsonable(r[0]) for r in df.collect()]
+
+
+def _resolve_unnest(source, info):
+    ds, name = source
+    return (ds._wrap(ds.df.select(F.explode_outer(F.col(name)).alias(name))), name)
+
+
+def _resolve_lengths(source, info):
+    ds, name = source
+    return [r[0] for r in ds.df.select(F.array_size(F.col(name))).collect()]
+
+
+def array_column_type(dtype: T.ArrayType) -> GraphQLObjectType:
+    """Typed array column (reference ArrayColumn, models.py:224-238):
+    ``unnest`` yields the element-typed Column, ``length`` the per-row
+    sizes — together they support efficient regrouping."""
+    inner = spark_column_type(dtype.elementType)
+    name = f"{inner.name}Array"
+    if name not in _column_types:
+        _column_types[name] = GraphQLObjectType(
+            name,
+            lambda: {
+                "values": GraphQLField(
+                    GraphQLList(JSON),
+                    args={"limit": GraphQLArgument(GraphQLInt)},
+                    resolve=_resolve_json_values,
+                ),
+                "count": GraphQLField(BigInt, resolve=_col_agg(F.count)),
+                "length": GraphQLField(GraphQLList(BigInt), resolve=_resolve_lengths),
+                "unnest": GraphQLField(inner, resolve=_resolve_unnest),
+            },
+        )
+    return _column_types[name]
+
+
+def struct_column_type() -> GraphQLObjectType:
+    """Struct column (reference StructColumn, models.py:241-255): ``names``
+    / ``types`` reflect the struct schema; values serialize as JSON."""
+    if "StructColumn" not in _column_types:
+
+        def _dtype(source) -> T.StructType:
+            ds, name = source
+            return ds.schema[name].dataType
+
+        _column_types["StructColumn"] = GraphQLObjectType(
+            "StructColumn",
+            {
+                "values": GraphQLField(
+                    GraphQLList(JSON),
+                    args={"limit": GraphQLArgument(GraphQLInt)},
+                    resolve=_resolve_json_values,
+                ),
+                "count": GraphQLField(BigInt, resolve=_col_agg(F.count)),
+                "names": GraphQLField(
+                    StringList, resolve=lambda s, i: list(_dtype(s).names)
+                ),
+                "types": GraphQLField(
+                    StringList,
+                    resolve=lambda s, i: [
+                        f.dataType.simpleString() for f in _dtype(s).fields
+                    ],
+                ),
+            },
+        )
+    return _column_types["StructColumn"]
+
+
+def map_column_type() -> GraphQLObjectType:
+    """Map column (beyond the reference, which skips maps — scalars.py:
+    100-102): entries serialize as JSON objects; ``keys`` unnests the
+    distinct key space, ``length`` the per-row entry counts."""
+    if "MapColumn" not in _column_types:
+
+        def _keys(source, info):
+            ds, name = source
+            rows = (
+                ds.df.select(F.explode_outer(F.map_keys(F.col(name))).alias("k"))
+                .select(F.col("k").cast("string").alias("k"))
+                .distinct()
+                .collect()
+            )
+            return sorted((r["k"] for r in rows), key=lambda k: (k is None, k))
+
+        def _lengths(source, info):
+            ds, name = source
+            return [r[0] for r in ds.df.select(F.size(F.col(name))).collect()]
+
+        _column_types["MapColumn"] = GraphQLObjectType(
+            "MapColumn",
+            {
+                "values": GraphQLField(
+                    GraphQLList(JSON),
+                    args={"limit": GraphQLArgument(GraphQLInt)},
+                    resolve=_resolve_json_values,
+                ),
+                "count": GraphQLField(BigInt, resolve=_col_agg(F.count)),
+                "keys": GraphQLField(StringList, resolve=_keys),
+                "length": GraphQLField(GraphQLList(BigInt), resolve=_lengths),
+            },
+        )
+    return _column_types["MapColumn"]
+
+
 def spark_column_type(dtype: T.DataType) -> GraphQLObjectType:
     scalar = graphql_type(dtype)
-    if scalar is None:  # array / struct / map → JSON-valued column
+    if scalar is None:
+        if isinstance(dtype, T.ArrayType):
+            return array_column_type(dtype)
+        if isinstance(dtype, T.StructType):
+            return struct_column_type()
+        if isinstance(dtype, T.MapType):
+            return map_column_type()
         return generic_column_type()
     numeric = isinstance(
         dtype,

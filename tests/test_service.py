@@ -390,3 +390,39 @@ def test_federation_entities_and_sdl(tables):
         {"__typename": "NationTable", "count": 1},
         {"__typename": "RegionTable", "count": 1},
     ]
+
+
+def test_typed_array_column_fields(tables):
+    from graphique_spark.service import GraphQLService
+
+    svc = GraphQLService(tables["embeddings"])
+    data = svc.execute(
+        """{ slice(limit: 3) { columns { embedding {
+              count length unnest { count } } } } }"""
+    )
+    col = data["slice"]["columns"]["embedding"]
+    assert col["count"] == 3
+    assert col["length"] == [64, 64, 64]
+    assert col["unnest"]["count"] == 192
+
+
+def test_struct_and_map_column_fields(spark):
+    from graphique_spark import Dataset
+    from graphique_spark.service import GraphQLService
+
+    df = spark.createDataFrame(
+        [({"a": 1, "b": "x"}, {"k1": 1.5}), ({"a": 2, "b": "y"}, {"k2": 2.5})],
+        "s struct<a:int,b:string>, m map<string,double>",
+    )
+    svc = GraphQLService(Dataset(df))
+    data = svc.execute(
+        """{ columns {
+              s { names types values count }
+              m { keys length values count } } }"""
+    )
+    s, m = data["columns"]["s"], data["columns"]["m"]
+    assert s["names"] == ["a", "b"] and s["types"] == ["int", "string"]
+    assert s["values"] == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    assert m["keys"] == ["k1", "k2"] and m["length"] == [1, 1]
+    assert m["values"] == [{"k1": 1.5}, {"k2": 2.5}]
+    assert s["count"] == 2 and m["count"] == 2

@@ -63,6 +63,41 @@ class GraphQLService:
         reference conftest.py:26-31). ``partial=True`` returns whatever
         resolved, with failed fields nulled — the reference's ``optional``
         partial-results behavior (reference interface.py:138-141)."""
+        result = self._run(query, variables)
+        if result.errors and not partial:
+            raise GraphQLError(result.errors) from result.errors[0].original_error
+        return result.data
+
+    def run(
+        self,
+        query: str,
+        variables: Mapping[str, Any] | None = None,
+        metrics: bool = False,
+    ) -> dict:
+        """HTTP-response-shaped execution: ``{data, errors?, extensions?}``
+        with formatted (JSON-safe) errors. ``metrics=True`` adds per-resolver
+        wall-clock timings, the reference's Apollo-tracing-derived metrics
+        extension (reference middleware.py:22-38)."""
+        middleware = [_MetricsMiddleware()] if metrics else None
+        import time
+
+        start = time.perf_counter()
+        result = self._run(query, variables, middleware=middleware)
+        payload: dict = {"data": result.data}
+        if result.errors:
+            payload["errors"] = [e.formatted for e in result.errors]
+        if metrics:
+            from datetime import timedelta
+
+            payload["extensions"] = {
+                "metrics": {
+                    "duration": str(timedelta(seconds=time.perf_counter() - start)),
+                    "execution": {"resolvers": middleware[0].resolvers},
+                }
+            }
+        return payload
+
+    def _run(self, query, variables=None, middleware=None):
         single = len(self.roots) == 1
         root_value = next(iter(self.roots.values())) if single else None
         context = {"roots": self.roots, "allow_sql": self.allow_sql, "persisted": []}
@@ -72,12 +107,33 @@ class GraphQLService:
             root_value=root_value,
             context_value=context,
             variable_values=dict(variables or {}),
+            middleware=middleware,
         )
         for ds in context["persisted"]:
             ds.unpersist()
-        if result.errors and not partial:
-            raise GraphQLError(result.errors) from result.errors[0].original_error
-        return result.data
+        return result
+
+
+class _MetricsMiddleware:
+    """Per-resolver wall-clock timing (reference MetricsExtension,
+    middleware.py:22-38) as graphql-core middleware — no tracing dependency."""
+
+    def __init__(self):
+        self.resolvers: list[dict] = []
+
+    def resolve(self, next_, root, info, **args):
+        import time
+        from datetime import timedelta
+
+        start = time.perf_counter()
+        out = next_(root, info, **args)
+        self.resolvers.append(
+            {
+                "path": list(info.path.as_list()),
+                "duration": str(timedelta(seconds=time.perf_counter() - start)),
+            }
+        )
+        return out
 
 
 __all__ = ["GraphQLService", "GraphQLError"]

@@ -426,3 +426,62 @@ def test_struct_and_map_column_fields(spark):
     assert m["keys"] == ["k1", "k2"] and m["length"] == [1, 1]
     assert m["values"] == [{"k1": 1.5}, {"k2": 2.5}]
     assert s["count"] == 2 and m["count"] == 2
+
+
+def _asgi_call(app, method="POST", body=b"", path="/"):
+    # minimal in-process ASGI driver: no http client dependency
+    import asyncio
+
+    scope = {"type": "http", "method": method, "path": path, "headers": []}
+    messages = [{"type": "http.request", "body": body, "more_body": False}]
+    sent = []
+
+    async def receive():
+        return messages.pop(0)
+
+    async def send(message):
+        sent.append(message)
+
+    asyncio.run(app(scope, receive, send))
+    status = sent[0]["status"]
+    payload = b"".join(m.get("body", b"") for m in sent[1:])
+    return status, payload
+
+
+def test_asgi_app_post_and_graphiql(tables):
+    import json
+
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.service.asgi import GraphQLApp
+
+    app = GraphQLApp(GraphQLService(tables["nation"]), metrics=True)
+    status, body = _asgi_call(
+        app, body=json.dumps({"query": "{ count filter(n_regionkey: {eq: [0]}) { count } }"}).encode()
+    )
+    assert status == 200
+    out = json.loads(body)
+    assert out["data"] == {"count": 25, "filter": {"count": 5}}
+    resolvers = out["extensions"]["metrics"]["execution"]["resolvers"]
+    assert {tuple(r["path"]) for r in resolvers} >= {("count",), ("filter",), ("filter", "count")}
+    assert all("duration" in r for r in resolvers)
+
+    status, html = _asgi_call(app, method="GET")
+    assert status == 200 and b"graphiql" in html.lower()
+
+    status, err = _asgi_call(app, body=b"not json")
+    assert status == 400
+    status, _ = _asgi_call(app, method="DELETE")
+    assert status == 405
+
+
+def test_asgi_errors_are_json(tables):
+    import json
+
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.service.asgi import GraphQLApp
+
+    app = GraphQLApp(GraphQLService(tables["nation"]))
+    status, body = _asgi_call(app, body=json.dumps({"query": "{ nope }"}).encode())
+    assert status == 200
+    out = json.loads(body)
+    assert out["data"] is None and out["errors"]

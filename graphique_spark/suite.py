@@ -1160,3 +1160,47 @@ def take_from_index(spark, sf_dir):
         .group(by=["c_mktsegment"], counts="n")
         .df
     )
+
+
+@query(
+    "group_first_seen",
+    """
+    WITH o AS (SELECT *, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders)
+    SELECT o_orderpriority, CAST(min(rn) AS BIGINT) AS seen, count(*) AS n
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def group_first_seen(spark, sf_dir):
+    """group(order:) first-seen ordering (reference interface.py:239-243):
+    each group records its first row number (two-phase zipWithIndex, no
+    global sort) and groups come back sorted by it."""
+    orders = table(spark, sf_dir, "orders").order(["o_orderkey"])
+    return orders.group(by=["o_orderpriority"], counts="n", order="seen").df
+
+
+@query(
+    "window_pairwise",
+    """
+    SELECT l_orderkey, l_linenumber,
+           coalesce(l_partkey != lag(l_partkey) OVER w, false) AS part_changed,
+           CAST(coalesce(l_quantity - lag(l_quantity) OVER w, 0) AS DOUBLE) AS qty_delta
+    FROM lineitem WHERE l_orderkey <= 100
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    """,
+)
+def window_pairwise(spark, sf_dir):
+    """First-class pairwise window ops (reference inputs.py:500-506):
+    op(expr, lag(expr)) over the partition, null-filled with `default` —
+    compiled through the service WindowInput, not hand-composed."""
+    from graphique_spark.service.expressions import compile_expression
+
+    li = table(spark, sf_dir, "lineitem").filter(l_orderkey={"le": 100})
+    spec = {"over": ["l_orderkey"], "by": ["l_linenumber"]}
+    chg = compile_expression({"window": {"ne": {"name": "l_partkey"}, **spec, "default": False}})
+    delta = compile_expression({"window": {"sub": {"name": "l_quantity"}, **spec, "default": 0}})
+    return li.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        chg.alias("part_changed"),
+        delta.cast("double").alias("qty_delta"),
+    )

@@ -107,7 +107,106 @@ def main() -> None:
         }
         print(f"{name}: 1x={t1:.2f}s {times}x={tn:.2f}s factor={tn / t1:.2f} (ideal {times})")
 
+    report["ann"] = ann_probes(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
+
+
+def jittered_embeddings(spark, mult: int):
+    """``mult`` copies of sf0.1 embeddings with a deterministic element-wise
+    jitter per copy (amplitude ~1 data stddev) so the synthetic vectors are
+    *distinct and separable* — plain duplicates would share every LSH bucket
+    by construction and fake a quadratic blowup no bucketing scheme could
+    avoid."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = []
+    for c in range(mult):
+        if c == 0:
+            copies.append(base.select("vec_id", "embedding"))
+            continue
+        phase = float(c) * 12.9898 + 3.14
+        jit = base.select(
+            (F.col("vec_id") + F.lit(c * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + F.sin((i.cast("double") + 1.0) * F.lit(phase)) * F.lit(0.15)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        copies.append(jit)
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def ann_probes(spark, times: int):
+    """Scale evidence for the ANN paths reworked in round 2:
+
+    * embedding near-dup blocking — within-bucket candidate pairs
+      (sum of m*(m-1)/2 over buckets) at 1x / times / times^2 the corpus,
+      with the corpus-scaled plane count `embedding_near_dups` actually
+      uses vs the plane count frozen at 4 (the round-1 weakness). Adaptive
+      should grow ~linearly with rows; frozen ~quadratically.
+    * IVF top-k with fixed-k centroids — wall-clock factor; cost is
+      n x k with k constant, so it should scale ~linearly in rows.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import similarity
+
+    out = {"pair_growth": [], "ivf": []}
+    mults = [1, times, times * times]
+    for mult in mults:
+        emb = jittered_embeddings(spark, mult)
+        n = emb.count()
+        dim = similarity._dim(emb, "embedding")
+        entry = {"mult": mult, "rows": n}
+        for label, num_planes in (
+            ("adaptive", max(4, math.ceil(math.log2(max(n, 1) / 256 + 1)))),
+            ("frozen4", 4),
+        ):
+            planes = [similarity._hyperplane(p, dim) for p in range(num_planes)]
+            pairs = (
+                emb.select(
+                    similarity.lsh_bucket(F.col("embedding"), planes).alias("b")
+                )
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("m"))
+                .select(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("p"))
+                .first()["p"]
+            )
+            entry[label] = {"planes": num_planes, "candidate_pairs": int(pairs)}
+        out["pair_growth"].append(entry)
+        print(
+            f"ann pair growth {mult}x: rows={n} "
+            f"adaptive={entry['adaptive']['candidate_pairs']} "
+            f"(planes={entry['adaptive']['planes']}) "
+            f"frozen4={entry['frozen4']['candidate_pairs']}"
+        )
+
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        t0 = time.perf_counter()
+        similarity.ivf_topk(emb, qvec, k=50, num_centroids=16, nprobe=2).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        ivf_t = time.perf_counter() - t0
+        out["ivf"].append({"mult": mult, "rows": n, "t_sec": round(ivf_t, 2)})
+        print(f"ann ivf {mult}x: rows={n} t={ivf_t:.2f}s")
+
+    base_rows = out["pair_growth"][0]["rows"]
+    for entry in out["pair_growth"]:
+        row_factor = entry["rows"] / base_rows
+        entry["row_factor"] = round(row_factor, 1)
+        for label in ("adaptive", "frozen4"):
+            base_pairs = max(out["pair_growth"][0][label]["candidate_pairs"], 1)
+            entry[label]["pair_factor"] = round(
+                entry[label]["candidate_pairs"] / base_pairs, 1
+            )
+    return out
 
 
 if __name__ == "__main__":

@@ -1204,3 +1204,142 @@ def window_pairwise(spark, sf_dir):
         chg.alias("part_changed"),
         delta.cast("double").alias("qty_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks / service plumbing (SURVEY §2.1, §2.12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_catalog",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def source_catalog(spark, sf_dir):
+    """Backend-table root (reference README ibis backends; service.py:24-31):
+    the Dataset is rooted at a Spark catalog table instead of a file path —
+    the JDBC/catalog analog of the reference's ibis backend support."""
+    from graphique_spark import sources
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "suite_orders_catalog"
+    )
+    ds = sources.read_table(spark, "suite_orders_catalog")
+    return (
+        ds.filter(o_orderstatus={"eq": ["F"]})
+        .group(
+            by=["o_orderpriority"],
+            counts="n",
+            aggregate=[Agg("sum", "o_totalprice", alias="revenue")],
+        )
+        .project({"revenue": fround(F.col("revenue"), 2)})
+        .df
+    )
+
+
+@query(
+    "source_projection",
+    """
+    SELECT c_name AS name, c_acctbal AS balance
+    FROM customer WHERE c_acctbal > 9900
+    ORDER BY balance DESC, name LIMIT 20
+    """,
+)
+def source_projection(spark, sf_dir):
+    """Startup projection/rename (reference COLUMNS env, service.py:22-31):
+    the root applies a select-and-rename mapping before any query runs."""
+    from graphique_spark import sources
+
+    ds = sources.read_parquet(
+        spark,
+        f"{sf_dir}/customer.parquet",
+        columns={"name": "c_name", "balance": "c_acctbal"},
+    )
+    return ds.filter(balance={"gt": 9900}).order(["-balance", "name"], limit=20).df
+
+
+@query(
+    "sql_gate",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS disc_rev
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_gate(spark, sf_dir):
+    """Raw-SQL escape hatch (reference interface.py:523-535 — deny-by-default
+    in the GraphQL service, permission-gated; the Python caller holds the
+    permission here). The current frame is exposed as view ``self``."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                 AS disc_rev
+        FROM self WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).df
+
+
+@query(
+    "dataset_count_any",
+    """
+    SELECT (SELECT count(*) FROM orders) AS orders_rows,
+           (SELECT count(*) FROM (SELECT 1 FROM orders
+              WHERE o_orderpriority = '1-URGENT' LIMIT 1)) >= 1 AS has_urgent,
+           (SELECT count(*) FROM (SELECT 1 FROM orders
+              WHERE o_totalprice < 0 LIMIT 1)) >= 1 AS has_negative
+    """,
+)
+def dataset_count_any(spark, sf_dir):
+    """Dataset-level ``count`` and ``any(limit)`` early-exit existence check
+    (reference interface.py:143-157): ``any`` never scans past ``limit``
+    rows. Scalar leaves surfaced as a one-row frame."""
+    orders = table(spark, sf_dir, "orders")
+    n = orders.count()
+    urgent = orders.filter(o_orderpriority={"eq": ["1-URGENT"]}).any()
+    negative = orders.filter(F.col("o_totalprice") < 0).any()
+    return spark.createDataFrame(
+        [(n, urgent, negative)],
+        "orders_rows bigint, has_urgent boolean, has_negative boolean",
+    )
+
+
+@query(
+    "partition_roundtrip",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+           count(DISTINCT n_nationkey) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def partition_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet sink + re-root (reference partition.py:29-77,
+    the two-pass out-of-core CLI collapsed to one Spark shuffle): write
+    nation partitioned by n_regionkey, re-read with hive discovery, group by
+    the partition key — partition pruning applies to the re-rooted scan."""
+    import os
+    import tempfile
+
+    from graphique_spark import sources
+
+    dest = os.path.join(tempfile.gettempdir(), "graphique_spark_partition_rt")
+    nation = table(spark, sf_dir, "nation")
+    sources.write_partitioned(nation.df, dest, ["n_regionkey"])
+    ds = sources.read_parquet(spark, dest)
+    return (
+        ds.group(
+            by=["n_regionkey"],
+            counts="n",
+            aggregate=[Agg("nunique", "n_nationkey", alias="nations")],
+        )
+        .project({"n_regionkey": F.col("n_regionkey").cast("bigint")})
+        .df
+    )

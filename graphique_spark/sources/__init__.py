@@ -60,6 +60,37 @@ def read_table(spark: SparkSession, name: str) -> Dataset:
     return Dataset(spark.table(name), source_type="Table")
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    columns: Sequence[str] | Mapping[str, str] | None = None,
+    schema: str | None = None,
+    **options,
+) -> Dataset:
+    """Root a Dataset at any Spark DataSource format (csv/json/orc/parquet/
+    text/...). The reference reaches non-parquet data through ibis backends
+    (README.md:42-56); Spark's reader stack is the direct analog — format
+    implementations keep predicate pushdown and column pruning where the
+    format supports them (orc/parquet fully; csv/json prune columns).
+
+    ``schema`` (DDL string) skips inference — at 100 TB schema inference is
+    a full extra pass for csv/json, so production roots should always pass
+    one. ``columns`` applies the startup projection/rename."""
+    reader = spark.read.format(format)
+    if schema:
+        reader = reader.schema(schema)
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    df = reader.load(path)
+    if isinstance(columns, Mapping):
+        df = df.select(*[df[orig].alias(new) for new, orig in columns.items()])
+    elif columns:
+        df = df.select(*columns)
+    partitioning = hive_partition_keys(path) if "://" not in path else ()
+    return Dataset(df, partitioning=partitioning, source_type=format.capitalize() + "Source")
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> Dataset:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for key, value in options.items():

@@ -227,3 +227,35 @@ def test_distinct_keep_last_descending_key(tables):
     a = {(r["l_orderkey"], r["l_linenumber"]) for r in last_desc.df.select("l_orderkey", "l_linenumber").collect()}
     b = {(r["l_orderkey"], r["l_linenumber"]) for r in first_asc.df.select("l_orderkey", "l_linenumber").collect()}
     assert a == b
+
+
+def test_read_source_formats_roundtrip(spark, tables, tmp_path_factory):
+    # read_source: any Spark DataSource format as a root, with startup
+    # projection and explicit schema (no inference pass at scale)
+    from graphique_spark import sources
+
+    base = tmp_path_factory.mktemp("formats")
+    nation = tables["nation"].df.select("n_nationkey", "n_name", "n_regionkey")
+    expected = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    ddl = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    for fmt, options in (
+        ("csv", {"header": "true"}),
+        ("json", {}),
+        ("orc", {}),
+    ):
+        dest = str(base / fmt)
+        nation.write.format(fmt).options(**options).mode("overwrite").save(dest)
+        ds = sources.read_source(spark, dest, format=fmt, schema=ddl, **options)
+        assert ds.source_type == fmt.capitalize() + "Source"
+        got = {(r["n_nationkey"], r["n_name"]) for r in ds.df.collect()}
+        assert got == expected
+    renamed = sources.read_source(
+        spark,
+        str(base / "csv"),
+        format="csv",
+        schema=ddl,
+        columns={"key": "n_nationkey"},
+        header="true",
+    )
+    assert renamed.df.columns == ["key"]
+    assert renamed.count() == len(expected)

@@ -78,6 +78,14 @@ class Dataset:
     # -- materializing leaves ------------------------------------------------
 
     def count(self) -> int:
+        """Row count; on an untransformed parquet root this reads parquet
+        footers only — zero data pages — matching the reference's
+        ``count_rows()`` metadata path (interface.py:143-149)."""
+        path = getattr(self, "path", None)
+        if path:
+            from graphique_spark import sources
+
+            return sum(n for _, n in sources.partition_group_counts(path, ()))
         return self.df.count()
 
     def any(self, limit: int = 1) -> bool:
@@ -157,7 +165,21 @@ class Dataset:
         ``order`` names an output column holding each group's first row
         number; groups come back sorted by it — first-seen ordering
         (reference interface.py:239-243). The row index is the two-phase
-        zipWithIndex (no global sort)."""
+        zipWithIndex (no global sort).
+
+        Partition fast path (reference interface.py:233-234, core.py:55-63):
+        grouping an untransformed parquet root by partition keys only, with
+        no aggregates, answers from directory names + parquet footers —
+        zero data pages read."""
+        path = getattr(self, "path", None)
+        if (
+            path
+            and by
+            and not aggregate
+            and order is None
+            and set(by) <= set(self.partitioning)
+        ):
+            return self._metadata_groups(path, list(by), counts)
         aggs = [agg.to_column() for agg in aggregate]
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
@@ -170,6 +192,32 @@ class Dataset:
         grouped = df.groupBy(*by) if by else df.groupBy()
         out = grouped.agg(*aggs)
         return self._wrap(out.orderBy(order) if order else out)
+
+    def _metadata_groups(self, path: str, by: list[str], counts: str | None) -> "Dataset":
+        """Distinct partition-key groups (and sizes) from hive directory
+        names + parquet footers; a LocalRelation, no file scan. Partition
+        values arrive as directory strings and are cast to the types Spark
+        inferred for the scanned frame, so both paths agree on schema."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from graphique_spark import sources
+
+        groups = sources.partition_group_counts(path, by)
+        schema = StructType(
+            [StructField(c, StringType()) for c in by]
+            + ([StructField(counts, LongType())] if counts else [])
+        )
+        data = [
+            tuple(values[c] for c in by) + ((n,) if counts else ())
+            for values, n in groups
+        ]
+        out = self.df.sparkSession.createDataFrame(data, schema)
+        types = dict(self.df.dtypes)
+        out = out.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in by],
+            *([counts] if counts else []),
+        )
+        return self._wrap(out)
 
     def rollup(self, by: Sequence[str], aggregate: Sequence[Agg] = (), counts: str | None = None) -> "Dataset":
         """Hierarchical subtotals (beyond the reference — SURVEY §2.5 notes

@@ -52,7 +52,56 @@ def read_parquet(
         df = df.select(*[df[orig].alias(new) for new, orig in columns.items()])
     elif columns:
         df = df.select(*columns)
-    return Dataset(df, partitioning=partitioning, source_type="ParquetDataset")
+    ds = Dataset(df, partitioning=partitioning, source_type="ParquetDataset")
+    if "://" not in path and not columns:
+        # untransformed local root: remember the path so metadata-only fast
+        # paths (count, group-by-partition-keys) can read parquet footers
+        # instead of scanning data. Any transformation produces a new
+        # Dataset without the path, which disables them automatically.
+        ds.path = path
+    return ds
+
+
+def partition_group_counts(
+    path: str, keys: Sequence[str]
+) -> list[tuple[dict, int]]:
+    """Group row-counts by hive partition ``keys`` from metadata alone:
+    directory names give the key values, parquet footers give ``num_rows``
+    — zero data pages read (the reference's fragment-metadata fast path,
+    core.py:55-63 / interface.py:143-149). Returns [(values, rows), ...].
+
+    Driver-side by design: metadata ops touch O(#files) footers, the same
+    tradeoff the reference accepts with ``fragments``/``count_rows``."""
+    import os
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, int] = {}
+
+    def walk(current: str, values: dict) -> None:
+        entries = list(os.scandir(current))
+        subdirs = [e for e in entries if e.is_dir() and "=" in e.name]
+        if subdirs:
+            for e in subdirs:
+                key, _, raw = e.name.partition("=")
+                value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                walk(e.path, {**values, key: value})
+            return
+        n = sum(
+            pq.ParquetFile(e.path).metadata.num_rows
+            for e in entries
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+        if n:
+            group = tuple(values.get(k) for k in keys)
+            groups[group] = groups.get(group, 0) + n
+
+    walk(path, {})
+    ordered = sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
+    )
+    return [(dict(zip(keys, group)), n) for group, n in ordered]
 
 
 def read_table(spark: SparkSession, name: str) -> Dataset:

@@ -259,3 +259,28 @@ def test_read_source_formats_roundtrip(spark, tables, tmp_path_factory):
     )
     assert renamed.df.columns == ["key"]
     assert renamed.count() == len(expected)
+
+
+def test_partition_metadata_fast_paths(spark, tables, tmp_path_factory):
+    # reference interface.py:233-234 / core.py:55-63: group-by-partition-keys
+    # and dataset count answered from directory names + parquet footers
+    from graphique_spark import sources
+
+    dest = str(tmp_path_factory.mktemp("hive") / "nation")
+    sources.write_partitioned(tables["nation"].df, dest, ["n_regionkey"])
+    ds = sources.read_parquet(spark, dest)
+    assert ds.partitioning == ("n_regionkey",)
+
+    fast = ds.group(by=["n_regionkey"], counts="n")
+    assert "Scan parquet" not in fast.explain("simple")  # LocalRelation only
+    got = {(r["n_regionkey"], r["n"]) for r in fast.df.collect()}
+    slow = tables["nation"].df.groupBy("n_regionkey").count()
+    expected = {(r["n_regionkey"], r["count"]) for r in slow.collect()}
+    assert got == expected
+    assert dict(fast.df.dtypes)["n_regionkey"] == dict(ds.df.dtypes)["n_regionkey"]
+
+    # metadata count == scan count; any transformation disables the path
+    assert ds.count() == tables["nation"].count()
+    filtered = ds.filter(F.col("n_regionkey") == 0)
+    assert not hasattr(filtered, "path")
+    assert "Scan parquet" in filtered.group(by=["n_regionkey"]).explain("simple")

@@ -1343,3 +1343,29 @@ def partition_roundtrip(spark, sf_dir):
         .project({"n_regionkey": F.col("n_regionkey").cast("bigint")})
         .df
     )
+
+
+@query(
+    "partition_metadata_groups",
+    """
+    SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def partition_metadata_groups(spark, sf_dir):
+    """Partition fast path (reference interface.py:233-234, core.py:55-63):
+    group-by-partition-key with counts on an untransformed parquet root is
+    answered from directory names + parquet footers — the physical plan is
+    a LocalRelation, zero data pages read."""
+    import os
+    import tempfile
+
+    from graphique_spark import sources
+
+    dest = os.path.join(tempfile.gettempdir(), "graphique_spark_partition_meta")
+    orders = table(spark, sf_dir, "orders")
+    sources.write_partitioned(orders.df, dest, ["o_orderstatus"])
+    ds = sources.read_parquet(spark, dest)
+    out = ds.group(by=["o_orderstatus"], counts="n")
+    assert "Scan parquet" not in out.explain("simple")  # metadata, not scan
+    return out.df

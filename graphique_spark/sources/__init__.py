@@ -79,6 +79,10 @@ def partition_group_counts(
 
     groups: dict[tuple, int] = {}
 
+    if os.path.isfile(path):  # single-file root: one footer, no partitions
+        n = pq.ParquetFile(path).metadata.num_rows
+        return [(dict.fromkeys(keys), n)] if n else []
+
     def walk(current: str, values: dict) -> None:
         entries = list(os.scandir(current))
         subdirs = [e for e in entries if e.is_dir() and "=" in e.name]

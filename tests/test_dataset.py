@@ -284,3 +284,11 @@ def test_partition_metadata_fast_paths(spark, tables, tmp_path_factory):
     filtered = ds.filter(F.col("n_regionkey") == 0)
     assert not hasattr(filtered, "path")
     assert "Scan parquet" in filtered.group(by=["n_regionkey"]).explain("simple")
+
+
+def test_metadata_count_single_file_root(spark):
+    from graphique_spark import sources
+    from tests.conftest import SF_DIR
+
+    ds = sources.read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    assert ds.count() == ds.df.count()

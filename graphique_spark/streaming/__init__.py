@@ -172,6 +172,48 @@ def stateful_user_totals(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: match rows with equal
+    ``keys`` whose right timestamp falls in
+    ``[left_ts - lower, left_ts + upper]`` — the canonical event-correlation
+    join (click -> purchase attribution, request -> response pairing).
+
+    In streaming mode both sides carry watermarks and the time-bound join
+    condition lets Spark expire join state once the watermark passes
+    ``upper`` — state is bounded by (watermark + interval) x arrival rate,
+    never the full history. Batch mode runs the identical condition for
+    backfills and oracle checks. The equality ``keys`` keep it a hash
+    join partitioned by key; without keys it would degenerate to a
+    broadcast-nested-loop range join.
+    """
+    lcols = [F.col(c).alias(c) for c in left.columns]
+    l = left.select(*lcols)
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    if streaming:
+        l = l.withWatermark(left_ts, watermark)
+        r = r.withWatermark(f"r_{right_ts}", watermark)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    cond = (
+        cond
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)
+
+
 def write_stream_to_parquet(df: DataFrame, dest: str, checkpoint: str, trigger_seconds: int = 60):
     """Standard sink: exactly-once parquet append with checkpointing."""
     return (

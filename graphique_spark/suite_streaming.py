@@ -140,3 +140,35 @@ def stream_user_activity(spark, sf_dir):
         .select("user_id", "events_n", "kinds", "total_value", "first_seen", "last_seen")
         .df
     )
+
+
+@query(
+    "stream_interval_join",
+    """
+    WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id % 5 AS cohort,
+           count(*) AS pairs,
+           count(DISTINCT c.event_id) AS clicks_with_purchase
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (click -> purchase attribution within an
+    hour, per user) run in batch mode; the same `streaming.interval_join`
+    attaches watermarks on a readStream pair (state bounded by watermark +
+    interval, see tests/test_streaming.py parity test)."""
+    events = table(spark, sf_dir, "events").df
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = streaming.interval_join(
+        clicks, purchases, keys=["user_id"], lower="0 seconds", upper="1 hour"
+    )
+    return joined.groupBy((F.col("user_id") % 5).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("event_id").alias("clicks_with_purchase"),
+    )

@@ -138,3 +138,46 @@ def test_stream_dedup_within_watermark(spark, tables):
         for q in spark.streams.active:
             q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_interval_join_stream_batch_parity(spark, tables):
+    """The interval join must produce identical pairs as a micro-batch
+    stream-stream join (inner joins emit eagerly; watermarks only bound
+    state) and in batch mode."""
+    events = tables["events"].df
+    batch = streaming.interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        keys=["user_id"],
+        upper="1 hour",
+    )
+    expected = batch.count()
+    assert expected > 0
+
+    workdir = tempfile.mkdtemp(prefix="gs_ssj_")
+    try:
+        src = f"{workdir}/src"
+        events.coalesce(1).write.parquet(src)
+        schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        stream = streaming.read_event_stream(spark, src, schema=schema)
+        joined = streaming.interval_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            keys=["user_id"],
+            upper="1 hour",
+            streaming=True,
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("gs_ssj_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT count(*) FROM gs_ssj_sink").first()[0]
+        assert got == expected
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -294,3 +294,55 @@ def _prefix_jaccard(
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over candidate-pair edges — the survivor-
+    selection step that turns near-dup *pairs* into dedup *groups* (every
+    member of a component is a duplicate of the same canonical doc).
+    Returns (v, component) where component = min doc id reachable.
+
+    Algorithm: iterative min-label propagation. Each round is one slim
+    shuffle join (edges x labels, two longs each) + a min aggregation;
+    ``localCheckpoint`` truncates lineage so plan size stays constant
+    across rounds. Rounds needed = graph diameter — near-dup graphs are
+    shallow (dupes of dupes), so this converges in a handful of rounds.
+    For adversarially long chains at web scale, swap in the large-star/
+    small-star variant (same join primitive, O(log n) rounds); the
+    interface is unchanged.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "component", F.col("v")
+    )
+    if not labels.limit(1).count():
+        return labels
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["v"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr"))
+        )
+        merged = (
+            labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
+            .select(
+                "v",
+                F.col("component").alias("old"),
+                F.least("component", F.coalesce("nbr", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("old") != F.col("component")).limit(1).count()
+        labels = merged.select("v", "component")
+        if not changed:
+            break
+    return labels

@@ -152,9 +152,7 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(docs.unionByName(copies))
 
 
-@query(
-    "dedup_minhash",
-    f"""
+_MINHASH_ORACLE = f"""
     WITH ex AS ({_EX_SQL}),
     sig AS (SELECT doc_id, list(DISTINCT h) AS hs, {_min_items} FROM ex GROUP BY doc_id),
     bands AS (
@@ -173,8 +171,10 @@ def dedup_exact(spark, sf_dir):
              / len(list_distinct(sa.hs || sb.hs)) AS jaccard
     FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
               JOIN sig sb ON cand.id_b = sb.doc_id
-    """,
-)
+"""
+
+
+@query("dedup_minhash", _MINHASH_ORACLE)
 def dedup_minhash(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df
     return dedup.minhash_candidates(
@@ -615,3 +615,37 @@ def sample_stratified(spark, sf_dir):
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("sampled"),
     )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.7
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v)
+    SELECT component, count(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup *groups*: MinHash candidate pairs at J >= 0.7 resolved to
+    connected components (iterative min-label propagation); one row per
+    component with its size — component id = the canonical survivor
+    (min doc id). The oracle replays the pair graph through a recursive
+    CTE reachability closure."""
+    docs = table(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.7
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

@@ -224,3 +224,19 @@ def test_minhash_band_frequency_cap(spark):
     assert capped.count() == 0
     uncapped = dedup.minhash_candidates(df)
     assert uncapped.count() == 45  # all 10-choose-2 pairs
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["v"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0

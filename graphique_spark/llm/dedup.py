@@ -320,6 +320,9 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: the (possibly expensive) upstream pair pipeline
+        # must not re-run inside every propagation round
+        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "component", F.col("v")

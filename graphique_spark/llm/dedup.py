@@ -268,18 +268,37 @@ def ngram_jaccard_pairs(
 def _prefix_jaccard(
     df: DataFrame, text: str, id_col: str, n: int, t: float
 ) -> DataFrame:
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(
-            F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60))
-        ).alias("ng"),
-    ).withColumn("sz", F.size("ng"))
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60))
+            ).alias("ng"),
+        )
+        .withColumn("sz", F.size("ng"))
+        # materialize the tokenized sets once: three consumers below (prefix
+        # explode + both verify joins) would otherwise each re-tokenize and
+        # re-hash the full corpus. On a cluster, swap for
+        # persist(MEMORY_AND_DISK) / checkpoint to reliable storage.
+        .localCheckpoint()
+    )
     plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
-    pref = docs.select("id", F.explode(F.slice("ng", F.lit(1), plen)).alias("tok"))
+    pref = docs.select(
+        "id", "sz", F.explode(F.slice("ng", F.lit(1), plen)).alias("tok")
+    )
     cands = (
-        pref.select("tok", F.col("id").alias("id_a"))
-        .join(pref.select("tok", F.col("id").alias("id_b")), on="tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select("tok", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+        .join(
+            pref.select("tok", F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            on="tok",
+        )
+        # PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t — prune
+        # on the two ints before the (id_a, id_b) dedup shuffle
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= t * F.col("sz_a"))
+            & (F.col("sz_a") >= t * F.col("sz_b"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

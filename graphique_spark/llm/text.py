@@ -111,6 +111,53 @@ def chunk_text(col: Column, size: int = 64, overlap: int = 16) -> Column:
     )
 
 
+def _all_word_ngrams(col: Column, n: int) -> Column:
+    """Every word n-gram occurrence (space-joined), duplicates kept — the
+    multiset the repetition metrics count over."""
+    words = F.split(F.trim(col), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line —
+    the Gopher/MassiveText duplicate-line repetition signal (Rae et al.
+    2021, app. A1.1). Boilerplate-heavy pages (nav bars, cookie banners)
+    score high. Pure in-row HOF arithmetic: no explode, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    total = F.size(lines).cast("double")
+    dup = total - F.size(F.array_distinct(lines))
+    return F.when(total > 0, dup / total).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are duplicates (1 -
+    distinct/total) — Gopher's duplicate-n-gram repetition filter."""
+    grams = _all_word_ngrams(col, n)
+    total = F.size(grams).cast("double")
+    return (total - F.size(F.array_distinct(grams))) / total
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Share of n-gram occurrences taken by the single most frequent
+    n-gram — Gopher's top-n-gram repetition filter. Counting is a nested
+    HOF (per distinct gram, count occurrences): O(distinct x total) per
+    row, JVM-side, no shuffle — document-sized arrays keep it cheap."""
+    grams = _all_word_ngrams(col, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda d: F.size(F.filter(grams, lambda x: x == d)),
+        )
+    )
+    return top.cast("double") / F.size(grams)
+
+
 def term_frequencies(df, text: str = "text", id_col: str = "doc_id"):
     """(doc, term, tf) rows: lowercase word terms exploded, counted per
     doc. One narrow explode + map-side-combinable count."""

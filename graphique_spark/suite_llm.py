@@ -132,6 +132,55 @@ def text_quality(spark, sf_dir):
 
 
 @query(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines,
+             string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines,
+             list_transform(generate_series(0, greatest(len(words) - 2, 1) - 1),
+                            i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS g3,
+             list_transform(generate_series(0, greatest(len(words) - 1, 1) - 1),
+                            i -> array_to_string(list_slice(words, i + 1, i + 2), ' ')) AS g2
+      FROM w
+    )
+    SELECT doc_id,
+      floor((CASE WHEN len(lines) > 0
+        THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+        ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+      floor(((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS dup_3gram_frac,
+      floor((list_max(list_transform(list_distinct(g2),
+                                     d -> len(list_filter(g2, x -> x = d))))
+        / CAST(len(g2) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS top_2gram_frac
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, app. A1.1):
+    duplicate-line fraction, duplicate-3-gram fraction, and the share of
+    2-gram occurrences taken by the most frequent 2-gram. All three are
+    in-row higher-order-function arithmetic — the 100 TB plan is a single
+    embarrassingly parallel scan, no explode and no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.project(
+            {
+                "dup_line_frac": fround(text.dup_line_fraction(F.col("text")), 6),
+                "dup_3gram_frac": fround(text.dup_ngram_fraction(F.col("text"), 3), 6),
+                "top_2gram_frac": fround(text.top_ngram_fraction(F.col("text"), 2), 6),
+            }
+        )
+        .select("doc_id", "dup_line_frac", "dup_3gram_frac", "top_2gram_frac")
+        .df
+    )
+
+
+@query(
     "dedup_exact",
     """
     WITH corpus AS (

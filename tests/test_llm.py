@@ -240,3 +240,31 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        # 4 non-empty lines, "dup dup" repeated: 2 duplicate lines of 4
+        (1, "dup dup\nunique line here\ndup dup\n\ndup dup"),
+        # no repetition at all
+        (2, "every word here is completely different honestly"),
+        # one word repeated 4 times: top 2-gram "go go" covers all 3 bigrams
+        (3, "go go go go"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.dup_line_fraction(F.col("text")).alias("lines"),
+            text.dup_ngram_fraction(F.col("text"), 3).alias("g3"),
+            text.top_ngram_fraction(F.col("text"), 2).alias("g2"),
+        ).collect()
+    }
+    assert out[1]["lines"] == pytest.approx(2 / 4)
+    assert out[2]["lines"] == 0.0
+    assert out[2]["g3"] == 0.0
+    assert out[2]["g2"] == pytest.approx(1 / 6)
+    # doc 3: bigrams = [go go, go go, go go] -> 2 of 3 are dups, top covers all
+    assert out[3]["g3"] == pytest.approx(1 / 2)
+    assert out[3]["g2"] == pytest.approx(1.0)

@@ -101,24 +101,30 @@ def text_langid(spark, sf_dir):
     )
 
 
-@query(
-    "text_quality",
-    """
-    WITH w AS (
-      SELECT doc_id, text,
+# rounded quality score over a `w`-shaped CTE (doc_id, text, words, tokens,
+# stop_hits) — shared by text_quality and corpus_curation
+_QUALITY_CTE = """
+      SELECT *,
              regexp_extract_all(text, '[A-Za-z]+') AS words,
              len(string_split_regex(trim(text), '\\s+')) AS tokens,
              len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS stop_hits
       FROM documents
-    )
-    SELECT doc_id, floor((
+"""
+_QUALITY_EXPR = """floor((
         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
       + least(CAST(stop_hits AS DOUBLE) / tokens * 5.0, 1.0)
       + CASE WHEN (CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words))
                   BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END
       + CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                   / length(text) < 0.1 THEN 1.0 ELSE 0.5 END
-    ) / 4.0 * 1000000 + 0.5) / 1000000 AS quality
+    ) / 4.0 * 1000000 + 0.5) / 1000000"""
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH w AS ({_QUALITY_CTE})
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
     FROM w
     """,
 )
@@ -177,6 +183,63 @@ def text_repetition(spark, sf_dir):
         )
         .select("doc_id", "dup_line_frac", "dup_3gram_frac", "top_2gram_frac")
         .df
+    )
+
+
+@query(
+    "corpus_curation",
+    f"""
+    WITH w AS ({_QUALITY_CTE}),
+    flags AS (
+      SELECT source,
+             doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+             {_QUALITY_EXPR} < 0.5 AS low_quality,
+             CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END > 0.2 AS repetitive
+      FROM (
+        SELECT *, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                              x -> x <> '') AS lines
+        FROM w)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN low_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+           CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN NOT (is_dup OR low_quality OR repetitive) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM flags GROUP BY source
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    """End-to-end curation report — the composed decision a training-data
+    pipeline makes per document (exact-dup? low-quality? repetitive?),
+    rolled up to per-source retention counts. Scale shape: one scan
+    computing all flags in-row, one hash-partitioned window over the
+    md5 content key (never a global window), one partial-aggregated
+    groupBy(source). Quality is compared on the 6-decimal rounded value so
+    the threshold test is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").df
+    is_dup = F.col("doc_id") > F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text")))
+    )
+    flags = docs.select(
+        "source",
+        is_dup.alias("is_dup"),
+        (fround(text.quality_score(F.col("text")), 6) < 0.5).alias("low_quality"),
+        (text.dup_line_fraction(F.col("text")) > 0.2).alias("repetitive"),
+    )
+    kept = ~(F.col("is_dup") | F.col("low_quality") | F.col("repetitive"))
+    flag_count = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total"),
+        flag_count("is_dup").alias("n_dups"),
+        flag_count("low_quality").alias("n_low_quality"),
+        flag_count("repetitive").alias("n_repetitive"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
     )
 
 

@@ -87,7 +87,27 @@ def main() -> None:
         )
         return dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.5)
 
-    probes = {"q1": q1, "star_join": star_join, "window_rank": window_rank, "minhash": minhash}
+    def ngram(mult):
+        from graphique_spark.llm import dedup
+
+        docs = multiplied(spark, "documents", mult)
+        return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.7)
+
+    def components(mult):
+        from graphique_spark.llm import dedup
+
+        docs = multiplied(spark, "documents", mult)
+        pairs = dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.7)
+        return dedup.connected_components(pairs)
+
+    probes = {
+        "q1": q1,
+        "star_join": star_join,
+        "window_rank": window_rank,
+        "minhash": minhash,
+        "ngram": ngram,
+        "components": components,
+    }
     # warmup
     q1(1).write.mode("overwrite").format("noop").save()
 

@@ -167,6 +167,39 @@ def top_ngram_fraction(col: Column, n: int = 2) -> Column:
     return top.cast("double") / F.size(grams)
 
 
+def contaminated_docs(
+    corpus,
+    benchmark,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+):
+    """Train/eval decontamination: corpus docs sharing at least one word
+    n-gram with a benchmark/eval set, with the count of distinct shared
+    n-grams — the standard pretraining leakage check (long n-gram overlap
+    against held-out benchmarks). Returns (id_col, n_shared).
+
+    Scale shape: both sides hash n-grams to longs map-side, so the join
+    shuffles slim (id, long) rows, never gram strings. The benchmark side
+    is left unhinted — eval sets are tiny and AQE broadcasts them when
+    they fit, but a forced hint would OOM if someone passes a huge frame."""
+    from graphique_spark.llm.dedup import hash60, word_ngrams
+
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("g"))
+        .select(hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("g")
+    ).select(id_col, hash60(F.col("g")).alias("h"))
+    return (
+        grams.join(bench_grams, on="h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_shared"))
+    )
+
+
 def term_frequencies(df, text: str = "text", id_col: str = "doc_id"):
     """(doc, term, tf) rows: lowercase word terms exploded, counted per
     doc. One narrow explode + map-side-combinable count."""

@@ -187,6 +187,37 @@ def text_repetition(spark, sf_dir):
 
 
 @query(
+    "decontaminate",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(0, greatest(len(words) - 2, 1) - 1),
+                 i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')))) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents))
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(count(DISTINCT g.h) AS BIGINT) AS n_shared
+    FROM grams g JOIN bench b ON g.h = b.h
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Train/eval decontamination: every 50th doc plays the held-out
+    benchmark; corpus docs sharing any word 3-gram with it are flagged
+    with their distinct shared-gram count. (Real pipelines use longer
+    n-grams — 3 keeps the synthetic corpus's overlap non-trivial.)"""
+    docs = table(spark, sf_dir, "documents").df
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.contaminated_docs(corpus, bench, n=3)
+
+
+@query(
     "corpus_curation",
     f"""
     WITH w AS ({_QUALITY_CTE}),

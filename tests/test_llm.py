@@ -268,3 +268,19 @@ def test_repetition_metrics(spark):
     # doc 3: bigrams = [go go, go go, go go] -> 2 of 3 are dups, top covers all
     assert out[3]["g3"] == pytest.approx(1 / 2)
     assert out[3]["g2"] == pytest.approx(1.0)
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about spark internals")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "this doc leaks the secret benchmark question verbatim here"),
+            (2, "totally unrelated content with no overlap whatsoever friend"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.contaminated_docs(corpus, bench, n=3).collect()
+    assert [(r["doc_id"], r["n_shared"] > 0) for r in out] == [(1, True)]

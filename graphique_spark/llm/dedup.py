@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 MERSENNE = 2_147_483_647
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guarantee map-side parallelism for CPU-dense per-row stages.
+
+    Small compressed inputs — a single parquet row group — arrive as ONE
+    scan partition, serializing shingling/hashing/HOF work no matter how
+    many cores exist (file-split configs cannot subdivide a row group).
+    Text decompresses to far more *compute* than its file size suggests,
+    so round-robin repartition up to ``defaultParallelism`` when the scan
+    has fewer partitions. On any input with enough natural splits — always
+    true at cluster scale — this is a no-op, so the extra shuffle only
+    ever pays when it unlocks idle cores, and what it shuffles is the raw
+    input rows (cheap relative to the per-row compute it parallelizes)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hash60(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative long — the one expensive hash
     per shingle; everything downstream (MinHash permutations, SimHash bit
@@ -107,6 +125,7 @@ def minhash_candidates(
     are dropped via a broadcast anti-join against the (tiny) hot-key set —
     boilerplate that common isn't a useful near-dup signal anyway.
     """
+    df = ensure_parallelism(df)
     rows = num_hashes // bands
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text), k)).alias("s")
@@ -184,6 +203,7 @@ def simhash_table(
     ONCE, then ``bits`` conditional sums folded map-side (partial agg) — one
     shuffle of (id, 16 ints). Same fingerprint as ``simhash_fingerprint``
     but linear in shingles instead of bits×shingles hash evaluations."""
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias(id_col), F.explode(char_shingles(F.col(text), k)).alias("s")
     ).select(id_col, hash60(F.col("s")).alias("h"))
@@ -209,6 +229,7 @@ def exact_duplicates(
     from graphique_spark.llm.text import doc_fingerprint
 
     key = doc_fingerprint(F.col(text)) if normalized else F.md5(F.col(text))
+    df = ensure_parallelism(df)
     return (
         df.select(key.alias("content_hash"), F.col(id_col).alias("id"))
         .groupBy("content_hash")
@@ -240,6 +261,7 @@ def ngram_jaccard_pairs(
     bucket, with a size-ratio prune inside the join).
 
     n-grams are hashed to longs up front — one md5 each, in-row."""
+    df = ensure_parallelism(df)
     if block_by is None:
         return _prefix_jaccard(df, text, id_col, n, min_jaccard)
     block = block_by

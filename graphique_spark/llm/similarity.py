@@ -206,6 +206,9 @@ def embedding_near_dups(
         n = df.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
     planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     docs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -183,8 +183,9 @@ def contaminated_docs(
     shuffles slim (id, long) rows, never gram strings. The benchmark side
     is left unhinted — eval sets are tiny and AQE broadcasts them when
     they fit, but a forced hint would OOM if someone passes a huge frame."""
-    from graphique_spark.llm.dedup import hash60, word_ngrams
+    from graphique_spark.llm.dedup import ensure_parallelism, hash60, word_ngrams
 
+    corpus = ensure_parallelism(corpus)
     bench_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("g"))
         .select(hash60(F.col("g")).alias("h"))
@@ -220,6 +221,9 @@ def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1)
     fits and a shuffle join when it doesn't."""
     from pyspark.sql import Window
 
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     tf = term_frequencies(df, text, id_col)
     n_docs = df.count()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

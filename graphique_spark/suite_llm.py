@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 from graphique_spark.llm import dedup, multimodal, similarity, text
 from graphique_spark.suite import fround, query, table
 
+def _spread(ds):
+    """CPU-dense per-row suite queries: unlock map-side parallelism when the
+    scan is a single small row group (see dedup.ensure_parallelism)."""
+    from graphique_spark.dataset import Dataset
+
+    return Dataset(dedup.ensure_parallelism(ds.df))
+
+
 # --- shared SQL fragments ---------------------------------------------------
 
 # exploded (doc_id, shingle-hash) stream: one md5 per distinct 5-gram,
@@ -52,7 +60,7 @@ _band_keys = ", ".join(
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     return (
         docs.project(
             {
@@ -93,7 +101,7 @@ def _langid_case() -> str:
     """,
 )
 def text_langid(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     return (
         docs.project({"detected": text.language_id(F.col("text"))})
         .group(by=["detected"], counts="n")
@@ -129,7 +137,7 @@ _QUALITY_EXPR = """floor((
     """,
 )
 def text_quality(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     return (
         docs.project({"quality": fround(text.quality_score(F.col("text")), 6)})
         .select("doc_id", "quality")
@@ -172,7 +180,7 @@ def text_repetition(spark, sf_dir):
     2-gram occurrences taken by the most frequent 2-gram. All three are
     in-row higher-order-function arithmetic — the 100 TB plan is a single
     embarrassingly parallel scan, no explode and no shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     return (
         docs.project(
             {
@@ -253,7 +261,7 @@ def corpus_curation(spark, sf_dir):
     the threshold test is bit-identical across engines."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents").df
+    docs = dedup.ensure_parallelism(table(spark, sf_dir, "documents").df)
     is_dup = F.col("doc_id") > F.min("doc_id").over(
         Window.partitionBy(F.md5(F.col("text")))
     )

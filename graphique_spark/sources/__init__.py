@@ -164,13 +164,27 @@ def roots(tables: Mapping[str, Dataset | DataFrame]) -> dict[str, Dataset]:
 
 def normalize_nanos(df: DataFrame, columns: Mapping[str, str] = ()) -> DataFrame:
     """Convert nanosecond-timestamp columns (read as long via
-    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps."""
-    from pyspark.sql import functions as F
+    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps.
 
+    Type-aware, so callers can apply it to any vintage of the dataset:
+
+    * long (nanos-as-long) -> µs TIMESTAMP;
+    * TIMESTAMP_NTZ (parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)) ->
+      TIMESTAMP — watermarks/windows require the instant type, and with the
+      engine's pinned UTC session timezone the wall-clock values are
+      identical;
+    * TIMESTAMP already: left alone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
     for name in columns:
-        # integer `div`, not `/`: ns-since-epoch (~1.8e18) exceeds the
-        # double mantissa, so float division would corrupt microseconds
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+        if isinstance(fields.get(name), LongType):
+            # integer `div`, not `/`: ns-since-epoch (~1.8e18) exceeds the
+            # double mantissa, so float division would corrupt microseconds
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+        elif isinstance(fields.get(name), TimestampNTZType):
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

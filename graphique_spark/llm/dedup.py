@@ -44,6 +44,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def materializer(df_or_spark, checkpoint_dir: str | None = None):
+    """Return a ``DataFrame -> DataFrame`` that cuts lineage, either to
+    reliable storage or locally.
+
+    ``localCheckpoint`` stores blocks on executors: fast, but an executor
+    loss on a real cluster makes them unrecoverable mid-job. Iterative /
+    multi-consumer pipelines (prefix-Jaccard, connected components) accept
+    ``checkpoint_dir`` so production runs can point at HDFS/S3 and get
+    fault-tolerant ``df.checkpoint()`` instead — no library edits needed.
+    """
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint()
+    return lambda df: df.localCheckpoint()
+
+
 def hash60(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative long — the one expensive hash
     per shingle; everything downstream (MinHash permutations, SimHash bit
@@ -245,6 +262,7 @@ def ngram_jaccard_pairs(
     block_by: Column | None = None,
     n: int = 3,
     min_jaccard: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity join. Returns every pair with
     ``J >= min_jaccard`` as (id_a, id_b, jaccard).
@@ -263,7 +281,7 @@ def ngram_jaccard_pairs(
     n-grams are hashed to longs up front — one md5 each, in-row."""
     df = ensure_parallelism(df)
     if block_by is None:
-        return _prefix_jaccard(df, text, id_col, n, min_jaccard)
+        return _prefix_jaccard(df, text, id_col, n, min_jaccard, checkpoint_dir)
     block = block_by
     docs = df.select(
         F.col(id_col).alias("id"),
@@ -288,21 +306,21 @@ def ngram_jaccard_pairs(
 
 
 def _prefix_jaccard(
-    df: DataFrame, text: str, id_col: str, n: int, t: float
+    df: DataFrame, text: str, id_col: str, n: int, t: float,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    docs = (
+    materialize = materializer(df, checkpoint_dir)
+    docs = materialize(
         df.select(
             F.col(id_col).alias("id"),
             F.array_sort(
                 F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60))
             ).alias("ng"),
         )
-        .withColumn("sz", F.size("ng"))
         # materialize the tokenized sets once: three consumers below (prefix
         # explode + both verify joins) would otherwise each re-tokenize and
-        # re-hash the full corpus. On a cluster, swap for
-        # persist(MEMORY_AND_DISK) / checkpoint to reliable storage.
-        .localCheckpoint()
+        # re-hash the full corpus
+        .withColumn("sz", F.size("ng"))
     )
     plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
     pref = docs.select(
@@ -342,29 +360,39 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    method: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the survivor-
     selection step that turns near-dup *pairs* into dedup *groups* (every
     member of a component is a duplicate of the same canonical doc).
     Returns (v, component) where component = min doc id reachable.
 
-    Algorithm: iterative min-label propagation. Each round is one slim
-    shuffle join (edges x labels, two longs each) + a min aggregation;
-    ``localCheckpoint`` truncates lineage so plan size stays constant
-    across rounds. Rounds needed = graph diameter — near-dup graphs are
-    shallow (dupes of dupes), so this converges in a handful of rounds.
-    For adversarially long chains at web scale, swap in the large-star/
-    small-star variant (same join primitive, O(log n) rounds); the
-    interface is unchanged.
+    Two algorithms behind one interface:
+
+    * ``method="label"`` — iterative min-label propagation. Each round is
+      one slim shuffle join (edges x labels, two longs each) + a min
+      aggregation. Rounds needed = graph diameter — near-dup graphs are
+      shallow (dupes of dupes), so this converges in a handful of rounds.
+    * ``method="star"`` — alternating large-star/small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14):
+      O(log n) rounds regardless of diameter, the right choice for
+      adversarially deep chains at web scale.
+
+    ``checkpoint_dir`` (HDFS/S3 path) switches lineage truncation from
+    executor-local blocks to reliable storage — required for fault
+    tolerance on a real cluster; local mode defaults to localCheckpoint.
     """
-    edges = (
+    materialize = materializer(pairs, checkpoint_dir)
+    edges = materialize(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         # materialize once: the (possibly expensive) upstream pair pipeline
         # must not re-run inside every propagation round
-        .localCheckpoint()
     )
+    if method == "star":
+        return _star_components(edges, max_iterations, materialize)
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "component", F.col("v")
     )
@@ -376,17 +404,86 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr"))
         )
-        merged = (
+        merged = materialize(
             labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
             .select(
                 "v",
                 F.col("component").alias("old"),
                 F.least("component", F.coalesce("nbr", "component")).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = merged.filter(F.col("old") != F.col("component")).limit(1).count()
         labels = merged.select("v", "component")
         if not changed:
+            return labels
+    # rounds = diameter for label propagation: exhausting the budget means
+    # unconverged labels, which would silently mislabel deep chains.
+    raise RuntimeError(
+        f"connected_components(method='label') did not converge in "
+        f"{max_iterations} rounds (graph diameter exceeds budget); "
+        "use method='star' (O(log n) rounds) for deep-chain graphs"
+    )
+
+
+def _star_components(edges: DataFrame, max_iterations: int, materialize) -> DataFrame:
+    """Alternating large-star/small-star rounds over an undirected edge
+    list (both directions present). Converges to a forest of depth-1 stars
+    rooted at each component's minimum id in O(log n) rounds.
+
+    Per round, both operations are one groupBy + one self-join on slim
+    (long, long) rows — partial min aggregation map-side, no collects:
+
+    * large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+    * small-star(u): over edges oriented a > b, m = min(N(u) ∪ {u});
+      emit (v, m) for the small neighbors v ≤ u plus (u, m).
+    """
+    vertices = edges.select(F.col("a").alias("v")).distinct()
+    if not vertices.limit(1).count():
+        return vertices.withColumn("component", F.col("v"))
+    for _ in range(max_iterations):
+        # large-star: connect every big neighbor to the neighborhood min
+        mins = edges.groupBy("a").agg(
+            F.min(F.least(F.col("a"), F.col("b"))).alias("m")
+        )
+        large = (
+            edges.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient a > b, connect small neighbors (and u) to min
+        oriented = large  # large-star output is already oriented a > b
+        omins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(omins, "a")
+            .select(
+                F.col("m"),
+                F.when(F.col("b") == F.col("m"), F.col("a")).otherwise(F.col("b")).alias("n"),
+            )
+            .filter(F.col("m") != F.col("n"))
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        new_edges = materialize(
+            small.union(small.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        )
+        # converged when the oriented star edges are a fixed point: every
+        # node's neighbors are all smaller (large-star emits nothing new)
+        progress = (
+            new_edges.subtract(edges).limit(1).count()
+            or edges.subtract(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if not progress:
             break
-    return labels
+    roots = (
+        edges.filter(F.col("a") > F.col("b"))
+        .groupBy(F.col("a").alias("v"))
+        .agg(F.min("b").alias("component"))
+    )
+    # star roots label themselves; isolated-after-contraction vertices too
+    self_labeled = vertices.join(roots, "v", "left_anti").withColumn(
+        "component", F.col("v")
+    )
+    return roots.union(self_labeled)

@@ -240,6 +240,59 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
+    assert dedup.connected_components(pairs, method="star").count() == 0
+
+
+def test_star_components_matches_label_propagation(spark):
+    import random
+
+    rng = random.Random(42)
+    # random graph: a few dense clumps + isolated edges + a deep chain
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges += [(100 + i, 100 + i + 1) for i in range(64)]  # 65-node chain
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    label = {
+        r["v"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iterations=70).collect()
+    }
+    star = {
+        r["v"]: r["component"]
+        for r in dedup.connected_components(pairs, method="star").collect()
+    }
+    assert star == label
+    # the chain component resolves to its minimum id
+    assert star[164] == 100
+
+
+def test_star_components_chain_round_count(spark):
+    # O(log n) rounds on a 65-node chain: 8 iterations must suffice
+    # (min-label propagation would need ~64)
+    edges = [(200 + i, 200 + i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(pairs, method="star", max_iterations=8)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {200}
+    # and label propagation raises rather than silently mislabeling
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=8).collect()
+
+
+def test_prefix_jaccard_reliable_checkpoint(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different content about spark clusters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(
+        df, n=2, min_jaccard=0.3, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(1, 2)]
+    # reliable checkpoint actually wrote to the configured dir
+    assert any((tmp_path / "ckpt").iterdir())
 
 
 def test_repetition_metrics(spark):

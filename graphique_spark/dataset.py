@@ -283,10 +283,105 @@ class Dataset:
 
     # -- ordering / limiting ---------------------------------------------------
 
+    def _fragment_prune(
+        self, by: Sequence[str], limit: int | None = None,
+        rank: int | None = None, dense: bool = False,
+    ):
+        """File-level prune for ``order(limit)``/``first`` on an
+        untransformed partitioned root (reference core.py:81-99): sort the
+        fragment inventory (directory values + footer row counts, zero data
+        pages) by the leading partition-key block of the sort spec, keep
+        only the files that can contain qualifying rows, and return a scan
+        of just those files. The generic operator then computes the exact
+        result over the pruned scan. Returns None when inapplicable.
+
+        Correctness: sort keys must start with >=1 partition keys and the
+        remaining keys must be non-partition columns — then row order
+        refines fragment-key order, and closing over the boundary key value
+        keeps every file that could hold a qualifying row."""
+        path = getattr(self, "path", None)
+        if not (path and self.partitioning and by):
+            return None
+        names = [k.lstrip("-") for k in by]
+        parts = set(self.partitioning)
+        j = 0
+        while j < len(names) and names[j] in parts:
+            j += 1
+        if j == 0 or any(n in parts for n in names[j:]):
+            return None
+        from graphique_spark import sources
+
+        files = sources.partition_file_counts(path, names[:j])
+        if not files:
+            return None
+        types = dict(self.df.dtypes)
+
+        def typed(raw, dtype):
+            if raw is None:
+                return None
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                return int(raw)
+            if dtype in ("float", "double") or dtype.startswith("decimal"):
+                return float(raw)
+            return raw  # strings; ISO dates/timestamps sort lexicographically
+
+        decorated = [
+            (tuple(typed(vals[n], types.get(n, "")) for n in names[:j]), f, n)
+            for vals, f, n in files
+        ]
+        # stable multi-level sort, last key first; asc = nulls first,
+        # desc = nulls last (Spark's defaults), via the (is_null, value)
+        # tuple trick reversed wholesale for descending keys
+        for i in range(j - 1, -1, -1):
+            desc = by[i].startswith("-")
+            decorated.sort(
+                key=lambda t: (t[0][i] is not None, t[0][i]) if t[0][i] is not None
+                else (False, 0),
+                reverse=desc,
+            )
+        chosen: list[str] = []
+        if limit is not None:  # order(limit): files covering `limit` rows
+            cum, boundary = 0, None
+            for vals, f, n in decorated:
+                if cum >= limit and vals != boundary:
+                    break
+                chosen.append(f)
+                cum += n
+                boundary = vals
+        else:  # first(rank): files of qualifying distinct key values
+            groups: list[tuple[tuple, int]] = []
+            for vals, f, n in decorated:
+                if groups and groups[-1][0] == vals:
+                    groups[-1] = (vals, groups[-1][1] + n)
+                else:
+                    groups.append((vals, n))
+            keep: set[tuple] = set()
+            rows_before = 0
+            for idx, (vals, n) in enumerate(groups):
+                if dense:
+                    if idx < rank:
+                        keep.add(vals)
+                elif rows_before < rank:
+                    keep.add(vals)
+                rows_before += n
+            chosen = [f for vals, f, n in decorated if vals in keep]
+        if len(chosen) == len(decorated):
+            return None  # nothing pruned; use the original scan
+        reader = self.df.sparkSession.read.option("basePath", path)
+        return reader.parquet(*chosen).select(*self.df.columns)
+
     def order(self, by: Sequence[str], limit: int | None = None, over: Sequence[str] = ()) -> "Dataset":
+        if limit is not None and not over:
+            pruned = self._fragment_prune(by, limit=limit)
+            if pruned is not None:
+                return self._wrap(top_k(pruned, by, limit, over))
         return self._wrap(top_k(self.df, by, limit, over))
 
     def first(self, by: Sequence[str], rank: int = 1, dense: bool = False, over: Sequence[str] = ()) -> "Dataset":
+        if not over:
+            pruned = self._fragment_prune(by, rank=rank, dense=dense)
+            if pruned is not None:
+                return self._wrap(rank_filter(pruned, by, rank, dense, over))
         return self._wrap(rank_filter(self.df, by, rank, dense, over))
 
     def slice(self, offset: int = 0, limit: int | None = None) -> "Dataset":

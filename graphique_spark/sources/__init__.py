@@ -108,6 +108,42 @@ def partition_group_counts(
     return [(dict(zip(keys, group)), n) for group, n in ordered]
 
 
+def partition_file_counts(
+    path: str, keys: Sequence[str]
+) -> list[tuple[dict, str, int]]:
+    """Per-file ``(partition values, file path, num_rows)`` from directory
+    names + parquet footers alone — the fragment inventory behind the
+    ordered partition-key fast paths (reference core.py:44-63 ``fragments``
+    with ``counts``). Values for non-partition ``keys`` come back None."""
+    import os
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[dict, str, int]] = []
+    if os.path.isfile(path):
+        n = pq.ParquetFile(path).metadata.num_rows
+        return [(dict.fromkeys(keys), path, n)] if n else []
+
+    def walk(current: str, values: dict) -> None:
+        entries = list(os.scandir(current))
+        subdirs = [e for e in entries if e.is_dir() and "=" in e.name]
+        if subdirs:
+            for e in subdirs:
+                key, _, raw = e.name.partition("=")
+                value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                walk(e.path, {**values, key: value})
+            return
+        for e in entries:
+            if e.is_file() and e.name.endswith(".parquet"):
+                n = pq.ParquetFile(e.path).metadata.num_rows
+                if n:
+                    out.append(({k: values.get(k) for k in keys}, e.path, n))
+
+    walk(path, {})
+    return out
+
+
 def read_table(spark: SparkSession, name: str) -> Dataset:
     """Root at a catalog table (the ibis-backend analog)."""
     return Dataset(spark.table(name), source_type="Table")

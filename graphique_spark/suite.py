@@ -1346,6 +1346,60 @@ def partition_roundtrip(spark, sf_dir):
 
 
 @query(
+    "order_partition_prune",
+    """
+    SELECT event_type FROM (
+      SELECT event_type FROM events ORDER BY event_type LIMIT 100
+    ) ORDER BY event_type
+    """,
+)
+def order_partition_prune(spark, sf_dir):
+    """Ordered partition-key fast path (reference core.py:81-88):
+    order(by=partition_key, limit) on an untransformed partitioned root
+    sorts the fragment inventory from footers and scans only the files
+    covering `limit` rows. Asserts the scan is actually pruned."""
+    import os
+    import tempfile
+
+    from graphique_spark import sources
+
+    dest = os.path.join(tempfile.gettempdir(), "graphique_spark_order_fp")
+    events = table(spark, sf_dir, "events")
+    sources.write_partitioned(events.df, dest, ["event_type"])
+    ds = sources.read_parquet(spark, dest)
+    out = ds.order(by=["event_type"], limit=100)
+    assert len(out.df.inputFiles()) < len(ds.df.inputFiles())
+    return out.df.select("event_type")
+
+
+@query(
+    "first_partition_prune",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name
+    FROM nation
+    WHERE n_regionkey = (SELECT min(n_regionkey) FROM nation)
+    """,
+)
+def first_partition_prune(spark, sf_dir):
+    """first(by=partition_key) fast path (reference core.py:90-99): only
+    the fragments of qualifying key values are scanned."""
+    import os
+    import tempfile
+
+    from graphique_spark import sources
+
+    dest = os.path.join(tempfile.gettempdir(), "graphique_spark_first_fp")
+    nation = table(spark, sf_dir, "nation")
+    sources.write_partitioned(nation.df, dest, ["n_regionkey"])
+    ds = sources.read_parquet(spark, dest)
+    out = ds.first(by=["n_regionkey"], rank=1, dense=True)
+    assert len(out.df.inputFiles()) < len(ds.df.inputFiles())
+    return out.df.select(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"), "n_name"
+    )
+
+
+@query(
     "partition_metadata_groups",
     """
     SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus, count(*) AS n

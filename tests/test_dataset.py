@@ -292,3 +292,59 @@ def test_metadata_count_single_file_root(spark):
 
     ds = sources.read_parquet(spark, f"{SF_DIR}/nation.parquet")
     assert ds.count() == ds.df.count()
+
+
+def test_order_partition_key_prunes_files(spark, tables, tmp_path_factory):
+    # reference core.py:81-88: order(by=partition_keys, limit) bisects
+    # fragment row counts and scans only the files covering `limit`
+    from graphique_spark import sources
+
+    dest = str(tmp_path_factory.mktemp("ordroot") / "events")
+    sources.write_partitioned(tables["events"].df, dest, ["event_type"])
+    ds = sources.read_parquet(spark, dest)
+    total_files = len(ds.df.inputFiles())
+
+    pruned = ds.order(by=["event_type"], limit=5)
+    assert len(pruned.df.inputFiles()) < total_files
+    expected = [
+        r["event_type"]
+        for r in tables["events"].df.orderBy("event_type").limit(5).collect()
+    ]
+    assert [r["event_type"] for r in pruned.df.collect()] == expected
+
+    # descending + secondary non-partition key: still prunable
+    pruned_desc = ds.order(by=["-event_type", "ts"], limit=3)
+    assert len(pruned_desc.df.inputFiles()) < total_files
+    expected_desc = [
+        (r["event_type"], r["ts"])
+        for r in tables["events"].df.orderBy(F.desc("event_type"), "ts").limit(3).collect()
+    ]
+    assert [
+        (r["event_type"], r["ts"]) for r in pruned_desc.df.collect()
+    ] == expected_desc
+
+    # sort key not led by a partition key: no prune, still correct
+    unpruned = ds.order(by=["ts"], limit=2)
+    assert len(unpruned.df.inputFiles()) == total_files
+
+
+def test_first_partition_key_prunes_files(spark, tables, tmp_path_factory):
+    # reference core.py:90-99: first(by=partition_key, rank) keeps only the
+    # fragments of qualifying key values
+    from graphique_spark import sources
+
+    dest = str(tmp_path_factory.mktemp("firstroot") / "nation")
+    sources.write_partitioned(tables["nation"].df, dest, ["n_regionkey"])
+    ds = sources.read_parquet(spark, dest)
+    total_files = len(ds.df.inputFiles())
+
+    first = ds.first(by=["n_regionkey"], rank=2, dense=True)
+    assert len(first.df.inputFiles()) < total_files
+    got = {r["n_regionkey"] for r in first.df.collect()}
+    assert got == {0, 1}
+    assert first.df.count() == tables["nation"].df.filter("n_regionkey <= 1").count()
+
+    # sparse rank over a descending int partition key
+    last = ds.first(by=["-n_regionkey"], rank=1)
+    assert len(last.df.inputFiles()) < total_files
+    assert {r["n_regionkey"] for r in last.df.collect()} == {4}

@@ -181,6 +181,12 @@ def read_source(
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> Dataset:
+    """Root at a JDBC table (the reference's SQL-backend roots,
+    README.md:42-56). Filters/projections push into the database query
+    (``PushedFilters`` in the scan). For scale, pass ``partitionColumn`` +
+    ``lowerBound``/``upperBound``/``numPartitions`` so the read issues N
+    range-predicated queries in parallel instead of one serial cursor;
+    ``driver`` selects an explicit JDBC driver class."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for key, value in options.items():
         reader = reader.option(key, value)

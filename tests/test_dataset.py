@@ -348,3 +348,32 @@ def test_first_partition_key_prunes_files(spark, tables, tmp_path_factory):
     last = ds.first(by=["-n_regionkey"], rank=1)
     assert len(last.df.inputFiles()) < total_files
     assert {r["n_regionkey"] for r in last.df.collect()} == {4}
+
+
+def test_read_jdbc_end_to_end_derby(spark, tmp_path):
+    # Spark bundles Derby (embedded, pure-Java) for the hive metastore —
+    # use it to exercise read_jdbc for real: schema resolution, rows, and
+    # predicate pushdown into the JDBCRelation scan
+    from graphique_spark import sources
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    stmt = conn.createStatement()
+    stmt.executeUpdate("CREATE TABLE regions (r_id INT, r_name VARCHAR(32))")
+    for i, name in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE"]):
+        stmt.executeUpdate(f"INSERT INTO regions VALUES ({i}, '{name}')")
+    stmt.close()
+    conn.close()
+
+    ds = sources.read_jdbc(
+        spark, url, "regions", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    assert ds.source_type == "JDBCTable"
+    rows = {(r["R_ID"], r["R_NAME"]) for r in ds.df.collect()}
+    assert rows == {(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE")}
+
+    filtered = ds.filter(F.col("R_ID") >= 2)
+    plan = filtered.explain("formatted")
+    assert "PushedFilters" in plan and "R_ID" in plan  # pushed to the DB
+    assert filtered.df.count() == 2

@@ -1,11 +1,20 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with typed
 metadata, processed by Arrow-batched pandas functions via ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this environment):
-``decode_image_stub`` derives deterministic fake dimensions/features from
-the bytes so the Spark-side plumbing — schema contract, batch iteration,
-partition-parallel execution — is real and testable. Swapping the stub for
-PIL/torchvision is a one-function change; the plan shape is identical.
+The decoders are REAL for two trivially-parseable public formats that need
+no imaging/audio libraries:
+
+* **PPM (P6)** — netpbm binary image: ASCII header + raw RGB bytes,
+  parsed with a regex + ``numpy.frombuffer``; features are actual pixel
+  statistics of the decoded (h, w, 3) array.
+* **WAV (RIFF/PCM)** — decoded with the stdlib ``wave`` module; features
+  are actual PCM sample statistics (RMS, mean |amplitude|, zero-crossing
+  rate).
+* video stands in as a **concatenated-PPM container** (motion-JPEG-style):
+  frame sampling really walks the container frame by frame.
+
+Heavier codecs (JPEG/MP4/FLAC) slot into the same Arrow-batched contract
+by swapping the per-blob decode function — the plan shape is identical.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through one
 Python worker per core; binary payloads never pass through the driver.
@@ -15,8 +24,12 @@ the batch function instead of materializing blobs in the table.
 
 from __future__ import annotations
 
+import io
+import re
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,41 +39,129 @@ DECODED_SCHEMA = (
     "doc_id long, byte_len int, width int, height int, channels int, features array<double>"
 )
 
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", re.DOTALL)
 
+
+# -- synthesis (testdata ships no media; blobs are real-format bytes) --------
+
+def ppm_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real P6 PPM image: deterministic gradient pixels
+    ``(x + y + c + seed) % 256`` — closed-form, so a SQL oracle can verify
+    the decoded statistics independently."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    pixels = ((x + y + c + seed) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
+
+
+def wav_bytes(seed: int, n_samples: int = 256, sample_rate: int = 8000) -> bytes:
+    """A real RIFF/PCM WAV: 16-bit mono sawtooth, frequency bin from the
+    seed, sample ``((i*fb) % 64) * 200 - 6400`` — integer closed form, so a
+    SQL oracle reproduces the decoded statistics bit-exactly (a sine would
+    risk 1-ulp libm divergence at floor() boundaries)."""
+    fb = seed % 8 + 1
+    i = np.arange(n_samples)
+    samples = (((i * fb) % 64) * 200 - 6400).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def attach_image_blobs(df: DataFrame, id_col: str = "doc_id", out: str = "blob") -> DataFrame:
+    """Attach a deterministic real-PPM blob per row (w/h derived from the
+    id). Demo plumbing — real pipelines read ``binaryFile``/binary parquet."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            ids = pdf[id_col]
+            pdf = pdf.copy()
+            pdf[out] = [
+                ppm_bytes(int(d), 8 + int(d) % 8, 8 + (int(d) // 8) % 8) for d in ids
+            ]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(batches, schema=f"{schema}, {out} binary")
+
+
+def attach_audio_blobs(df: DataFrame, id_col: str = "doc_id", out: str = "blob") -> DataFrame:
+    """Attach a deterministic real-WAV blob per row."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf[out] = [wav_bytes(int(d)) for d in pdf[id_col]]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(batches, schema=f"{schema}, {out} binary")
+
+
+def attach_video_blobs(
+    df: DataFrame, id_col: str = "doc_id", out: str = "blob", n_frames: int = 12
+) -> DataFrame:
+    """Attach a concatenated-PPM 'video' container (``n_frames`` 8x8 frames)."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf[out] = [
+                b"".join(ppm_bytes(int(d) + f, 8, 8) for f in range(n_frames))
+                for d in pdf[id_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(batches, schema=f"{schema}, {out} binary")
+
+
+# back-compat demo helper (text bytes as opaque blob)
 def attach_fake_blob(df: DataFrame, text: str = "text", out: str = "blob") -> DataFrame:
-    """Demo helper: derive a deterministic binary column from text (the
-    testdata ships no real media); real pipelines read binary parquet/
-    ``binaryFile`` sources directly."""
     return df.withColumn(out, F.encode(F.col(text), "utf-8"))
 
 
-def decode_image_stub(blob: bytes) -> tuple[int, int, int, list[float]]:
-    """Deterministic fake decode: width/height/channels and an 8-dim
-    feature vector derived from byte statistics. Replace with a real
-    decoder (PIL, ffmpeg) outside this container."""
-    if blob is None or len(blob) == 0:
-        raise NotImplementedError("empty blob: real decoder required for actual media")
-    n = len(blob)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
-    channels = 3
-    features = [float(blob[i % n]) / 255.0 for i in range(8)]
-    return width, height, channels, features
+# -- decoders ----------------------------------------------------------------
+
+def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Parse one P6 PPM: returns (width, height, (h, w, 3) uint8 array,
+    header+pixel byte length). Raises ValueError on malformed input."""
+    match = _PPM_HEADER.match(blob)
+    if not match:
+        raise ValueError("not a P6 PPM image")
+    width, height, maxval = map(int, match.groups())
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    start = match.end()
+    n = width * height * 3
+    if len(blob) < start + n:
+        raise ValueError("truncated PPM pixel data")
+    pixels = np.frombuffer(blob[start : start + n], dtype=np.uint8).reshape(
+        height, width, 3
+    )
+    return width, height, pixels, start + n
 
 
 def decode_images(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode binary blobs to metadata + features via ``mapInPandas``
-    (Arrow-batched; one Python roundtrip per batch, not per row)."""
+    """Decode P6 PPM blobs to metadata + real pixel-statistic features via
+    ``mapInPandas`` (Arrow-batched; one Python roundtrip per batch, not per
+    row). Features: [mean_r, mean_g, mean_b, min, max] scaled to [0, 1]."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob)
-                width, height, channels, features = decode_image_stub(blob)
-                rows.append((doc_id, len(blob), width, height, channels, features))
+                width, height, pixels, _ = decode_ppm(blob)
+                means = pixels.reshape(-1, 3).mean(axis=0) / 255.0
+                features = [*means, pixels.min() / 255.0, pixels.max() / 255.0]
+                rows.append((doc_id, len(blob), width, height, 3, features))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "byte_len", "width", "height", "channels", "features"],
@@ -69,38 +170,41 @@ def decode_images(
     return df.select(id_col, blob_col).mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
-def frame_sample_stub(
+def sample_frames(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", every: int = 10
 ) -> DataFrame:
-    """Video-frame-sampling plumbing: one output row per sampled frame
-    index; frame decode itself is stubbed to a byte-derived checksum."""
+    """Walk a concatenated-PPM container frame by frame (real parsing: each
+    header is re-read, each frame's pixels are decoded); emit every
+    ``every``-th frame with its actual mean pixel value."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob)
-                n_frames = max(len(blob) // 100, 1)
-                for idx in range(0, n_frames, every):
-                    checksum = sum(blob[idx : idx + 100]) % 65536
-                    rows.append((doc_id, idx, checksum))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "checksum"])
+                offset = idx = 0
+                while offset < len(blob):
+                    _, _, pixels, consumed = decode_ppm(blob[offset:])
+                    if idx % every == 0:
+                        rows.append((doc_id, idx, float(pixels.mean() / 255.0)))
+                    offset += consumed
+                    idx += 1
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_px"])
 
     return df.select(id_col, blob_col).mapInPandas(
-        batches, schema="doc_id long, frame_idx int, checksum int"
+        batches, schema="doc_id long, frame_idx int, mean_px double"
     )
 
 
-def resize_images_stub(
+def resize_images(
     df: DataFrame,
     blob_col: str = "blob",
     id_col: str = "doc_id",
     target: tuple[int, int] = (32, 32),
 ) -> DataFrame:
-    """Resize plumbing: emits the target-size metadata and a re-derived
-    byte-stat feature per image. The actual pixel resample is stubbed
-    (no imaging libs here); a real implementation swaps the body for
-    PIL's ``Image.resize`` keeping the same Arrow-batched contract."""
+    """Nearest-neighbor resample of decoded PPM pixels to ``target`` —
+    a real resize over real pixels (numpy integer indexing), keeping the
+    Arrow-batched contract. Returns the resized mean pixel value."""
 
     tw, th = target
 
@@ -108,12 +212,11 @@ def resize_images_stub(
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                blob = bytes(blob)
-                if not blob:
-                    raise NotImplementedError("empty blob: real resampler required")
-                # deterministic stand-in for the resampled pixel summary
-                mean_byte = sum(blob) / len(blob) / 255.0
-                rows.append((doc_id, tw, th, mean_byte))
+                width, height, pixels, _ = decode_ppm(bytes(blob))
+                ys = (np.arange(th) * height) // th
+                xs = (np.arange(tw) * width) // tw
+                resized = pixels[ys][:, xs]
+                rows.append((doc_id, tw, th, float(resized.mean() / 255.0)))
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_px"])
 
     return df.select(id_col, blob_col).mapInPandas(
@@ -121,27 +224,43 @@ def resize_images_stub(
     )
 
 
-def audio_features_stub(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", n_bands: int = 4
+def decode_audio(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Audio feature-extraction plumbing: per-blob band energies (stubbed
-    as strided byte means); a real pipeline swaps in an FFT over decoded
-    PCM with the same (id, array<double>) contract."""
+    """Decode RIFF/PCM WAV blobs with the stdlib ``wave`` reader; features
+    are real PCM statistics: duration (s), RMS and mean |amplitude| scaled
+    by 2^15, and zero-crossing rate."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                blob = bytes(blob)
-                if not blob:
-                    raise NotImplementedError("empty blob: real decoder required")
-                bands = [
-                    (sum(blob[b::n_bands]) / max(len(blob[b::n_bands]), 1)) / 255.0
-                    for b in range(n_bands)
-                ]
-                rows.append((doc_id, bands))
-            yield pd.DataFrame(rows, columns=["doc_id", "bands"])
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM supported")
+                    sr = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                n = len(samples)
+                rms = float(np.sqrt((samples**2).mean()) / 32768.0) if n else 0.0
+                mean_abs = float(np.abs(samples).mean() / 32768.0) if n else 0.0
+                signs = np.sign(samples)
+                crossings = int((signs[1:] * signs[:-1] < 0).sum()) if n > 1 else 0
+                rows.append(
+                    (doc_id, sr, n, n / sr, rms, mean_abs, crossings / max(n - 1, 1))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration",
+                    "rms", "mean_abs", "zero_cross_rate",
+                ],
+            )
 
     return df.select(id_col, blob_col).mapInPandas(
-        batches, schema="doc_id long, bands array<double>"
+        batches,
+        schema=(
+            "doc_id long, sample_rate int, n_samples int, duration double, "
+            "rms double, mean_abs double, zero_cross_rate double"
+        ),
     )

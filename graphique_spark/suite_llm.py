@@ -433,24 +433,41 @@ def similarity_topk(spark, sf_dir):
 @query(
     "multimodal_decode",
     """
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w,
+             8 + (doc_id // 8) % 8 AS h,
+             flatten(list_transform(generate_series(0, 8 + (doc_id // 8) % 8 - 1), y ->
+               list_transform(generate_series(0, 8 + doc_id % 8 - 1), x ->
+                 x + y + doc_id))) AS base
+      FROM documents WHERE doc_id < 100
+    )
     SELECT doc_id,
-           CAST(length(text) AS INT) AS byte_len,
-           CAST(16 + length(text) % 64 AS INT) AS width,
-           CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
-           3 AS channels,
-           array_to_string(
-             list_transform(generate_series(1, 8),
-                            i -> CAST(floor(CAST(ord(substr(text, i, 1)) AS DOUBLE)
-                                            / 255.0 * 1000000 + 0.5) AS BIGINT)),
-             ',') AS features_csv
-    FROM documents WHERE doc_id < 100
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + w * h * 3 AS INT) AS byte_len,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+           array_to_string(list_transform([
+               list_aggregate(list_transform(base, v -> CAST(v % 256 AS DOUBLE)), 'avg') / 255.0,
+               list_aggregate(list_transform(base, v -> CAST((v + 1) % 256 AS DOUBLE)), 'avg') / 255.0,
+               list_aggregate(list_transform(base, v -> CAST((v + 2) % 256 AS DOUBLE)), 'avg') / 255.0,
+               least(list_aggregate(list_transform(base, v -> v % 256), 'min'),
+                     list_aggregate(list_transform(base, v -> (v + 1) % 256), 'min'),
+                     list_aggregate(list_transform(base, v -> (v + 2) % 256), 'min')) / 255.0,
+               greatest(list_aggregate(list_transform(base, v -> v % 256), 'max'),
+                        list_aggregate(list_transform(base, v -> (v + 1) % 256), 'max'),
+                        list_aggregate(list_transform(base, v -> (v + 2) % 256), 'max')) / 255.0
+             ], f -> CAST(floor(f * 1000000 + 0.5) AS BIGINT)), ',') AS features_csv
+    FROM px
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    # The decoded feature vector (array<double>) is serialized to a CSV of
-    # 1e6-scaled integers — the driver's canonicalizer can't hash raw lists.
+    """REAL image decode: P6 PPM blobs (synthesized with a closed-form
+    gradient so DuckDB can verify independently) parsed with regex +
+    numpy.frombuffer; features are actual pixel statistics. The decoded
+    feature vector is serialized to a CSV of 1e6-scaled integers — the
+    driver's canonicalizer can't hash raw lists."""
     docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
-    with_blob = multimodal.attach_fake_blob(docs)
+    with_blob = multimodal.attach_image_blobs(docs.select("doc_id"))
     decoded = multimodal.decode_images(with_blob).withColumn(
         "channels", F.col("channels").cast("int")
     )
@@ -464,6 +481,70 @@ def multimodal_decode(spark, sf_dir):
             ",",
         ),
     ).drop("features")
+
+
+@query(
+    "multimodal_audio",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 255), i ->
+               CAST(((i * (doc_id % 8 + 1)) % 64) * 200 - 6400 AS DOUBLE)) AS pcm
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, 8000 AS sample_rate, 256 AS n_samples,
+           0.032 AS duration,
+           sqrt(list_aggregate(list_transform(pcm, v -> v * v), 'avg')) / 32768.0 AS rms,
+           list_aggregate(list_transform(pcm, v -> abs(v)), 'avg') / 32768.0 AS mean_abs,
+           list_aggregate(list_transform(generate_series(1, 255), i ->
+             CASE WHEN sign(pcm[i + 1]) * sign(pcm[i]) < 0 THEN 1 ELSE 0 END),
+             'sum') / 255.0 AS zero_cross_rate
+    FROM s
+    """,
+)
+def multimodal_audio(spark, sf_dir):
+    """REAL audio decode: RIFF/PCM WAV blobs read by the stdlib wave
+    module; features are actual PCM statistics (integer sawtooth synth, so
+    the oracle reproduces them bit-exactly)."""
+    docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
+    with_blob = multimodal.attach_audio_blobs(docs.select("doc_id"))
+    return multimodal.decode_audio(with_blob).select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        "duration", "rms", "mean_abs", "zero_cross_rate",
+    )
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest([0, 5, 10]) AS frame_idx
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           floor(list_aggregate(flatten(
+             list_transform(generate_series(0, 7), y ->
+               list_transform(generate_series(0, 7), x ->
+                 CAST(((x + y + doc_id + frame_idx) % 256
+                       + (x + y + doc_id + frame_idx + 1) % 256
+                       + (x + y + doc_id + frame_idx + 2) % 256) AS DOUBLE) / 3.0))),
+             'avg') / 255.0 * 1000000 + 0.5) AS mean_px_scaled
+    FROM f
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """REAL video-frame sampling: a concatenated-PPM container walked
+    frame by frame (every 5th of 12), each frame's pixels actually decoded;
+    the per-frame mean is verified against the closed-form gradient."""
+    docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 50)
+    with_blob = multimodal.attach_video_blobs(docs.select("doc_id"), n_frames=12)
+    out = multimodal.sample_frames(with_blob, every=5)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.floor(F.col("mean_px") * 1000000.0 + F.lit(0.5)).alias("mean_px_scaled"),
+    )
 
 
 # --- IVF ANN + embedding near-dup -------------------------------------------

@@ -114,29 +114,42 @@ def test_quality_score_range(tables):
     assert all(0.0 <= r["q"] <= 1.0 for r in scores)
 
 
-def test_multimodal_decode_contract(tables):
-    docs = tables["documents"].df.limit(20)
-    decoded = multimodal.decode_images(multimodal.attach_fake_blob(docs))
+def test_multimodal_decode_real_ppm(tables):
+    import numpy as np
+
+    docs = tables["documents"].df.limit(20).select("doc_id")
+    decoded = multimodal.decode_images(multimodal.attach_image_blobs(docs))
     rows = decoded.collect()
     assert len(rows) == 20
     for r in rows:
-        assert r["byte_len"] > 0
-        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
-        assert len(r["features"]) == 8
-        assert all(0.0 <= f <= 1.0 for f in r["features"])
+        d = r["doc_id"]
+        w, h = 8 + d % 8, 8 + (d // 8) % 8
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["byte_len"] == len(multimodal.ppm_bytes(d, w, h))
+        assert len(r["features"]) == 5
+        # independent recompute of the decoded pixel stats
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = (x + y + c + d) % 256
+        expect = [*(px.reshape(-1, 3).mean(axis=0) / 255.0), px.min() / 255.0, px.max() / 255.0]
+        assert r["features"] == pytest.approx(expect, abs=1e-12)
 
 
-def test_multimodal_empty_blob_raises(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"")
+def test_multimodal_malformed_blob_raises(spark):
+    with pytest.raises(ValueError, match="not a P6 PPM"):
+        multimodal.decode_ppm(b"")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(b"P6\n4 4\n255\nxx")
 
 
-def test_frame_sampling(tables):
-    docs = tables["documents"].df.limit(5)
-    frames = multimodal.frame_sample_stub(multimodal.attach_fake_blob(docs), every=2)
-    rows = frames.collect()
-    assert len(rows) >= 5
-    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+def test_frame_sampling_real_container(tables):
+    docs = tables["documents"].df.limit(5).select("doc_id")
+    blobs = multimodal.attach_video_blobs(docs, n_frames=6)
+    rows = multimodal.sample_frames(blobs, every=2).collect()
+    assert len(rows) == 5 * 3  # frames 0, 2, 4 per doc
+    assert all(r["frame_idx"] in (0, 2, 4) for r in rows)
+    assert all(0.0 <= r["mean_px"] <= 1.0 for r in rows)
 
 
 def test_ivf_topk_matches_brute_force_mostly(tables):
@@ -159,14 +172,34 @@ def test_embedding_near_dups_finds_planted(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
-def test_resize_and_audio_stubs(tables):
-    docs = tables["documents"].df.limit(10)
-    blobs = multimodal.attach_fake_blob(docs)
-    resized = multimodal.resize_images_stub(blobs, target=(32, 32)).collect()
+def test_resize_real_nearest_neighbor(tables):
+    import numpy as np
+
+    docs = tables["documents"].df.limit(10).select("doc_id")
+    blobs = multimodal.attach_image_blobs(docs)
+    resized = {r["doc_id"]: r for r in multimodal.resize_images(blobs, target=(4, 4)).collect()}
     assert len(resized) == 10
-    assert all(r["width"] == 32 and r["height"] == 32 and 0 <= r["mean_px"] <= 1 for r in resized)
-    audio = multimodal.audio_features_stub(blobs, n_bands=4).collect()
-    assert all(len(r["bands"]) == 4 for r in audio)
+    for d, r in resized.items():
+        w, h = 8 + d % 8, 8 + (d // 8) % 8
+        _, _, px, _ = multimodal.decode_ppm(multimodal.ppm_bytes(d, w, h))
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        assert r["mean_px"] == pytest.approx(px[ys][:, xs].mean() / 255.0, abs=1e-12)
+
+
+def test_audio_decode_real_wav(tables):
+    import numpy as np
+
+    docs = tables["documents"].df.limit(10).select("doc_id")
+    blobs = multimodal.attach_audio_blobs(docs)
+    rows = multimodal.decode_audio(blobs).collect()
+    assert len(rows) == 10
+    for r in rows:
+        fb = r["doc_id"] % 8 + 1
+        s = (((np.arange(256) * fb) % 64) * 200 - 6400).astype(np.float64)
+        assert (r["sample_rate"], r["n_samples"]) == (8000, 256)
+        assert r["rms"] == pytest.approx(np.sqrt((s ** 2).mean()) / 32768.0, abs=1e-12)
+        assert 0.0 <= r["zero_cross_rate"] <= 1.0
 
 
 def test_lsh_index_partition_pruned_probe(tables, tmp_path):

@@ -207,17 +207,36 @@ def _col_agg(fn):
     return resolver
 
 
+#: conf key capping driver-side column materialization (values/distinct/
+#: lengths without an explicit ``limit:``). The reference serializes whole
+#: columns through GraphQL; at 100 TB an accidental `values` on a fact
+#: table would OOM the driver, so the cap fails fast with a clear remedy.
+MAX_VALUES_CONF = "spark.graphique.maxValues"
+MAX_VALUES_DEFAULT = 100_000
+
+
+def _capped_rows(ds, df, limit):
+    if limit not in (Undefined, None):
+        return df.limit(limit).collect()
+    cap = int(ds.df.sparkSession.conf.get(MAX_VALUES_CONF, str(MAX_VALUES_DEFAULT)))
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"column materialization exceeds {cap} rows; pass `limit:` or "
+            f"raise the {MAX_VALUES_CONF} conf"
+        )
+    return rows
+
+
 def _resolve_values(source, info, limit=Undefined):
-    ds, name = source
-    df = _col_df(source)
-    if limit is not Undefined and limit is not None:
-        df = df.limit(limit)
-    return [r[0] for r in df.collect()]
+    ds, _ = source
+    return [r[0] for r in _capped_rows(ds, _col_df(source), limit)]
 
 
-def _resolve_distinct(source, info):
+def _resolve_distinct(source, info, limit=Undefined):
     ds, name = source
-    rows = ds.df.groupBy(F.col(name).alias("v")).count().collect()
+    counted = ds.df.groupBy(F.col(name).alias("v")).count()
+    rows = _capped_rows(ds, counted, limit)
     return {"values": [r["v"] for r in rows], "counts": [r["count"] for r in rows]}
 
 
@@ -256,7 +275,11 @@ def column_type(scalar: GraphQLScalarType, numeric: bool, boolean: bool = False)
                 F.approx_count_distinct if approx else F.count_distinct
             )(s, i),
         ),
-        "distinct": GraphQLField(set_type(scalar), resolve=_resolve_distinct),
+        "distinct": GraphQLField(
+            set_type(scalar),
+            args={"limit": GraphQLArgument(GraphQLInt)},
+            resolve=_resolve_distinct,
+        ),
         "first": GraphQLField(scalar, resolve=_col_agg(lambda c: F.first(c, ignorenulls=True))),
         "last": GraphQLField(scalar, resolve=_col_agg(lambda c: F.last(c, ignorenulls=True))),
         "min": GraphQLField(scalar, resolve=_col_agg(F.min)),
@@ -306,10 +329,7 @@ def _jsonable(value):
 
 def _resolve_json_values(source, info, limit=Undefined):
     ds, name = source
-    df = ds.df.select(name)
-    if limit not in (Undefined, None):
-        df = df.limit(limit)
-    return [_jsonable(r[0]) for r in df.collect()]
+    return [_jsonable(r[0]) for r in _capped_rows(ds, ds.df.select(name), limit)]
 
 
 def _resolve_unnest(source, info):
@@ -319,7 +339,8 @@ def _resolve_unnest(source, info):
 
 def _resolve_lengths(source, info):
     ds, name = source
-    return [r[0] for r in ds.df.select(F.array_size(F.col(name))).collect()]
+    df = ds.df.select(F.array_size(F.col(name)))
+    return [r[0] for r in _capped_rows(ds, df, Undefined)]
 
 
 def array_column_type(dtype: T.ArrayType) -> GraphQLObjectType:

@@ -485,3 +485,24 @@ def test_asgi_errors_are_json(tables):
     assert status == 200
     out = json.loads(body)
     assert out["data"] is None and out["errors"]
+
+
+def test_values_cap_guards_driver(spark, tables):
+    from graphique_spark.service import GraphQLError, GraphQLService
+
+    svc = GraphQLService(tables["orders"])
+    spark.conf.set("spark.graphique.maxValues", "10")
+    try:
+        with pytest.raises(GraphQLError, match="maxValues"):
+            svc.execute("{ columns { o_orderkey { values } } }")
+        with pytest.raises(GraphQLError, match="maxValues"):
+            svc.execute("{ columns { o_orderkey { distinct { length } } } }")
+        # explicit limit bypasses the cap; small distinct fits under it
+        data = svc.execute(
+            "{ columns { o_orderkey { values(limit: 3) } "
+            "o_orderstatus { distinct { length } } } }"
+        )
+        assert len(data["columns"]["o_orderkey"]["values"]) == 3
+        assert data["columns"]["o_orderstatus"]["distinct"]["length"] == 3
+    finally:
+        spark.conf.unset("spark.graphique.maxValues")

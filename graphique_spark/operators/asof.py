@@ -116,7 +116,9 @@ def _global_last_fill(unioned: DataFrame, order: list[Column]) -> DataFrame:
     parts = parts.withColumn(_PID, F.spark_partition_id())
     w = Window.partitionBy(_PID).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
-    filled = (
+    from graphique_spark.operators.sequence import snapshot
+
+    filled = snapshot(
         parts.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
         .withColumn(_RON, F.last(_RON, ignorenulls=True).over(w))
         .withColumn("__asof_rn", rn)

@@ -24,6 +24,22 @@ _PID = "__gs_pid"
 _MONO = "__gs_mono"
 
 
+def snapshot(df: DataFrame) -> DataFrame:
+    """Pin partition contents before a two-job computation.
+
+    Every two-phase helper here runs one job to collect per-partition
+    summaries and a second over the SAME lineage to produce rows; a
+    nondeterministic upstream (``sample``, AQE-coalesced shuffle) could
+    otherwise desync partition contents between the jobs. MEMORY_AND_DISK
+    persistence makes the first job materialize the blocks the second one
+    reads (cleaned up by the ContextCleaner once unreferenced). Residual
+    risk is recomputation after block eviction/executor loss — rare, and
+    closable with reliable checkpointing where it matters."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _ordering(order_by: Sequence[str | Column]) -> list[Column]:
     cols = []
     for key in order_by:
@@ -43,8 +59,10 @@ def with_row_index(df: DataFrame, name: str = "_rowid") -> DataFrame:
     ``zipWithIndex`` re-expressed in DataFrame operators (Arrow-friendly,
     no RDD serialization).
     """
-    tagged = df.withColumn(_PID, F.spark_partition_id()).withColumn(
-        _MONO, F.monotonically_increasing_id()
+    tagged = snapshot(
+        df.withColumn(_PID, F.spark_partition_id()).withColumn(
+            _MONO, F.monotonically_increasing_id()
+        )
     )
     counts = {
         row[_PID]: row["cnt"]
@@ -75,7 +93,9 @@ def partitioned_cumsum(
     """
     order = _ordering(order_by)
     parts = df.repartitionByRange(*order).sortWithinPartitions(*order)
-    parts = parts.withColumn(_PID, F.spark_partition_id()).withColumn("__gs_val", value)
+    parts = snapshot(
+        parts.withColumn(_PID, F.spark_partition_id()).withColumn("__gs_val", value)
+    )
     totals = {
         row[_PID]: row["total"]
         for row in parts.groupBy(_PID).agg(F.sum("__gs_val").alias("total")).collect()
@@ -128,8 +148,8 @@ def with_run_ids(
     # count of in-partition change points, plus the first/last `by` values
     # and the first row's split flag — everything the driver needs to decide
     # boundaries and offsets without a second scan or a broadcast join.
-    flagged = parts.withColumn(
-        "__gs_lchg", (local_change & ~first_in_part).cast("long")
+    flagged = snapshot(
+        parts.withColumn("__gs_lchg", (local_change & ~first_in_part).cast("long"))
     )
     summary = {
         row[_PID]: row

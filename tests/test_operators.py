@@ -264,3 +264,15 @@ def test_asof_global_no_keys(spark):
     fwd = asof_join(left, right, on="t", direction="forward")
     got_fwd = {r["t"]: r["v"] for r in fwd.collect()}
     assert got_fwd == {3: "a", 10: "b", 20: None}
+
+
+def test_row_index_nondeterministic_upstream(tables):
+    # sample() re-executes differently per job; the snapshot() persist must
+    # pin partition contents so the count job and the output job agree,
+    # yielding a dense 0..n-1 index
+    from graphique_spark.operators.sequence import with_row_index
+
+    sampled = tables["lineitem"].df.sample(0.5, seed=None)
+    indexed = with_row_index(sampled, "_rowid")
+    ids = [r["_rowid"] for r in indexed.select("_rowid").collect()]
+    assert sorted(ids) == list(range(len(ids)))

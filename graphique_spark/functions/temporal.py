@@ -65,3 +65,25 @@ def time_of_day(col: Column) -> Column:
 
 def time_string(col: Column) -> Column:
     return F.date_format(col, "HH:mm:ss.SSSSSS")
+
+
+def micros_to_time(col: Column) -> Column:
+    """µs-since-midnight (the parquet TIME(MICROS) physical value, read as
+    long) → Spark TIME. Spark 4.1 has a native TimeType but cannot yet scan
+    parquet TIME columns, so stored time-of-day arrives as int64 and this
+    is the decode step (reference Time column, scalars.py:76)."""
+    return F.make_time(
+        (col / 3_600_000_000).cast("int"),
+        ((col % 3_600_000_000) / 60_000_000).cast("int"),
+        (col % 60_000_000) / F.lit(1_000_000.0),
+    )
+
+
+def time_to_micros(col: Column) -> Column:
+    """Spark TIME → µs-since-midnight long (the storage encoding).
+    ``extract(SECOND)`` yields decimal seconds including the fraction."""
+    return (
+        F.hour(col).cast("long") * 3_600_000_000
+        + F.minute(col).cast("long") * 60_000_000
+        + (F.extract(F.lit("SECOND"), col) * 1_000_000).cast("long")
+    )

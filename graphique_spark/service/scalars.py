@@ -63,6 +63,14 @@ Datetime = GraphQLScalarType(
     parse_value=lambda v: dt.datetime.fromisoformat(v),
 )
 
+Time = GraphQLScalarType(
+    name="Time",
+    description="ISO-8601 time of day (reference scalars.py:76; Spark 4.1 "
+    "native TIME, µs precision)",
+    serialize=lambda v: v.isoformat() if isinstance(v, dt.time) else str(v),
+    parse_value=lambda v: dt.time.fromisoformat(v),
+)
+
 Duration = GraphQLScalarType(
     name="Duration",
     description="ISO-8601 duration (reference scalars.py:25-42)",
@@ -144,6 +152,8 @@ def graphql_type(spark_type: T.DataType) -> GraphQLScalarType | None:
         return Date
     if isinstance(spark_type, (T.TimestampType, T.TimestampNTZType)):
         return Datetime
+    if isinstance(spark_type, T.TimeType):
+        return Time
     if isinstance(spark_type, T.DayTimeIntervalType):
         return Duration
     if isinstance(spark_type, T.BinaryType):
@@ -161,6 +171,7 @@ __all__ = [
     "Decimal",
     "Duration",
     "JSON",
+    "Time",
     "graphql_type",
     "parse_duration",
 ]

@@ -37,6 +37,11 @@ DEFAULT_CONF = {
     # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch);
     # sources.load_tables converts them to microsecond timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Native TIME type (Spark 4.1, feature-flagged): time-of-day columns
+    # (reference Time scalar, scalars.py:76) via make_time/functions.
+    # Parquet TIME(MICROS) still scans as int64 — temporal.micros_to_time
+    # is the decode step.
+    "spark.sql.timeType.enabled": "true",
 }
 
 

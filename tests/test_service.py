@@ -506,3 +506,34 @@ def test_values_cap_guards_driver(spark, tables):
         assert data["columns"]["o_orderstatus"]["distinct"]["length"] == 3
     finally:
         spark.conf.unset("spark.graphique.maxValues")
+
+
+def test_time_scalar_surfacing(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions.temporal import micros_to_time, time_to_micros
+    from graphique_spark.service import GraphQLService
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    # parquet TIME(MICROS) scans as int64 µs-since-midnight; micros_to_time
+    # is the decode step to Spark 4.1's native TIME
+    micros = (12 * 3600 + 34 * 60 + 56) * 1_000_000 + 789123
+    df = spark.createDataFrame([(1, micros), (2, 0)], "id long, t_us long")
+    timed = df.select("id", micros_to_time(F.col("t_us")).alias("t"))
+    assert dict(timed.dtypes)["t"] == "time(6)"
+
+    svc = GraphQLService(timed)
+    data = svc.execute("{ schema { names types } columns { t { values } } }")
+    assert data["schema"]["names"] == ["id", "t"]
+    assert data["schema"]["types"][1].startswith("time")
+    assert data["columns"]["t"]["values"] == ["12:34:56.789123", "00:00:00"]
+
+    # storage-encoding roundtrip is µs-exact
+    back = timed.select(time_to_micros(F.col("t")).alias("us")).collect()
+    assert [r["us"] for r in back] == [micros, 0]
+    # and the scalar parses ISO input
+    from graphique_spark.service.scalars import Time
+
+    assert Time.parse_value("12:34:56.789123") == dt.time(12, 34, 56, 789123)

@@ -38,8 +38,22 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
-    # JVM/codegen warmup on a small query (not counted)
-    queries["top_k_global"](spark, sf_dir).collect()
+    # JVM/codegen/python-worker warmup at sf0.001 (not counted): one query
+    # per operator family, so whichever query runs first isn't charged the
+    # whole-stage-codegen compile, broadcast machinery, shuffle service and
+    # pandas-worker spin-up costs. Registration order rotates per round
+    # (least-recently-verified first), so timings must be order-invariant.
+    warm_dir = "/root/testdata/sf0.001"
+    for warm in [
+        "top_k_global", "q1_pricing_summary", "join_star_broadcast",
+        "dedup_minhash", "dedup_components", "similarity_ivf",
+        "text_repetition", "multimodal_decode", "stream_tumbling_window",
+        "runs_adjacency",
+    ]:
+        try:
+            queries[warm](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:  # noqa: BLE001  (warmup is best-effort)
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -487,3 +487,43 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
         "component", F.col("v")
     )
     return roots.union(self_labeled)
+
+
+def duplicate_segments(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Segment-level duplication profile (the C4/RefinedWeb line-dedup
+    shape): split each doc into consecutive ``seg_words``-word segments,
+    count each segment's corpus-wide occurrences, and report per doc how
+    much of it is boilerplate. Returns
+    (doc_id, n_segments, n_dup_segments, dup_fraction) where a segment is
+    "dup" if it occurs more than once in the corpus.
+
+    Scale shape: segments are built in-row (slice/array_join HOFs, no
+    Python), explode to ~words/seg_words rows per doc, and the frequency
+    table is a map-side-combined count joined back on the segment key. At
+    100 TB, segments should be md5-hashed before the shuffle (swap the
+    join key for ``hash60(seg)``) — kept as raw strings here so a SQL
+    oracle verifies counts without hash parity concerns; the plan shape is
+    identical."""
+    df = ensure_parallelism(df)
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(segs).alias("seg"))
+    freq = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.sum((F.col("n") > 1).cast("long")).alias("n_dup_segments")
+    return (
+        exploded.join(freq, on="seg")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_segments"), dup)
+        .withColumn(
+            "dup_fraction", F.col("n_dup_segments") / F.col("n_segments")
+        )
+    )

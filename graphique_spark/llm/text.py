@@ -237,3 +237,32 @@ def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1)
         .filter(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+#: PII patterns shared by redaction and counting. RE2-compatible (no
+#: backrefs/lookaheads) so SQL engines with RE2 regexes (DuckDB, Trino)
+#: reproduce the exact same matches for verification.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,2}[- ]\d{3}[- ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column, patterns: dict | None = None) -> Column:
+    """Replace PII spans with ``[KIND]`` tags — chained ``regexp_replace``,
+    JVM-side, map-only (the 100 TB hot path stays in whole-stage codegen).
+    Order matters: emails first so user@10.0.0.1-style hosts don't lose
+    their address part to the ipv4 pass."""
+    out = col
+    for kind, pattern in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pattern, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(col: Column, patterns: dict | None = None) -> dict[str, Column]:
+    """Per-kind PII match counts (``regexp_count``, map-side)."""
+    return {
+        f"n_{kind}": F.regexp_count(col, F.lit(pattern))
+        for kind, pattern in (patterns or PII_PATTERNS).items()
+    }

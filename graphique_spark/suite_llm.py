@@ -881,3 +881,107 @@ def dedup_components(spark, sf_dir):
     )
     comps = dedup.connected_components(pairs)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@query(
+    "pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || (doc_id % 256) || '.7' AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{4}', '[PHONE]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4
+    FROM aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing (emails/phones/IPv4 -> tags) — chained JVM-side
+    regexp_replace, map-only; counts via regexp_count. The corpus has no
+    real PII, so deterministic PII is synthesized from doc_id and the
+    oracle applies the same RE2-compatible patterns."""
+    docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 200)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = text.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        text.redact_pii(F.col("t")).alias("redacted"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+
+
+@query(
+    "dedup_segments",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1),
+        i -> array_to_string(words[i * 10 + 1 : i * 10 + 10], ' '))) AS seg
+      FROM w
+    ),
+    freq AS (SELECT seg, count(*) AS n FROM ex GROUP BY seg)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           floor(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                 * 1000000 + 0.5) AS dup_fraction_scaled
+    FROM ex JOIN freq USING (seg)
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark, sf_dir):
+    """C4-style segment-duplication profile: consecutive 10-word segments,
+    corpus-wide frequency join, per-doc boilerplate fraction."""
+    docs = table(spark, sf_dir, "documents").df
+    out = dedup.duplicate_segments(docs, seg_words=10)
+    return out.select(
+        "doc_id", "n_segments", "n_dup_segments",
+        F.floor(F.col("dup_fraction") * 1000000.0 + F.lit(0.5)).alias(
+            "dup_fraction_scaled"
+        ),
+    )
+
+
+@query("sketch_distinct")  # no SQL oracle: DataSketches HLL estimates are
+# Spark-side state; accuracy is asserted in pytest (±5% vs exact)
+def sketch_distinct(spark, sf_dir):
+    """Mergeable HLL distinct-count sketches: per-group sketch + estimate,
+    then a grand-total estimate from merging the per-group sketches alone
+    (no data rescan) — the 100 TB incremental-distinct pattern."""
+    from graphique_spark.operators import sketch
+
+    lineitem = table(spark, sf_dir, "lineitem").df
+    per_group = sketch.hll_sketches(lineitem, "l_partkey", by=["l_returnflag"])
+    total = sketch.hll_merge(per_group).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.col("estimate").cast("long").alias("estimate"),
+    )
+    return (
+        per_group.select("l_returnflag", F.col("estimate").cast("long").alias("estimate"))
+        .union(total)
+    )

@@ -370,3 +370,51 @@ def test_decontamination_flags_planted_overlap(spark):
     )
     out = text.contaminated_docs(corpus, bench, n=3).collect()
     assert [(r["doc_id"], r["n_shared"] > 0) for r in out] == [(1, True)]
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.io or +1 555-1234 at 192.168.0.1 now")],
+        "doc_id long, text string",
+    )
+    counts = text.pii_counts(F.col("text"))
+    row = df.select(
+        text.redact_pii(F.col("text")).alias("red"),
+        counts["n_email"].alias("e"), counts["n_phone"].alias("p"),
+        counts["n_ipv4"].alias("i"),
+    ).first()
+    assert row["red"] == "mail [EMAIL] or [PHONE] at [IPV4] now"
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+
+
+def test_duplicate_segments_flags_boilerplate(spark):
+    seg = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, seg + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, seg + " unique content here that no other document shares at all"),
+        (3, "totally different words " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicate_segments(df, seg_words=10).collect()}
+    # docs 1 and 2 share their first 10-word segment
+    assert out[1]["n_dup_segments"] == 1 and out[2]["n_dup_segments"] == 1
+    assert out[3]["n_dup_segments"] == 0
+    assert out[1]["dup_fraction"] == pytest.approx(0.5)
+
+
+def test_hll_sketches_accuracy_and_merge(tables):
+    from graphique_spark.operators import sketch
+
+    lineitem = tables["lineitem"].df
+    per_group = sketch.hll_sketches(lineitem, "l_partkey", by=["l_returnflag"])
+    exact_total = lineitem.select("l_partkey").distinct().count()
+    merged = sketch.hll_merge(per_group).first()
+    assert merged["estimate"] == pytest.approx(exact_total, rel=0.05)
+    exact_by = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for r in per_group.collect():
+        assert r["estimate"] == pytest.approx(exact_by[r["l_returnflag"]], rel=0.05)

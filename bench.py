@@ -66,6 +66,10 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - start, 3)
+        # queries are self-contained: drop persisted blocks (two-phase
+        # operators pin partition snapshots) so cache pressure from one
+        # query can't distort later timings
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

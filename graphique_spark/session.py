@@ -42,6 +42,10 @@ DEFAULT_CONF = {
     # Parquet TIME(MICROS) still scans as int64 — temporal.micros_to_time
     # is the decode step.
     "spark.sql.timeType.enabled": "true",
+    # Reclaim orphaned persisted blocks (two-phase operators snapshot
+    # partition contents) promptly in long-running services; the 30 min
+    # default lets them pile up across many queries.
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 

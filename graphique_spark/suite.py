@@ -709,18 +709,21 @@ def join_star_broadcast(spark, sf_dir):
     """,
 )
 def join_semi_anti(spark, sf_dir):
+    # one lazy plan (cross join of two single-row aggregates), not two
+    # eager counts through the driver: both joins execute in a single job
     cust = table(spark, sf_dir, "customer")
     urgent = (
         table(spark, sf_dir, "orders")
         .filter(o_orderpriority={"eq": ["1-URGENT"]})
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    semi = cust.join(urgent, keys=["c_custkey"], how="semi").df.count()
-    anti = cust.join(urgent, keys=["c_custkey"], how="anti").df.count()
-    spark_session = cust.df.sparkSession
-    return spark_session.createDataFrame(
-        [(semi, anti)], "with_urgent bigint, without_urgent bigint"
+    semi = cust.join(urgent, keys=["c_custkey"], how="semi").df.agg(
+        F.count(F.lit(1)).alias("with_urgent")
     )
+    anti = cust.join(urgent, keys=["c_custkey"], how="anti").df.agg(
+        F.count(F.lit(1)).alias("without_urgent")
+    )
+    return semi.crossJoin(anti)
 
 
 @query(

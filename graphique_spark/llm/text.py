@@ -266,3 +266,31 @@ def pii_counts(col: Column, patterns: dict | None = None) -> dict[str, Column]:
         f"n_{kind}": F.regexp_count(col, F.lit(pattern))
         for kind, pattern in (patterns or PII_PATTERNS).items()
     }
+
+
+def word_entropy(df, text: str = "text", id_col: str = "doc_id"):
+    """Per-doc vocabulary entropy ``-sum_w p_w ln p_w`` over word
+    frequencies — low entropy flags repetitive/templated text (a common
+    pretraining quality signal alongside the Gopher repetition fractions).
+
+    Scale shape: explode words once; the (doc, word) count and the per-doc
+    entropy reduce on the SAME key prefix, so the window + final group-by
+    reuse one shuffle partitioning; all aggregates are map-side combinable.
+    Returns (doc_id, n_words, n_unique_words, entropy)."""
+    from pyspark.sql import Window
+
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("w"),
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    wc = wc.withColumn("total", F.sum("c").over(Window.partitionBy(id_col)))
+    p = F.col("c") / F.col("total")
+    return wc.groupBy(id_col).agg(
+        F.first("total").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique_words"),
+        (-F.sum(p * F.log(p))).alias("entropy"),
+    )

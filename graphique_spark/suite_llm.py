@@ -985,3 +985,31 @@ def sketch_distinct(spark, sf_dir):
         per_group.select("l_returnflag", F.col("estimate").cast("long").alias("estimate"))
         .union(total)
     )
+
+
+@query(
+    "text_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+    t AS (SELECT doc_id, sum(c) AS total FROM wc GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(max(total) AS BIGINT) AS n_words,
+           count(*) AS n_unique_words,
+           floor(-sum((c::DOUBLE / total) * ln(c::DOUBLE / total)) * 10000 + 0.5)
+             AS entropy_scaled
+    FROM wc JOIN t USING (doc_id) GROUP BY doc_id
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Vocabulary-entropy quality signal; 1e4 floor-scaling absorbs
+    engine-order float summation noise."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.word_entropy(docs)
+    return out.select(
+        "doc_id", "n_words", "n_unique_words",
+        F.floor(F.col("entropy") * 10000.0 + F.lit(0.5)).alias("entropy_scaled"),
+    )

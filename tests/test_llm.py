@@ -418,3 +418,18 @@ def test_hll_sketches_accuracy_and_merge(tables):
     }
     for r in per_group.collect():
         assert r["estimate"] == pytest.approx(exact_by[r["l_returnflag"]], rel=0.05)
+
+
+def test_word_entropy_orders_repetitive_text_lower(spark):
+    import math
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "eight totally distinct words appear exactly once here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.word_entropy(df).collect()}
+    assert out[1]["entropy"] == pytest.approx(0.0, abs=1e-12)
+    assert out[2]["entropy"] == pytest.approx(math.log(8), rel=1e-9)
+    assert out[1]["entropy"] < out[2]["entropy"]
+    assert out[2]["n_unique_words"] == 8 and out[2]["n_words"] == 8

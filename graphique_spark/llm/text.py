@@ -294,3 +294,21 @@ def word_entropy(df, text: str = "text", id_col: str = "doc_id"):
         F.count(F.lit(1)).alias("n_unique_words"),
         (-F.sum(p * F.log(p))).alias("entropy"),
     )
+
+
+def weighted_sample(df, k: int, weight, id_col: str = "doc_id"):
+    """Deterministic weight-proportional sample of ``k`` rows (the A-Res
+    reservoir scheme, Efraimidis & Spirakis 2006, expressed as a top-k):
+    each row gets key ``u^(1/w)`` with ``u`` a uniform derived from the
+    row id's md5, and the k largest keys win. Inclusion probability scales
+    with weight; the selection is reproducible across engines, runs, and
+    cluster sizes (no RNG state).
+
+    Scale shape: key computation is map-side; selection is a global top-k
+    (``TakeOrderedAndProject`` — per-partition heaps, no global sort)."""
+    from graphique_spark.llm.dedup import hash60
+    from graphique_spark.operators.topk import top_k
+
+    u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
+    keyed = df.withColumn("__ws_key", F.pow(u, 1.0 / weight))
+    return top_k(keyed, ["-__ws_key"], k, ()).drop("__ws_key")

@@ -1013,3 +1013,25 @@ def text_entropy(spark, sf_dir):
         "doc_id", "n_words", "n_unique_words",
         F.floor(F.col("entropy") * 10000.0 + F.lit(0.5)).alias("entropy_scaled"),
     )
+
+
+@query(
+    "sample_weighted",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846976.0,
+                 1.0 / n_chars) AS key
+      FROM documents
+    ) ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weight-proportional deterministic sample (A-Res as a top-k): longer
+    docs are proportionally likelier; selection reproducible across
+    engines/cluster sizes. The 50th/51st key gap is orders of magnitude
+    above any libm pow ulp difference, so the selected set is engine-
+    stable."""
+    docs = table(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
+    return text.weighted_sample(docs, 50, F.col("n_chars"))

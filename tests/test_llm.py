@@ -433,3 +433,27 @@ def test_word_entropy_orders_repetitive_text_lower(spark):
     assert out[2]["entropy"] == pytest.approx(math.log(8), rel=1e-9)
     assert out[1]["entropy"] < out[2]["entropy"]
     assert out[2]["n_unique_words"] == 8 and out[2]["n_words"] == 8
+
+
+def test_weighted_sample_matches_independent_recompute(tables):
+    import hashlib
+
+    import numpy as np
+
+    docs = tables["documents"].df.select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]
+        for r in text.weighted_sample(docs, 50, F.col("n_chars")).collect()
+    }
+    rows = docs.collect()
+    ids = np.array([r["doc_id"] for r in rows])
+    w = np.array([r["n_chars"] for r in rows], dtype=np.float64)
+    u = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) + 1 for i in ids],
+        dtype=np.float64,
+    ) / float(2**60)
+    keys = u ** (1.0 / w)
+    expect = set(ids[np.argsort(-keys)][:50].tolist())
+    assert got == expect
+    # heavier docs are overrepresented vs a uniform sample
+    assert np.mean([r["n_chars"] for r in rows if r["doc_id"] in got]) > w.mean()

@@ -1035,3 +1035,27 @@ def sample_weighted(spark, sf_dir):
     stable."""
     docs = table(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
     return text.weighted_sample(docs, 50, F.col("n_chars"))
+
+
+@query(
+    "group_salted_skew",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def group_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation (operators.skew): the hot group key is
+    spread over (key, salt) sub-keys in phase 1, then re-aggregated on the
+    key — identical results to a plain group-by (the oracle), skew-immune
+    reducers at scale."""
+    from graphique_spark.operators.skew import two_phase_agg
+
+    events = table(spark, sf_dir, "events").df.select("event_type", "value")
+    out = two_phase_agg(events, by=["event_type"], sums=["value"], counts="n")
+    return out.select(
+        "event_type", "n",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100).alias("total"),
+    )

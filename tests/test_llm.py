@@ -457,3 +457,41 @@ def test_weighted_sample_matches_independent_recompute(tables):
     assert got == expect
     # heavier docs are overrepresented vs a uniform sample
     assert np.mean([r["n_chars"] for r in rows if r["doc_id"] in got]) > w.mean()
+
+
+def _plan(df):
+    from pyspark.sql import DataFrame
+
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pii_redaction_is_map_only(tables):
+    # redaction + counts must stay inside whole-stage codegen with no
+    # shuffle: one scan, one project, zero Exchange nodes
+    docs = tables["documents"].df.select("doc_id", "text")
+    counts = text.pii_counts(F.col("text"))
+    out = docs.select(
+        "doc_id", text.redact_pii(F.col("text")).alias("red"), *counts.values()
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_weighted_sample_uses_topk_not_global_sort(tables):
+    docs = tables["documents"].df.select("doc_id", "n_chars")
+    out = text.weighted_sample(docs, 50, F.col("n_chars"))
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_duplicate_segments_single_wide_exchange_pair(tables):
+    # segment freq join: the only shuffles are the (seg) aggregation and
+    # the per-doc rollup — no cartesian, no broadcast of the corpus
+    docs = tables["documents"].df.select("doc_id", "text")
+    plan = _plan(dedup.duplicate_segments(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4

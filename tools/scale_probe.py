@@ -100,6 +100,45 @@ def main() -> None:
         pairs = dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.7)
         return dedup.connected_components(pairs)
 
+    def segments(mult):
+        from graphique_spark.llm import dedup
+
+        return dedup.duplicate_segments(multiplied(spark, "documents", mult))
+
+    def pii(mult):
+        from graphique_spark.llm import text as t
+
+        docs = multiplied(spark, "documents", mult)
+        counts = t.pii_counts(F.col("text"))
+        return docs.select(t.redact_pii(F.col("text")).alias("red"), *counts.values())
+
+    def entropy(mult):
+        from graphique_spark.llm import text as t
+
+        return t.word_entropy(multiplied(spark, "documents", mult))
+
+    def wsample(mult):
+        from graphique_spark.llm import text as t
+
+        docs = multiplied(spark, "documents", mult).select("doc_id", "n_chars")
+        return t.weighted_sample(docs, 50, F.col("n_chars"))
+
+    def hll(mult):
+        from graphique_spark.operators import sketch
+
+        li = multiplied(spark, "lineitem", mult)
+        return sketch.hll_merge(sketch.hll_sketches(li, "l_partkey", by=["l_returnflag"]))
+
+    def star_cc_chain(mult):
+        # deep-chain CC: rounds must stay O(log n), not O(n)
+        from graphique_spark.llm import dedup
+
+        n = 2000 * mult
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        return dedup.connected_components(edges, method="star", max_iterations=24)
+
     probes = {
         "q1": q1,
         "star_join": star_join,
@@ -107,6 +146,12 @@ def main() -> None:
         "minhash": minhash,
         "ngram": ngram,
         "components": components,
+        "segments": segments,
+        "pii_redact": pii,
+        "entropy": entropy,
+        "weighted_sample": wsample,
+        "hll_sketch": hll,
+        "star_cc_chain": star_cc_chain,
     }
     # warmup
     q1(1).write.mode("overwrite").format("noop").save()

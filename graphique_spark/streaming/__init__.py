@@ -224,3 +224,66 @@ def write_stream_to_parquet(df: DataFrame, dest: str, checkpoint: str, trigger_s
         .outputMode("append")
         .start()
     )
+
+
+def upsert_sink(
+    df: DataFrame,
+    dest: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_col: str | None = None,
+    trigger_seconds: int = 60,
+):
+    """Update-mode upsert into hive-partitioned parquet via ``foreachBatch``
+    — the table-format-free merge pattern for aggregation streams.
+
+    Each micro-batch holds the CHANGED (key, aggregate) rows (update
+    output mode); the batch function rewrites only the hive partitions
+    those keys touch: read the affected partitions, anti-join out stale
+    rows, union the new ones, and dynamically overwrite just those
+    partitions (``partitionOverwriteMode=dynamic``). Batch idempotence
+    comes from the rewrite being a pure function of (existing ∪ batch);
+    re-running a failed batch converges to the same partition contents,
+    and the checkpoint serializes batch ids.
+
+    ``partition_col`` defaults to the first key; at scale pick the key
+    that bounds a micro-batch's blast radius (e.g. a date bucket so each
+    batch rewrites only recent partitions)."""
+    part = partition_col or keys[0]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = batch.persist()
+        try:
+            try:
+                existing = spark.read.parquet(dest)
+            except Exception:  # first batch: nothing to merge
+                existing = None
+            if existing is not None:
+                touched = batch.select(part).distinct()
+                affected = existing.join(F.broadcast(touched), on=part, how="semi")
+                keep = affected.join(batch.select(*keys), on=keys, how="anti")
+                merged = keep.unionByName(batch)
+            else:
+                merged = batch
+            # materialize before overwriting dest: the merged plan reads
+            # from dest, and the barrier guarantees no task re-scans a
+            # partition that the commit phase is about to replace
+            merged = merged.localCheckpoint()
+            (
+                merged.repartition(part)
+                .write.partitionBy(part)
+                .mode("overwrite")
+                .parquet(dest)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

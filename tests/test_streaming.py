@@ -181,3 +181,46 @@ def test_interval_join_stream_batch_parity(spark, tables):
         for q in spark.streams.active:
             q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_upsert_sink_foreachbatch(spark, tables, tmp_path):
+    # two micro-batches of events upserted into hive-partitioned parquet:
+    # final table must equal the full-batch aggregation
+    import os
+
+    from graphique_spark import streaming
+
+    events = tables["events"].df.select("event_id", "user_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    half = events.limit(400)
+    rest = events.subtract(half).limit(400)
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+
+    stream = streaming.read_event_stream(spark, src, schema=schema, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    dest = str(tmp_path / "dest")
+    q = streaming.upsert_sink(
+        agg, dest, keys=["event_type"], checkpoint=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(dest).collect()
+    }
+    both = half.unionByName(rest)
+    expect = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in both.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expect

@@ -779,15 +779,24 @@ def cross_join_dims(spark, sf_dir):
     """,
 )
 def set_operations(spark, sf_dir):
+    # one lazy plan: three labeled single-row aggregates unioned, so all
+    # set operations execute in a single job with no driver-side counts
     orders = table(spark, sf_dir, "orders")
     big = orders.filter(o_totalprice={"gt": 300000}).select("o_custkey")
     urgent = orders.filter(o_orderpriority={"eq": ["1-URGENT"]}).select("o_custkey")
-    rows = [
-        ("union", big.union(urgent, distinct=True).count()),
-        ("intersect", big.intersect(urgent).count()),
-        ("except", big.difference(urgent).count()),
+    branches = [
+        ("union", big.union(urgent, distinct=True)),
+        ("intersect", big.intersect(urgent)),
+        ("except", big.difference(urgent)),
     ]
-    return orders.df.sparkSession.createDataFrame(rows, "op string, n bigint")
+    counted = [
+        ds.df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        for op, ds in branches
+    ]
+    out = counted[0]
+    for frame in counted[1:]:
+        out = out.unionByName(frame)
+    return out
 
 
 @query(

@@ -37,7 +37,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     has fewer partitions. On any input with enough natural splits — always
     true at cluster scale — this is a no-op, so the extra shuffle only
     ever pays when it unlocks idle cores, and what it shuffles is the raw
-    input rows (cheap relative to the per-row compute it parallelizes)."""
+    input rows (cheap relative to the per-row compute it parallelizes).
+
+    ``df.rdd.getNumPartitions()`` is the one exact partition count: it
+    runs the physical planner once on the driver (tens of ms, no job, no
+    data). File-count heuristics (``inputFiles``) are wrong in both
+    directions — large files split into many partitions (would trigger a
+    useless shuffle of big data), many small files coalesce under
+    ``maxPartitionBytes`` (would skip a needed spread)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

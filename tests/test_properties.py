@@ -117,3 +117,45 @@ def test_run_ids_match_sequential_model(spark, keys):
             run += 1
         expected.append((i, run))
     assert out == expected
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    from graphique_spark.llm.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # ground truth: sequential union-find with min-label roots
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in edges:
+        for v in (a, b):
+            expect[v] = find(v)
+    # path-compress to true roots
+    expect = {v: find(r) for v, r in expect.items()}
+
+    pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        pairs = pairs.limit(0)
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert got == expect

@@ -264,3 +264,25 @@ def write_partitioned(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     out.write.partitionBy(*keys).mode(mode).parquet(dest)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (hash-partitioned files by ``keys``): joins
+    and aggregations on the bucket keys between co-bucketed tables skip
+    the shuffle entirely — the pre-partitioning IS the exchange, paid once
+    at write time. The 100 TB pattern for repeatedly-joined fact tables
+    (e.g. lineitem ⋈ orders on orderkey every day).
+
+    ``sort_by`` additionally sorts within buckets, upgrading sort-merge
+    joins to skip the sort too."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -377,3 +377,36 @@ def test_read_jdbc_end_to_end_derby(spark, tmp_path):
     plan = filtered.explain("formatted")
     assert "PushedFilters" in plan and "R_ID" in plan  # pushed to the DB
     assert filtered.df.count() == 2
+
+
+def test_bucketed_join_skips_shuffle(spark, tables, tmp_path_factory):
+    # co-bucketed fact tables join without any Exchange: the write-time
+    # hash partitioning replaces the shuffle. Broadcast is disabled so the
+    # planner actually exercises the bucket-aware sort-merge path (at real
+    # fact-x-fact scale neither side would broadcast).
+    from graphique_spark import sources
+
+    orders = tables["orders"].df.select("o_orderkey", "o_orderdate")
+    li = tables["lineitem"].df.select("l_orderkey", "l_quantity")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name in ["b_orders", "b_lineitem"]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        sources.write_bucketed(orders, "b_orders", ["o_orderkey"], buckets=8,
+                               sort_by=["o_orderkey"])
+        sources.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], buckets=8, sort_by=["o_orderkey"],
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), on="o_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        for name in ["b_orders", "b_lineitem"]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

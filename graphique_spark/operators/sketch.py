@@ -36,3 +36,41 @@ def hll_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     grouped = sketches.groupBy(*by) if by else sketches.groupBy()
     merged = grouped.agg(F.hll_union_agg("sketch").alias("sketch"))
     return merged.withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    q: Sequence[float] = (0.5,),
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile sketch + estimates for ``col`` (double).
+
+    Same operational story as :func:`hll_sketches` but for percentiles:
+    the sketch is a compact mergeable summary, so p50/p99 over any union
+    of groups/days comes from sketch merges, never a re-scan — what
+    ``percentile_approx`` can't do (its state isn't surfaced)."""
+    agg = F.kll_sketch_agg_double(F.col(col), F.lit(k)).alias("sketch")
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    out = grouped.agg(agg)
+    for p in q:
+        out = out.withColumn(
+            f"q{int(p * 100)}",
+            F.kll_sketch_get_quantile_double("sketch", F.lit(float(p))),
+        )
+    return out
+
+
+def kll_merge_quantiles(
+    sketches: DataFrame, by: Sequence[str] = (), q: Sequence[float] = (0.5,)
+) -> DataFrame:
+    """Merge KLL sketch rows into coarser groups and re-estimate."""
+    grouped = sketches.groupBy(*by) if by else sketches.groupBy()
+    out = grouped.agg(F.kll_merge_agg_double("sketch").alias("sketch"))
+    for p in q:
+        out = out.withColumn(
+            f"q{int(p * 100)}",
+            F.kll_sketch_get_quantile_double("sketch", F.lit(float(p))),
+        )
+    return out

@@ -495,3 +495,26 @@ def test_duplicate_segments_single_wide_exchange_pair(tables):
     plan = _plan(dedup.duplicate_segments(docs))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_kll_quantile_sketches_accuracy_and_merge(tables):
+    from graphique_spark.operators import sketch
+
+    li = tables["lineitem"].df
+    per_group = sketch.kll_quantiles(
+        li, "l_extendedprice", by=["l_returnflag"], q=(0.5, 0.99)
+    )
+    exact = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))).alias("qs"))
+        .collect()
+    }
+    for r in per_group.collect():
+        e50, e99 = exact[r["l_returnflag"]]
+        assert r["q50"] == pytest.approx(e50, rel=0.05)
+        assert r["q99"] == pytest.approx(e99, rel=0.05)
+    # drill-up: merged sketches estimate the global median without rescan
+    [merged] = sketch.kll_merge_quantiles(per_group, q=(0.5,)).collect()
+    [[global_p50]] = li.agg(F.percentile("l_extendedprice", F.array(F.lit(0.5)))).collect()
+    assert merged["q50"] == pytest.approx(global_p50[0] if isinstance(global_p50, list) else global_p50, rel=0.05)

@@ -286,3 +286,61 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def zorder_value(columns: Sequence, mins: Sequence, maxs: Sequence, bits: int = 12):
+    """Z-order (Morton) key: min/max-normalize each column to ``bits`` bits
+    and interleave them — pure bitwise expressions, JVM-side."""
+    from pyspark.sql import functions as F
+
+    n = len(columns)
+    scale = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, col in enumerate(columns):
+        lo, hi = float(mins[i]), float(maxs[i])
+        span = (hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(scale),
+            ((col.cast("double") - F.lit(lo)) / F.lit(span) * scale).cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    dest: str,
+    columns: Sequence[str],
+    bits: int = 12,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows are range-partitioned and sorted by
+    the interleaved Morton key, so every file's min/max footer stats form a
+    tight box in ALL ``columns`` — multi-column predicates prune files/row
+    groups, where a single-column sort only helps its leading column. The
+    table-format-free version of Delta/Iceberg Z-ordering; at 100 TB this
+    is the difference between scanning a stripe and scanning everything
+    for point-in-box queries.
+
+    Column min/max are collected once (2 scalars per column, metadata-
+    cheap for parquet sources) to normalize the key."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in columns]
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [stats[f"__lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"__hi{i}"] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits)
+    out = df.repartitionByRange(
+        partitions or df.sparkSession.sparkContext.defaultParallelism, z
+    ).sortWithinPartitions(z)
+    out.write.mode(mode).parquet(dest)

@@ -410,3 +410,48 @@ def test_bucketed_join_skips_shuffle(spark, tables, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         for name in ["b_orders", "b_lineitem"]:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_zorder_layout_tightens_file_stats(spark, tables, tmp_path):
+    # z-ordered files must have tight min/max boxes in BOTH dimensions;
+    # a single-column sort leaves the second column spanning ~full range
+    import pyarrow.parquet as pq
+    import os
+
+    from graphique_spark import sources
+
+    li = tables["lineitem"].df.select("l_orderkey", "l_partkey")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    sources.write_zordered(li, zdir, ["l_orderkey", "l_partkey"], partitions=16)
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(sdir)
+
+    def mean_span(root, col):
+        spans, full_lo, full_hi = [], None, None
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(meta.num_row_groups):
+                cols = {
+                    meta.row_group(rg).column(i).path_in_schema:
+                    meta.row_group(rg).column(i).statistics
+                    for i in range(meta.row_group(rg).num_columns)
+                }
+                st = cols[col]
+                spans.append(st.max - st.min)
+                full_lo = st.min if full_lo is None else min(full_lo, st.min)
+                full_hi = st.max if full_hi is None else max(full_hi, st.max)
+        return (sum(spans) / len(spans)) / ((full_hi - full_lo) or 1)
+
+    # second dimension: z-order keeps per-row-group spans a fraction of the
+    # domain; single-column sort leaves them ~the whole domain
+    z_span = mean_span(zdir, "l_partkey")
+    s_span = mean_span(sdir, "l_partkey")
+    assert z_span < 0.5 < s_span
+    # and the first dimension stays clustered too (z-order trades a little
+    # leading-column locality for locality in every dimension)
+    assert mean_span(zdir, "l_orderkey") < 0.5
+    # layout preserves the data
+    assert spark.read.parquet(zdir).count() == li.count()

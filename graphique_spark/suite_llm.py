@@ -1059,3 +1059,148 @@ def group_salted_skew(spark, sf_dir):
         "event_type", "n",
         (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100).alias("total"),
     )
+
+
+@query(
+    "outlier_robust_zscore",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def outlier_robust_zscore(spark, sf_dir):
+    """Robust per-group outlier flags: |x - median| > 3 * MAD. Median and
+    MAD are two grouped exact percentiles (map-side partial aggregation);
+    the flags are a broadcast join of the tiny per-group stats back onto
+    the stream — no window over the full table."""
+    from pyspark.sql import functions as F
+
+    events = table(spark, sf_dir, "events").df.select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), on="event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), on="event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS week_offset,
+             strftime(date_trunc('week', f.first_day), '%Y-%m-%d') AS cohort
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort, CAST(week_offset AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM activity
+    GROUP BY cohort, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    as active per week offset since their first event. First-seen is one
+    grouped min; the matrix is a distinct + group-by — two shuffles on
+    slim (user, offset) rows."""
+    from pyspark.sql import functions as F
+
+    events = table(spark, sf_dir, "events").df.select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    activity = (
+        events.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            ).alias("week_offset"),
+            F.date_format(F.date_trunc("week", F.col("first_day")), "yyyy-MM-dd").alias("cohort"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@query(
+    "funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'view' AS stage, count(*) AS users FROM v
+      UNION ALL SELECT 'view>click', count(*) FROM c
+      UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+    )
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered-funnel analysis: users who viewed, then clicked after the
+    first view, then purchased after that click. Each stage is a grouped
+    min over events joined to the (small) previous-stage frontier —
+    per-stage shuffles on slim (user, ts) rows, no per-user window sort."""
+    from pyspark.sql import functions as F
+
+    events = table(spark, sf_dir, "events").df.select("user_id", "event_type", "ts")
+
+    def stage(event, frontier=None, tcol=None):
+        e = events.filter(F.col("event_type") == event)
+        if frontier is not None:
+            e = e.join(frontier, on="user_id").filter(F.col("ts") > F.col(tcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event}"))
+
+    v = stage("view")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("users")).select(F.lit("view").alias("stage"), "users"),
+        c.agg(F.count(F.lit(1)).alias("users")).select(F.lit("view>click").alias("stage"), "users"),
+        p.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("view>click>purchase").alias("stage"), "users"
+        ),
+    ]
+    out = counts[0]
+    for frame in counts[1:]:
+        out = out.unionByName(frame)
+    return out

@@ -135,13 +135,14 @@ def minhash_candidates(
     """Candidate near-duplicate pairs via MinHash-LSH, with exact (hashed-)
     shingle Jaccard computed for each candidate. Returns (id_a, id_b, jaccard).
 
-    Scale shape: shingles explode to one row each and are md5-hashed ONCE;
-    the ``num_hashes`` MinHash values are affine permutations of that hash,
-    folded map-side by a partial ``min`` aggregation — so the expensive
-    stage is embarrassingly parallel and shuffles only (id, 16 longs, hash
-    set). Candidates are a slim (id_a, id_b) distinct before the arrays are
-    joined back for verification, so the big arrays never go through the
-    pair-dedup shuffle.
+    Scale shape: signatures are FULLY map-side — each doc's shingles are
+    md5-hashed ONCE into an in-row array (one ``transform``), and the
+    ``num_hashes`` MinHash values are in-row ``array_min`` folds of affine
+    permutations of those hashes. Nothing per-shingle ever shuffles: the
+    first exchange in the whole pipeline carries one slim row per
+    (doc, band). Candidates are a slim (id_a, id_b) distinct before the
+    arrays are joined back for verification, so the big arrays never go
+    through the pair-dedup shuffle.
 
     ``max_band_freq`` is the boilerplate-skew guard: a band key shared by m
     docs yields m²/2 candidate pairs, so one boilerplate bucket (headers,
@@ -151,15 +152,20 @@ def minhash_candidates(
     """
     df = ensure_parallelism(df)
     rows = num_hashes // bands
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text), k)).alias("s")
-    ).select("id", hash60(F.col("s")).alias("h"))
-    hm = F.col("h") % MERSENNE
+    hashed = F.array_distinct(
+        F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
+    )
     mins = [
-        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE).alias(f"m{i}")
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
+            )
+        ).alias(f"m{i}")
         for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
     ]
-    sigs = exploded.groupBy("id").agg(F.collect_set("h").alias("hs"), *mins)
+    sigs = df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
+        "id", "hs", *mins
+    )
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))

@@ -1435,3 +1435,36 @@ def partition_metadata_groups(spark, sf_dir):
     out = ds.group(by=["o_orderstatus"], counts="n")
     assert "Scan parquet" not in out.explain("simple")  # metadata, not scan
     return out.df
+
+
+@query(
+    "range_join_bands",
+    """
+    WITH bands AS (
+      SELECT i AS band, i * 5000.0 AS lo, (i + 1) * 5000.0 - 0.01 AS hi
+      FROM generate_series(0, 24) t(i)
+    )
+    SELECT b.band, count(*) AS n,
+           floor(sum(l.l_extendedprice) * 100 + 0.5) / 100 AS total
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice BETWEEN b.lo AND b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_bands(spark, sf_dir):
+    """Point-in-interval join via bucketing (operators.rangejoin): price
+    bands equi-join on the bucket key instead of a BroadcastNestedLoop
+    BETWEEN join; results identical to the oracle's BETWEEN join."""
+    from graphique_spark.operators.rangejoin import range_join
+
+    li = table(spark, sf_dir, "lineitem").df.select("l_extendedprice")
+    bands = spark.range(25).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * 5000.0).alias("lo"),
+        ((F.col("id") + 1) * 5000.0 - 0.01).alias("hi"),
+    )
+    joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=5000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias("total"),
+    )

@@ -276,3 +276,33 @@ def test_row_index_nondeterministic_upstream(tables):
     indexed = with_row_index(sampled, "_rowid")
     ids = [r["_rowid"] for r in indexed.select("_rowid").collect()]
     assert sorted(ids) == list(range(len(ids)))
+
+
+def test_range_join_matches_naive_and_avoids_nlj(spark, tables):
+    from graphique_spark.operators.rangejoin import range_join
+
+    points = tables["lineitem"].df.select("l_orderkey", "l_extendedprice").limit(2000)
+    bands = spark.createDataFrame(
+        [(i, i * 5000.0, (i + 1) * 5000.0 - 0.01) for i in range(25)],
+        "band int, lo double, hi double",
+    )
+    got = range_join(points, bands, "l_extendedprice", "lo", "hi", bucket_width=5000.0)
+    naive = points.crossJoin(bands).filter(
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") <= F.col("hi"))
+    )
+    assert got.count() == naive.count()
+    got_set = {(r["l_orderkey"], r["band"]) for r in got.collect()}
+    naive_set = {(r["l_orderkey"], r["band"]) for r in naive.collect()}
+    assert got_set == naive_set
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rejoined = range_join(points, bands, "l_extendedprice", "lo", "hi", 5000.0)
+        plan = rejoined._sc._jvm.PythonSQLUtils.explainString(
+            rejoined._jdf.queryExecution(), "formatted"
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        assert "SortMergeJoin" in plan  # bucket equi-join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)

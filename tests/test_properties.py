@@ -3,6 +3,7 @@ brute-force Python models on generated inputs — the corners fixtures miss
 (empty frames, all-equal keys, negative offsets, unmatched asof rows).
 """
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -159,3 +160,44 @@ def test_star_components_match_union_find(spark, edges):
         for r in connected_components(pairs, method="star").collect()
     }
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_exact_wrt_threshold(spark, docs, threshold):
+    # PPJoin prefix filtering must be EXACT w.r.t. the threshold: every
+    # pair with true n-gram Jaccard >= t, no pair below it
+    from graphique_spark.llm.dedup import ngram_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, min_jaccard=threshold).collect()
+    }
+
+    def bigrams(t):
+        w = t.split()
+        if len(w) < 2:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    expect = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = bigrams(a), bigrams(b)
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for pair, jac in expect.items():
+        assert got[pair] == pytest.approx(jac, abs=1e-9)

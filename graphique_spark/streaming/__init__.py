@@ -214,16 +214,27 @@ def interval_join(
     return l.join(r, cond, how)
 
 
-def write_stream_to_parquet(df: DataFrame, dest: str, checkpoint: str, trigger_seconds: int = 60):
-    """Standard sink: exactly-once parquet append with checkpointing."""
-    return (
+def write_stream_to_parquet(
+    df: DataFrame,
+    dest: str,
+    checkpoint: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+):
+    """Standard sink: exactly-once parquet append with checkpointing.
+    ``available_now=True`` drains everything currently available in
+    bounded micro-batches and stops — the backfill/catch-up trigger."""
+    writer = (
         df.writeStream.format("parquet")
         .option("path", dest)
         .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def upsert_sink(
@@ -233,6 +244,7 @@ def upsert_sink(
     checkpoint: str,
     partition_col: str | None = None,
     trigger_seconds: int = 60,
+    available_now: bool = False,
 ):
     """Update-mode upsert into hive-partitioned parquet via ``foreachBatch``
     — the table-format-free merge pattern for aggregation streams.
@@ -280,10 +292,13 @@ def upsert_sink(
         finally:
             batch.unpersist()
 
-    return (
+    writer = (
         df.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -224,3 +224,20 @@ def test_upsert_sink_foreachbatch(spark, tables, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_available_now_drains_and_stops(spark, tables, tmp_path):
+    # availableNow processes all pending files in bounded batches, then the
+    # query terminates on its own — the backfill trigger
+    from graphique_spark import streaming
+
+    events = tables["events"].df.select("event_id", "user_id", "value")
+    src = str(tmp_path / "src")
+    events.limit(300).coalesce(1).write.parquet(src)
+    schema = "event_id bigint, user_id bigint, value double"
+    stream = streaming.read_event_stream(spark, src, schema=schema)
+    q = streaming.write_stream_to_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True
+    )
+    assert q.awaitTermination(120)  # terminates without stop()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 300

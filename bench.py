@@ -51,7 +51,9 @@ def main() -> None:
         "runs_adjacency",
     ]:
         try:
-            queries[warm](spark, warm_dir).write.mode("overwrite").format("noop").save()
+            fn = queries.get(warm)
+            if fn is not None:
+                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001  (warmup is best-effort)
             pass
 

@@ -384,3 +384,57 @@ def lsh_ann_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    num_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest of ``num_clusters`` deterministic
+    centroids (hash-ordered sample, same fixed-k machinery as IVF): one
+    map-side pass over centroid literals, no shuffle of the embeddings.
+    Returns all input columns + (cluster, cos_to_centroid).
+
+    The curation use: cluster-balanced sampling and per-cluster quotas —
+    corpus diversity control without training a model. Swap in offline
+    k-means centroids for a real deployment; the assignment plan is
+    identical."""
+    centroids = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(hash60(F.col("cid")), F.col("cid"))
+        .limit(num_clusters)
+        .collect()
+    )
+    cands = []
+    for row in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in row["cvec"]])
+        cos = cosine_similarity(F.col(vec_col), lit_vec)
+        cands.append(F.struct(cos.alias("cos"), F.lit(int(row["cid"])).alias("cid")))
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return df.withColumn("cluster", best["cid"]).withColumn(
+        "cos_to_centroid", best["cos"]
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    num_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Up to ``per_cluster`` rows from each embedding cluster, chosen
+    deterministically by id hash — the diversity-preserving subset
+    selection pattern (uniform sampling over-represents dense regions).
+    Per-group top-k via window rank over the (bounded) cluster key."""
+    from pyspark.sql import Window
+
+    assigned = assign_clusters(df, num_clusters, vec_col, id_col)
+    w = Window.partitionBy("cluster").orderBy(hash60(F.col(id_col)), F.col(id_col))
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cluster)
+        .drop("__rn")
+    )

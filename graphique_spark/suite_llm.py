@@ -1204,3 +1204,33 @@ def funnel_stages(spark, sf_dir):
     for frame in counts[1:]:
         out = out.unionByName(frame)
     return out
+
+
+@query(
+    "embedding_clusters",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+          LIMIT 8),
+    a AS (SELECT e.vec_id, arg_max(cid, {_cos_frag("e.v", "cv")}) AS cluster,
+                 max({_cos_frag("e.v", "cv")}) AS cos
+          FROM e, c GROUP BY e.vec_id)
+    SELECT cluster, count(*) AS n,
+           floor(avg(cos) * 1000000 + 0.5) AS mean_cos_scaled
+    FROM a GROUP BY cluster
+    """,
+)
+def embedding_clusters(spark, sf_dir):
+    """Embedding-space clustering (fixed-k hash-sampled centroids, map-side
+    assignment over centroid literals — the curation diversity-control
+    primitive): per-cluster sizes and mean centroid affinity."""
+    emb = table(spark, sf_dir, "embeddings").df
+    assigned = similarity.assign_clusters(emb, num_clusters=8)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("cos_to_centroid") * 1000000.0 + F.lit(0.5)).alias(
+            "mean_cos_scaled"
+        ),
+    )

@@ -518,3 +518,18 @@ def test_kll_quantile_sketches_accuracy_and_merge(tables):
     [merged] = sketch.kll_merge_quantiles(per_group, q=(0.5,)).collect()
     [[global_p50]] = li.agg(F.percentile("l_extendedprice", F.array(F.lit(0.5)))).collect()
     assert merged["q50"] == pytest.approx(global_p50[0] if isinstance(global_p50, list) else global_p50, rel=0.05)
+
+
+def test_cluster_balanced_sample_caps_each_cluster(tables):
+    emb = tables["embeddings"].df
+    sampled = similarity.cluster_balanced_sample(emb, per_cluster=5, num_clusters=4)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in sampled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 5 for n in sizes.values())
+    assert len(sizes) >= 2  # multiple clusters actually represented
+    # deterministic: same call returns the same ids
+    a = {r["vec_id"] for r in sampled.collect()}
+    b = {r["vec_id"] for r in similarity.cluster_balanced_sample(emb, 5, 4).collect()}
+    assert a == b

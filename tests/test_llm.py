@@ -533,3 +533,18 @@ def test_cluster_balanced_sample_caps_each_cluster(tables):
     a = {r["vec_id"] for r in sampled.collect()}
     b = {r["vec_id"] for r in similarity.cluster_balanced_sample(emb, 5, 4).collect()}
     assert a == b
+
+
+def test_theta_sketch_set_algebra(tables):
+    from graphique_spark.operators import sketch
+
+    events = tables["events"].df
+    two = events.filter(F.col("event_type").isin("click", "view"))
+    per_type = sketch.theta_sketches(two, "user_id", by=["event_type"])
+    [overlap] = sketch.theta_overlap(per_type).collect()
+
+    clicks = {r["user_id"] for r in two.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    views = {r["user_id"] for r in two.filter("event_type = 'view'").select("user_id").distinct().collect()}
+    assert overlap["union_estimate"] == pytest.approx(len(clicks | views), rel=0.05)
+    assert overlap["intersection_estimate"] == pytest.approx(len(clicks & views), rel=0.1)
+    assert 0.0 <= overlap["overlap_ratio"] <= 1.0

@@ -530,7 +530,7 @@ def multimodal_audio(spark, sf_dir):
                  CAST(((x + y + doc_id + frame_idx) % 256
                        + (x + y + doc_id + frame_idx + 1) % 256
                        + (x + y + doc_id + frame_idx + 2) % 256) AS DOUBLE) / 3.0))),
-             'avg') / 255.0 * 1000000 + 0.5) AS mean_px_scaled
+             'avg') / 255.0 * 1000000 + 0.5)::BIGINT AS mean_px_scaled
     FROM f
     """,
 )
@@ -949,7 +949,7 @@ def pii_redact(spark, sf_dir):
            count(*) AS n_segments,
            CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
            floor(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
-                 * 1000000 + 0.5) AS dup_fraction_scaled
+                 * 1000000 + 0.5)::BIGINT AS dup_fraction_scaled
     FROM ex JOIN freq USING (seg)
     GROUP BY doc_id
     """,
@@ -967,23 +967,54 @@ def dedup_segments(spark, sf_dir):
     )
 
 
-@query("sketch_distinct")  # no SQL oracle: DataSketches HLL estimates are
-# Spark-side state; accuracy is asserted in pytest (±5% vs exact)
+@query(
+    "sketch_distinct",
+    """
+    WITH g AS (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT l_partkey) FROM lineitem
+    )
+    SELECT l_returnflag, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM g
+    """,
+)
 def sketch_distinct(spark, sf_dir):
     """Mergeable HLL distinct-count sketches: per-group sketch + estimate,
     then a grand-total estimate from merging the per-group sketches alone
-    (no data rescan) — the 100 TB incremental-distinct pattern."""
+    (no data rescan) — the 100 TB incremental-distinct pattern.
+
+    Oracle contract: the HLL estimate itself is Spark-side state DuckDB
+    cannot reproduce, so the query emits the EXACT per-group distinct count
+    (oracle-checked) plus ``estimate_ok`` = |estimate − exact| ≤ 5%·exact.
+    The oracle asserts TRUE — if the sketch ever drifts past tolerance the
+    flag flips and the driver hash mismatches, so the sketch path is gated,
+    not just row-counted."""
     from graphique_spark.operators import sketch
 
     lineitem = table(spark, sf_dir, "lineitem").df
     per_group = sketch.hll_sketches(lineitem, "l_partkey", by=["l_returnflag"])
     total = sketch.hll_merge(per_group).select(
-        F.lit("ALL").alias("l_returnflag"),
-        F.col("estimate").cast("long").alias("estimate"),
+        F.lit("ALL").alias("l_returnflag"), "estimate"
     )
-    return (
-        per_group.select("l_returnflag", F.col("estimate").cast("long").alias("estimate"))
-        .union(total)
+    est = per_group.select("l_returnflag", "estimate").union(total)
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+        .union(
+            lineitem.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+            .select(F.lit("ALL").alias("l_returnflag"), "exact_distinct")
+        )
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("estimate_ok"),
     )
 
 
@@ -1000,7 +1031,7 @@ def sketch_distinct(spark, sf_dir):
            CAST(max(total) AS BIGINT) AS n_words,
            count(*) AS n_unique_words,
            floor(-sum((c::DOUBLE / total) * ln(c::DOUBLE / total)) * 10000 + 0.5)
-             AS entropy_scaled
+             ::BIGINT AS entropy_scaled
     FROM wc JOIN t USING (doc_id) GROUP BY doc_id
     """,
 )
@@ -1218,7 +1249,7 @@ def funnel_stages(spark, sf_dir):
                  max({_cos_frag("e.v", "cv")}) AS cos
           FROM e, c GROUP BY e.vec_id)
     SELECT cluster, count(*) AS n,
-           floor(avg(cos) * 1000000 + 0.5) AS mean_cos_scaled
+           floor(avg(cos) * 1000000 + 0.5)::BIGINT AS mean_cos_scaled
     FROM a GROUP BY cluster
     """,
 )

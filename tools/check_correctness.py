@@ -2,7 +2,12 @@
 Spark and the matching ``oracle_sql()[name]`` on DuckDB at sf0.01, compare
 row count, column names, and order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [name ...]
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [--strict] [name ...]
+
+``--strict`` skips the 12-significant-digit float collapse and compares
+``str(value)`` verbatim, like the driver's value hash does. This catches
+type-representation drift (e.g. Spark ``floor``→BIGINT ``512345`` vs DuckDB
+``floor``→DOUBLE ``512345.0``) that the tolerant mode deliberately hides.
 """
 
 from __future__ import annotations
@@ -18,12 +23,15 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+STRICT = False
 
 
 def normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
+        if STRICT:
+            return repr(value)
         # collapse fp noise: 12 significant digits
         return f"{value:.12g}"
     if isinstance(value, (list, tuple)):
@@ -34,7 +42,7 @@ def normalize(value):
         import decimal
 
         if isinstance(value, decimal.Decimal):
-            return f"{float(value):.12g}"
+            return str(value) if STRICT else f"{float(value):.12g}"
     except ImportError:
         pass
     return value
@@ -69,7 +77,8 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    wanted = sys.argv[1:] or list(queries)
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    wanted = args or list(queries)
     passed = failed = weak = 0
     for name in wanted:
         fn = queries[name]
@@ -121,4 +130,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--strict" in sys.argv:
+        STRICT = True
     raise SystemExit(main())

@@ -48,7 +48,16 @@ def _last_verified_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and not row.get("err") and row.get("rows_match"):
+            # A row only counts as verified if it was fully green: a
+            # hash_match=False row (e.g. the r04 floor-repr bug) must sort
+            # as never-verified so the fixed query re-enters the next
+            # round's 50-query gate window immediately.
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            ):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 

@@ -74,17 +74,21 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Print the line TWICE, flushed: the driver parses a tail window of
+    # stdout, and r04's capture clipped the single JSON line mid-dict
+    # ("parsed": null). Two identical adjacent lines survive any one-line
+    # clip; bench stdout carries nothing else.
+    print(line, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -453,6 +453,7 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
     vertices = edges.select(F.col("a").alias("v")).distinct()
     if not vertices.limit(1).count():
         return vertices.withColumn("component", F.col("v"))
+    edge_count = edges.count()
     for _ in range(max_iterations):
         # large-star: connect every big neighbor to the neighborhood min
         mins = edges.groupBy("a").agg(
@@ -482,12 +483,17 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
             small.union(small.select(F.col("b").alias("a"), F.col("a").alias("b")))
         )
         # converged when the oriented star edges are a fixed point: every
-        # node's neighbors are all smaller (large-star emits nothing new)
-        progress = (
-            new_edges.subtract(edges).limit(1).count()
-            or edges.subtract(new_edges).limit(1).count()
-        )
-        edges = new_edges
+        # node's neighbors are all smaller (large-star emits nothing new).
+        # Cheap detection: counts (metadata-priced on materialized sets)
+        # gate the one anti-join — unequal counts prove progress for free,
+        # and equal counts + empty anti-join prove set equality (both sides
+        # are distinct), so the old two-full-subtract check never runs.
+        new_count = new_edges.count()
+        if new_count == edge_count:
+            progress = new_edges.join(edges, ["a", "b"], "left_anti").limit(1).count()
+        else:
+            progress = 1
+        edges, edge_count = new_edges, new_count
         if not progress:
             break
     roots = (

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_BUCKET = "__rj_bucket"
+_PBUCKET = "__rj_pbucket"
+_RBUCKET = "__rj_rbucket"
+
+_SUPPORTED_HOW = {"inner", "left", "left_outer", "semi", "left_semi", "anti", "left_anti"}
 
 
 def range_join(
@@ -31,17 +34,47 @@ def range_join(
     ``bucket_width`` tunes the bucket granularity: pick ~the median range
     width, so a typical range explodes to O(1) buckets while each point
     probes exactly one. Too-wide ranges multiply the (slim) exploded range
-    rows, never the fact rows."""
-    p = points.withColumn(_BUCKET, F.floor(F.col(point) / bucket_width))
-    r = ranges.withColumn(
-        _BUCKET,
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / bucket_width), F.floor(F.col(hi) / bucket_width)
-            )
-        ),
+    rows, never the fact rows.
+
+    ``how``: inner / left (point rows with no containing range are kept,
+    range columns null) / semi / anti — all point-side preserving, so the
+    single-bucket-per-point property keeps them duplicate-free. right/full
+    are rejected: an unmatched range row appears once per covered bucket
+    after the explode, so null-extension there would fabricate duplicates.
+
+    Inverted ranges (``lo > hi``) and null bounds match nothing (they are
+    pruned before the bucket explode, which would otherwise throw on a
+    descending ``sequence``).
+    """
+    if how not in _SUPPORTED_HOW:
+        raise ValueError(
+            f"range_join supports how in {sorted(_SUPPORTED_HOW)}, got {how!r}: "
+            "right/full would duplicate unmatched range rows (one per covered "
+            "bucket after the explode)"
+        )
+    p = points.withColumn(_PBUCKET, F.floor(F.col(point) / bucket_width))
+    r = (
+        ranges.filter(F.col(lo) <= F.col(hi))  # prunes inverted + null bounds
+        .withColumn(
+            _RBUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width),
+                    F.floor(F.col(hi) / bucket_width),
+                )
+            ),
+        )
     )
-    out = p.join(r, on=_BUCKET, how=how).filter(
-        (F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi))
+    # The BETWEEN lives in the join condition, not a post-filter: Catalyst
+    # still extracts the bucket equality into SMJ/SHJ keys, and null-extended
+    # rows of an outer join survive (a post-filter would silently degrade
+    # left joins to inner).
+    cond = (
+        (p[_PBUCKET] == r[_RBUCKET])
+        & (p[point] >= r[lo])
+        & (p[point] <= r[hi])
     )
-    return out.drop(_BUCKET)
+    out = p.join(r, on=cond, how=how)
+    if how in ("semi", "left_semi", "anti", "left_anti"):
+        return out.drop(_PBUCKET)
+    return out.drop(_PBUCKET).drop(_RBUCKET)

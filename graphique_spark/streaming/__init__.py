@@ -258,19 +258,47 @@ def upsert_sink(
     re-running a failed batch converges to the same partition contents,
     and the checkpoint serializes batch ids.
 
-    ``partition_col`` defaults to the first key; at scale pick the key
-    that bounds a micro-batch's blast radius (e.g. a date bucket so each
-    batch rewrites only recent partitions)."""
+    ``partition_col`` defaults to the first key and MUST be one of
+    ``keys``: the anti-join only rewrites partitions touched by the
+    current batch, so a key whose partition value could drift between
+    batches would leave a stale duplicate in its old partition."""
     part = partition_col or keys[0]
+    if part not in keys:
+        raise ValueError(
+            f"partition_col {part!r} must be one of the upsert keys {keys}: "
+            "the merge only rewrites partitions touched by the batch, so a "
+            "non-key partition column would strand stale rows when a key "
+            "moves between partitions"
+        )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = batch.persist()
         try:
+            # Only a genuinely-missing dest means "first batch". Any other
+            # read failure (fs hiccup, metadata conflict) must FAIL the
+            # batch so the checkpoint retries it — treating it as first
+            # batch would dynamic-overwrite touched partitions with
+            # batch-only rows, silently dropping previously merged keys.
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = spark.read.parquet(dest)
-            except Exception:  # first batch: nothing to merge
+            except AnalysisException as exc:
+                condition = None
+                for getter in ("getCondition", "getErrorClass"):
+                    fn = getattr(exc, getter, None)
+                    if fn is not None:
+                        try:
+                            condition = fn()
+                            break
+                        except Exception:  # noqa: BLE001
+                            continue
+                missing = (condition or "").startswith("PATH_NOT_FOUND") or (
+                    condition is None and "PATH_NOT_FOUND" in str(exc)
+                )
+                if not missing:
+                    raise
                 existing = None
             if existing is not None:
                 touched = batch.select(part).distinct()
@@ -286,6 +314,10 @@ def upsert_sink(
             (
                 merged.repartition(part)
                 .write.partitionBy(part)
+                # per-write dynamic overwrite: never mutate the shared
+                # session conf (it would change overwrite semantics of
+                # unrelated writes elsewhere in the application)
+                .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(dest)
             )

@@ -306,3 +306,35 @@ def test_range_join_matches_naive_and_avoids_nlj(spark, tables):
         assert "SortMergeJoin" in plan  # bucket equi-join
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_range_join_outer_semi_anti_match_naive(spark):
+    from graphique_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(60)], "pid int, p double"
+    )
+    bands = spark.createDataFrame(
+        [(0, 10.0, 30.0), (1, 25.0, 40.0), (2, 90.0, 95.0), (3, 50.0, 20.0)],
+        "band int, lo double, hi double",  # band 3 is inverted: matches nothing
+    )
+    naive_cond = (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    naive_inner = points.crossJoin(bands).filter(naive_cond)
+    matched_pids = {r["pid"] for r in naive_inner.select("pid").distinct().collect()}
+    all_pids = {r["pid"] for r in points.collect()}
+
+    left = range_join(points, bands, "p", "lo", "hi", 10.0, how="left").collect()
+    # matched rows identical to inner; unmatched points kept with null band
+    assert {(r["pid"], r["band"]) for r in left if r["band"] is not None} == {
+        (r["pid"], r["band"]) for r in naive_inner.collect()
+    }
+    assert {r["pid"] for r in left if r["band"] is None} == all_pids - matched_pids
+
+    semi = range_join(points, bands, "p", "lo", "hi", 10.0, how="semi")
+    assert set(semi.columns) == {"pid", "p"}
+    assert {r["pid"] for r in semi.collect()} == matched_pids
+    anti = range_join(points, bands, "p", "lo", "hi", 10.0, how="anti")
+    assert {r["pid"] for r in anti.collect()} == all_pids - matched_pids
+
+    with pytest.raises(ValueError, match="right/full"):
+        range_join(points, bands, "p", "lo", "hi", 10.0, how="full")

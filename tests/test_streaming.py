@@ -241,3 +241,25 @@ def test_available_now_drains_and_stops(spark, tables, tmp_path):
     )
     assert q.awaitTermination(120)  # terminates without stop()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 300
+
+
+def test_upsert_sink_rejects_non_key_partition_col(spark, tables, tmp_path):
+    # a partition column outside the upsert keys would strand stale rows in
+    # old partitions when a key's partition value drifts between batches
+    import pytest
+
+    from graphique_spark import streaming
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "view", 1.0)], "event_id bigint, event_type string, value double"
+    ).write.parquet(src)
+    stream = streaming.read_event_stream(
+        spark, src, schema="event_id bigint, event_type string, value double",
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(ValueError, match="must be one of the upsert keys"):
+        streaming.upsert_sink(
+            agg, str(tmp_path / "dest"), keys=["event_type"],
+            checkpoint=str(tmp_path / "ckpt"), partition_col="n",
+        )

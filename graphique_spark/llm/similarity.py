@@ -88,6 +88,56 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def fit_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    seed: int = 0,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Offline k-means centroids (Spark ML KMeans — distributed Lloyd's)
+    for :func:`ivf_topk` / :func:`assign_clusters` ``centroids=``.
+
+    The hash-sampled default centroids are deterministic and free but
+    arbitrary; k-means centroids track the data distribution, so IVF cells
+    are balanced and probes recall more true neighbors. At 100 TB: fit on
+    ``sample_fraction`` (k-means quality saturates quickly with sample
+    size), persist the returned list (k × dim floats — kilobytes), and
+    reuse across queries; fitting is offline, assignment plans are
+    identical to the hash-centroid path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(sample_fraction, seed=seed)
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    return [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+
+
+def _hash_sampled_centroids(
+    df: DataFrame, num: int, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic fixed-size centroid sample: the ``num`` rows with the
+    smallest ``hash60(id)`` — a hash-ordered top-k (TakeOrderedAndProject,
+    no shuffle of the vectors). Fixed k keeps the centroid broadcast and
+    the n × k assignment cost bounded no matter the corpus size."""
+    rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(hash60(F.col("cid")), F.col("cid"))
+        .limit(num)
+        .collect()
+    )  # tiny: num rows, collected once at plan-build
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -96,27 +146,22 @@ def ivf_topk(
     k: int = 10,
     num_centroids: int = 16,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition vectors into cells around
     centroids, probe only the ``nprobe`` cells nearest the query.
 
-    Centroids are a *fixed-size* deterministic sample: the ``num_centroids``
-    rows with the smallest ``hash60(id)`` (a hash-ordered top-k —
-    TakeOrderedAndProject, no shuffle of the vectors). Fixed k keeps the
-    centroid broadcast and the n × k assignment cost bounded no matter the
-    corpus size — a stride sample (``id % s == 0``) would grow O(n) and blow
-    up both at scale. A real deployment swaps in offline k-means centroids;
-    the probe and assignment plumbing is identical. Assignment is a
-    broadcast cross-join + ``max_by`` (map-side; no shuffle of the
-    embeddings). At scale the table would be written partitioned by
-    ``cell`` and a probe reads ``nprobe`` partitions only.
+    Default centroids are a *fixed-size* deterministic hash sample (see
+    :func:`_hash_sampled_centroids`) — a stride sample (``id % s == 0``)
+    would grow O(n) and blow up at scale. Pass ``centroids=`` (e.g. from
+    :func:`fit_centroids`) for k-means cells; the probe and assignment
+    plumbing is identical. Assignment is a pure map-side expression over
+    centroid literals (no shuffle of the embeddings). At scale the table
+    would be written partitioned by ``cell`` and a probe reads ``nprobe``
+    partitions only.
     """
-    centroids = (
-        df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-        .orderBy(hash60(F.col("cent_id")), F.col("cent_id"))
-        .limit(num_centroids)
-        .collect()
-    )  # tiny: num_centroids rows, collected once at plan-build
+    if centroids is None:
+        centroids = _hash_sampled_centroids(df, num_centroids, vec_col, id_col)
     # probe choice on the driver: left-to-right fold == Spark's aggregate HOF
     def _py_cos(a, b):
         num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -124,17 +169,15 @@ def ivf_topk(
         nb = sum(float(y) * float(y) for y in b) ** 0.5
         return num / (na * nb)
 
-    ranked = sorted(
-        centroids, key=lambda r: (-_py_cos(r["cvec"], query), r["cent_id"])
-    )
-    probe = [r["cent_id"] for r in ranked[:nprobe]]
+    ranked = sorted(centroids, key=lambda c: (-_py_cos(c[1], query), c[0]))
+    probe = [cid for cid, _ in ranked[:nprobe]]
     # assignment as a pure map-side expression over centroid literals: no
     # cross join, no groupBy shuffle of the embeddings
     cells = []
-    for r in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in r["cvec"]])
+    for cid, cvec in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
         sim = cosine_similarity(F.col(vec_col), cv)
-        cells.append(F.struct(sim.alias("s"), F.lit(int(r["cent_id"])).alias("c")))
+        cells.append(F.struct(sim.alias("s"), F.lit(int(cid)).alias("c")))
     cell = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
     q = F.array(*[F.lit(float(v)) for v in query])
     qsim = cosine_similarity(F.col(vec_col), q)
@@ -391,27 +434,25 @@ def assign_clusters(
     num_clusters: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Assign every vector to its nearest of ``num_clusters`` deterministic
-    centroids (hash-ordered sample, same fixed-k machinery as IVF): one
-    map-side pass over centroid literals, no shuffle of the embeddings.
-    Returns all input columns + (cluster, cos_to_centroid).
+    """Assign every vector to its nearest centroid: one map-side pass over
+    centroid literals, no shuffle of the embeddings. Returns all input
+    columns + (cluster, cos_to_centroid).
+
+    Default centroids are the deterministic hash sample (same fixed-k
+    machinery as IVF); pass ``centroids=`` from :func:`fit_centroids` for
+    k-means quality — the assignment plan is identical.
 
     The curation use: cluster-balanced sampling and per-cluster quotas —
-    corpus diversity control without training a model. Swap in offline
-    k-means centroids for a real deployment; the assignment plan is
-    identical."""
-    centroids = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(hash60(F.col("cid")), F.col("cid"))
-        .limit(num_clusters)
-        .collect()
-    )
+    corpus diversity control without training a model."""
+    if centroids is None:
+        centroids = _hash_sampled_centroids(df, num_clusters, vec_col, id_col)
     cands = []
-    for row in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in row["cvec"]])
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
         cos = cosine_similarity(F.col(vec_col), lit_vec)
-        cands.append(F.struct(cos.alias("cos"), F.lit(int(row["cid"])).alias("cid")))
+        cands.append(F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid")))
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
     return df.withColumn("cluster", best["cid"]).withColumn(
         "cos_to_centroid", best["cos"]

@@ -548,3 +548,48 @@ def test_theta_sketch_set_algebra(tables):
     assert overlap["union_estimate"] == pytest.approx(len(clicks | views), rel=0.05)
     assert overlap["intersection_estimate"] == pytest.approx(len(clicks & views), rel=0.1)
     assert 0.0 <= overlap["overlap_ratio"] <= 1.0
+
+
+def test_kmeans_centroids_beat_hash_sampled(spark):
+    # fit_centroids (Spark ML KMeans) must beat the deterministic hash
+    # sample on both IVF recall@10 and mean centroid affinity — the reason
+    # the centroids= parameter exists. sf0.01 for a meaningful neighborhood
+    # structure; everything seeded, so the comparison is deterministic.
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    km = similarity.fit_centroids(emb, k=16, seed=0)
+    assert len(km) == 16 and all(len(v) == 64 for _, v in km)
+
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([3, 57, 101, 205, 399])).collect()
+    }
+
+    def recall(centroids):
+        hits = 0
+        for qv in qrows.values():
+            exact = {
+                x["vec_id"]
+                for x in similarity.brute_force_topk(emb, qv, k=10).collect()
+            }
+            approx = {
+                x["vec_id"]
+                for x in similarity.ivf_topk(
+                    emb, qv, k=10, num_centroids=16, nprobe=2, centroids=centroids
+                ).collect()
+            }
+            hits += len(exact & approx)
+        return hits / (10 * len(qrows))
+
+    r_km, r_hash = recall(km), recall(None)
+    assert r_km > r_hash  # observed 0.5 vs 0.3
+    assert r_km >= 0.4
+
+    cos_km = (
+        similarity.assign_clusters(emb, num_clusters=16, centroids=km)
+        .agg(F.avg("cos_to_centroid")).first()[0]
+    )
+    cos_hash = (
+        similarity.assign_clusters(emb, num_clusters=16)
+        .agg(F.avg("cos_to_centroid")).first()[0]
+    )
+    assert cos_km > cos_hash  # observed 0.327 vs 0.245

@@ -13,8 +13,13 @@ no imaging/audio libraries:
 * video stands in as a **concatenated-PPM container** (motion-JPEG-style):
   frame sampling really walks the container frame by frame.
 
-Heavier codecs (JPEG/MP4/FLAC) slot into the same Arrow-batched contract
-by swapping the per-blob decode function — the plan shape is identical.
+* **BMP (24-bit uncompressed)** — parsed with ``struct`` +
+  ``numpy.frombuffer`` (BGR bottom-up raster, row padding handled).
+
+**JPEG/PNG** route through Pillow when importable (format sniffed from
+magic bytes, same Arrow-batched contract) and raise a clear gate error
+otherwise; heavier codecs (MP4/FLAC) slot in the same way by swapping the
+per-blob decode function — the plan shape is identical.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through one
 Python worker per core; binary payloads never pass through the driver.
@@ -125,6 +130,46 @@ def attach_fake_blob(df: DataFrame, text: str = "text", out: str = "blob") -> Da
     return df.withColumn(out, F.encode(F.col(text), "utf-8"))
 
 
+def bmp_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) with the same deterministic gradient as
+    :func:`ppm_bytes`, so decoded features are format-independent."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    pixels = ((x + y + c + seed) % 256).astype(np.uint8)  # RGB, top-down
+    row_len = (width * 3 + 3) & ~3
+    raster = np.zeros((height, row_len), dtype=np.uint8)
+    raster[:, : width * 3] = pixels[::-1, :, ::-1].reshape(height, -1)  # BGR bottom-up
+    data = raster.tobytes()
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def pillow_available() -> bool:
+    """True when Pillow is importable — gates the JPEG/PNG decode path."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def jpeg_bytes(seed: int, width: int, height: int, quality: int = 95) -> bytes:
+    """A real JPEG of the deterministic gradient (requires Pillow). Lossy:
+    tests compare decoded features approximately, unlike PPM/BMP."""
+    from PIL import Image  # noqa: PLC0415  (gated import)
+
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    pixels = ((x + y + c + seed) % 256).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(pixels, "RGB").save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 # -- decoders ----------------------------------------------------------------
 
 def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray, int]:
@@ -146,19 +191,70 @@ def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray, int]:
     return width, height, pixels, start + n
 
 
+def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse one 24-bit uncompressed BMP: returns (width, height,
+    (h, w, 3) uint8 RGB array). Raises ValueError on malformed input."""
+    import struct
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP image")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_len = (width * 3 + 3) & ~3
+    if len(blob) < data_offset + row_len * height:
+        raise ValueError("truncated BMP pixel data")
+    raster = np.frombuffer(
+        blob, dtype=np.uint8, count=row_len * height, offset=data_offset
+    ).reshape(height, row_len)[:, : width * 3].reshape(height, width, 3)
+    pixels = raster[:, :, ::-1]  # BGR -> RGB
+    return width, height, pixels[::-1] if bottom_up else pixels
+
+
+def decode_image_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff the format from magic bytes and decode to (w, h, RGB array).
+
+    P6 PPM and 24-bit BMP decode natively (dependency-free); JPEG and PNG
+    route through Pillow when importable and raise a clear gate error
+    otherwise — same contract, no NotImplementedError stubs."""
+    if blob[:2] == b"P6":
+        width, height, pixels, _ = decode_ppm(blob)
+        return width, height, pixels
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] == b"\xff\xd8" or blob[:8] == b"\x89PNG\r\n\x1a\n":
+        if not pillow_available():
+            raise ValueError(
+                "JPEG/PNG decode requires Pillow, which is not installed; "
+                "install Pillow or store PPM/BMP blobs"
+            )
+        from PIL import Image  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(blob)).convert("RGB")
+        return img.width, img.height, np.asarray(img)
+    raise ValueError(f"unrecognized image magic {blob[:4]!r}")
+
+
 def decode_images(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode P6 PPM blobs to metadata + real pixel-statistic features via
-    ``mapInPandas`` (Arrow-batched; one Python roundtrip per batch, not per
-    row). Features: [mean_r, mean_g, mean_b, min, max] scaled to [0, 1]."""
+    """Decode image blobs (PPM/BMP native; JPEG/PNG via Pillow when
+    present — see :func:`decode_image_blob`) to metadata + real
+    pixel-statistic features via ``mapInPandas`` (Arrow-batched; one Python
+    roundtrip per batch, not per row). Features:
+    [mean_r, mean_g, mean_b, min, max] scaled to [0, 1]."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob)
-                width, height, pixels, _ = decode_ppm(blob)
+                width, height, pixels = decode_image_blob(blob)
                 means = pixels.reshape(-1, 3).mean(axis=0) / 255.0
                 features = [*means, pixels.min() / 255.0, pixels.max() / 255.0]
                 rows.append((doc_id, len(blob), width, height, 3, features))
@@ -202,9 +298,10 @@ def resize_images(
     id_col: str = "doc_id",
     target: tuple[int, int] = (32, 32),
 ) -> DataFrame:
-    """Nearest-neighbor resample of decoded PPM pixels to ``target`` —
-    a real resize over real pixels (numpy integer indexing), keeping the
-    Arrow-batched contract. Returns the resized mean pixel value."""
+    """Nearest-neighbor resample of decoded image pixels (any supported
+    format) to ``target`` — a real resize over real pixels (numpy integer
+    indexing), keeping the Arrow-batched contract. Returns the resized
+    mean pixel value."""
 
     tw, th = target
 
@@ -212,7 +309,7 @@ def resize_images(
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                width, height, pixels, _ = decode_ppm(bytes(blob))
+                width, height, pixels = decode_image_blob(bytes(blob))
                 ys = (np.arange(th) * height) // th
                 xs = (np.arange(tw) * width) // tw
                 resized = pixels[ys][:, xs]

@@ -593,3 +593,54 @@ def test_kmeans_centroids_beat_hash_sampled(spark):
         .agg(F.avg("cos_to_centroid")).first()[0]
     )
     assert cos_km > cos_hash  # observed 0.327 vs 0.245
+
+
+def test_multimodal_bmp_decodes_like_ppm(spark):
+    # BMP carries the same gradient as PPM (through BGR bottom-up raster +
+    # row padding), so decoded stats must be identical per (seed, w, h)
+    df = spark.createDataFrame([(int(i),) for i in range(20)], "doc_id long")
+
+    def attach(fmt_fn):
+        import pandas as pd
+
+        def batches(it):
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["blob"] = [fmt_fn(int(d), 9 + int(d) % 5, 7 + int(d) % 3) for d in pdf["doc_id"]]
+                yield pdf
+
+        return df.mapInPandas(batches, schema="doc_id long, blob binary")
+
+    def stats(blobs):
+        return {
+            r["doc_id"]: (r["width"], r["height"], [round(f, 12) for f in r["features"]])
+            for r in multimodal.decode_images(blobs).collect()
+        }
+
+    assert stats(attach(multimodal.bmp_bytes)) == stats(attach(multimodal.ppm_bytes))
+
+
+def test_multimodal_jpeg_gate():
+    import pytest
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    if multimodal.pillow_available():
+        blob = multimodal.jpeg_bytes(3, 16, 16)
+        w, h, pixels = multimodal.decode_image_blob(blob)
+        assert (w, h) == (16, 16)
+        # lossy codec: gradient mean survives approximately
+        import numpy as np
+
+        expect = ((np.arange(16)[None, :, None] + np.arange(16)[:, None, None]
+                   + np.arange(3)[None, None, :] + 3) % 256).mean()
+        assert abs(pixels.mean() - expect) < 8.0
+    else:
+        with pytest.raises(ValueError, match="requires Pillow"):
+            multimodal.decode_image_blob(jpeg_magic)
+
+
+def test_multimodal_unknown_magic_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unrecognized image magic"):
+        multimodal.decode_image_blob(b"GIF89a too exotic")

@@ -122,6 +122,110 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable MinHash index: ONE slim row per doc — (id, hs, band_keys)
+    where ``hs`` is the distinct hashed-shingle set (longs) and
+    ``band_keys`` the LSH band hashes. Fully map-side (in-row HOFs; nothing
+    per-shingle ever shuffles).
+
+    This is the incremental-dedup primitive for a rolling corpus: index
+    each ingest batch once, persist (kilobytes per doc, partitioned
+    however suits the reader), and dedup any future batch against it with
+    :func:`incremental_minhash_dedup` — the historical corpus is never
+    re-shingled."""
+    df = ensure_parallelism(df)
+    rows = num_hashes // bands
+    hashed = F.array_distinct(
+        F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    ]
+    sigs = df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
+        "id", "hs", *mins
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", "hs", band_keys.alias("band_keys"))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.0,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW ingest batch and an existing
+    :func:`minhash_index` — the rolling-corpus dedup pattern: at 100 TB you
+    never re-pair the whole corpus, you dedup each day's crawl against the
+    persisted index and append the survivors' index rows.
+
+    Returns (new_id, index_id, jaccard). Scale shape: the new batch is the
+    small side by construction, so its exploded (band, key) rows broadcast
+    and the index side is filtered MAP-SIDE — no shuffle of the historical
+    index; the hash-set verify join touches only candidate ids.
+    ``max_band_freq`` caps boilerplate band keys on the index side (a key
+    shared by m index docs yields m pairs per colliding new doc).
+    """
+    new_idx = minhash_index(new_docs, text, id_col, k, num_hashes, bands)
+    nb = new_idx.select(
+        F.col("id").alias("new_id"), F.posexplode("band_keys").alias("band", "key")
+    )
+    ib = index.select(
+        F.col("id").alias("index_id"), F.posexplode("band_keys").alias("band", "key")
+    )
+    if max_band_freq is not None:
+        hot = (
+            ib.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_band_freq)
+            .select("band", "key")
+        )
+        ib = ib.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+    cands = (
+        ib.join(F.broadcast(nb), on=["band", "key"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    cand_n = cands.join(
+        F.broadcast(new_idx.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n"))),
+        on="new_id",
+    )
+    # broadcast the (candidate, new-hash-set) side: the index scan stays
+    # map-side for the verify join too — zero shuffles of index data
+    pairs = index.select(F.col("id").alias("index_id"), F.col("hs").alias("hs_i")).join(
+        F.broadcast(cand_n), on="index_id"
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_i")).cast("double")
+    union = F.size(F.array_union("hs_n", "hs_i")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "index_id", "jaccard")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text: str = "text",
@@ -150,29 +254,8 @@ def minhash_candidates(
     are dropped via a broadcast anti-join against the (tiny) hot-key set —
     boilerplate that common isn't a useful near-dup signal anyway.
     """
-    df = ensure_parallelism(df)
-    rows = num_hashes // bands
-    hashed = F.array_distinct(
-        F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
-            )
-        ).alias(f"m{i}")
-        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
-    ]
-    sigs = df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
-        "id", "hs", *mins
-    )
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "key"))
+    sigs = minhash_index(df, text, id_col, k, num_hashes, bands)
+    banded = sigs.select("id", F.posexplode("band_keys").alias("band", "key"))
     if max_band_freq is not None:
         hot = (
             banded.groupBy("band", "key")

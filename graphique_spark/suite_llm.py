@@ -333,6 +333,47 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
+_INCR_SPLIT = 400  # docs below are the "existing corpus", the rest the batch
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    sig AS (SELECT doc_id, list(DISTINCT h) AS hs, {_min_items} FROM ex GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([{_band_keys}]) AS key,
+             unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id >= {_INCR_SPLIT} AND b.doc_id < {_INCR_SPLIT}
+    )
+    SELECT new_id, index_id,
+           CAST(len(list_intersect(sn.hs, si.hs)) AS DOUBLE)
+             / len(list_distinct(sn.hs || si.hs)) AS jaccard
+    FROM cand JOIN sig sn ON cand.new_id = sn.doc_id
+              JOIN sig si ON cand.index_id = si.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Rolling-corpus dedup: the persisted MinHash index of the existing
+    corpus (doc_id < split) is probed by a new ingest batch (doc_id >=
+    split) — index side never re-shingled, never shuffled (new batch
+    broadcasts). The oracle recomputes both signature sets and restricts
+    candidates to new-vs-index pairs."""
+    docs = table(spark, sf_dir, "documents").df
+    existing = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    index = dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return dedup.incremental_minhash_dedup(
+        batch, index, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.0
+    )
+
+
 _BITS = 16
 _bit_votes = ",\n      ".join(
     f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "

@@ -644,3 +644,31 @@ def test_multimodal_unknown_magic_raises():
 
     with pytest.raises(ValueError, match="unrecognized image magic"):
         multimodal.decode_image_blob(b"GIF89a too exotic")
+
+
+def test_incremental_minhash_matches_full_batch(spark, tables, tmp_path):
+    # dedup-new-batch-vs-persisted-index must equal the cross-boundary
+    # subset of the full-corpus candidate pairs (same signatures, same
+    # bands), including after an index parquet round-trip
+    docs = tables["documents"].df
+    split = 40
+    existing = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+
+    idx_path = str(tmp_path / "minhash_index")
+    dedup.minhash_index(existing).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["new_id"], r["index_id"]): round(r["jaccard"], 12)
+        for r in dedup.incremental_minhash_dedup(batch, index).collect()
+    }
+    full = dedup.minhash_candidates(docs).collect()
+    expect = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a < split) != (b < split):
+            new_id, index_id = (b, a) if a < split else (a, b)
+            expect[(new_id, index_id)] = round(r["jaccard"], 12)
+    assert got == expect
+    assert len(got) > 0  # the fixture corpus must actually exercise this

@@ -22,6 +22,10 @@ HIGHLIGHTS = {
     "sample_weighted": "TakeOrderedAndProject over map-side A-Res keys",
     "dedup_minhash": "no per-shingle exchange: first shuffle is (doc, band) rows",
     "range_join_bands": "bucket equi-join (no BroadcastNestedLoopJoin for BETWEEN)",
+    "dedup_incremental": (
+        "index side never shuffles: new-batch band keys and candidate sets "
+        "BroadcastExchange; index scans are map-side joins"
+    ),
 }
 
 

@@ -4,7 +4,8 @@ wall-clock scaling factor. A scale-sound operator should scale ~linearly
 (factor ≈ N); a super-linear factor flags a shuffle or skew problem that
 would bite harder at 100 TB.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [N]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [N] [probe ...]
+(default: all probes; naming probes also skips the ANN growth tables)
 """
 
 from __future__ import annotations
@@ -105,6 +106,22 @@ def main() -> None:
 
         return dedup.duplicate_segments(multiplied(spark, "documents", mult))
 
+    def interval_join(mult):
+        # same join plan the streaming version runs (hash join partitioned
+        # by user_id + range condition); streaming adds watermark state
+        # expiry, which only SHRINKS the working set vs this batch probe
+        from graphique_spark import streaming as st
+
+        ev = multiplied(spark, "events", mult)
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        return st.interval_join(
+            clicks.select("user_id", "ts", "value"),
+            purchases.select("user_id", "ts", "value"),
+            ["user_id"],
+            upper="1 hour",
+        )
+
     def pii(mult):
         from graphique_spark.llm import text as t
 
@@ -152,7 +169,11 @@ def main() -> None:
         "weighted_sample": wsample,
         "hll_sketch": hll,
         "star_cc_chain": star_cc_chain,
+        "interval_join": interval_join,
     }
+    only = sys.argv[2:]
+    if only:
+        probes = {k: v for k, v in probes.items() if k in only}
     # warmup
     q1(1).write.mode("overwrite").format("noop").save()
 
@@ -172,7 +193,8 @@ def main() -> None:
         }
         print(f"{name}: 1x={t1:.2f}s {times}x={tn:.2f}s factor={tn / t1:.2f} (ideal {times})")
 
-    report["ann"] = ann_probes(spark, times)
+    if not only:
+        report["ann"] = ann_probes(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
 
 

@@ -201,6 +201,94 @@ def contaminated_docs(
     )
 
 
+def build_bloom(hashes, col: str = "h", m_bits: int = 1 << 20, k: int = 3) -> list[int]:
+    """Fold a column of long hashes into an ``m_bits`` Bloom bitmap,
+    returned as ``m_bits / 64`` Python ints (the broadcastable form).
+
+    Distributed construction: each hash explodes to its ``k`` probe
+    positions (xxhash64 re-hashes, pure codegen), positions dedup, and a
+    ``bit_or`` aggregate packs each 64-bit word — the driver collects at
+    most ``m_bits / 64`` (word, bits) rows regardless of input size.
+
+    The 100 TB story: a benchmark/blocklist gram set of 10^9 longs is
+    ~8 GB as a broadcast hash set — undeliverable — but 2^27 Bloom bits
+    are 16 MB at ~1% false positives, and false positives are repaired by
+    an exact verify join over the (tiny) surviving slice."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+    words = (
+        hashes.select(F.explode(F.array(*pos)).alias("pos"))
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits"))
+        .collect()
+    )  # bounded: <= m_bits/64 rows, never input-sized
+    bitmap = [0] * (m_bits // 64)
+    for row in words:
+        bitmap[row["w"]] = row["bits"]
+    return bitmap
+
+
+def bloom_might_contain(col, bf_col, m_bits: int, k: int = 3):
+    """Codegen probe: all ``k`` bits of ``col``'s positions set in the
+    ``array<long>`` bitmap column ``bf_col``."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bf_col, (pos / 64).cast("int") + 1)
+        # call_function: the Python shiftleft wrapper only takes int shifts
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def contaminated_docs_bloom(
+    corpus,
+    benchmark,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+):
+    """:func:`contaminated_docs` with a Bloom prefilter — identical output
+    (false positives die in the exact verify join), different shuffle
+    economics: corpus gram hashes are rejected MAP-SIDE against the
+    broadcast bitmap before any exchange, so the contamination join
+    shuffles only the ~overlapping slice instead of every gram in the
+    corpus. Use when the benchmark gram set strains a broadcast hash join;
+    the bitmap is m_bits/8 bytes no matter how many grams fold in."""
+    from graphique_spark.llm.dedup import ensure_parallelism, hash60, word_ngrams
+
+    corpus = ensure_parallelism(corpus)
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("g"))
+        .select(hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    bitmap = build_bloom(bench_grams, "h", m_bits, k)
+    spark = corpus.sparkSession
+    bf = spark.createDataFrame([(bitmap,)], "bf array<bigint>")
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("g")
+    ).select(id_col, hash60(F.col("g")).alias("h"))
+    survivors = (
+        grams.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain(F.col("h"), F.col("bf"), m_bits, k))
+        .select(id_col, "h")
+    )
+    return (
+        survivors.join(bench_grams, on="h")  # exact: kills false positives
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_shared"))
+    )
+
+
 def term_frequencies(df, text: str = "text", id_col: str = "doc_id"):
     """(doc, term, tf) rows: lowercase word terms exploded, counted per
     doc. One narrow explode + map-side-combinable count."""

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from graphique_spark.llm import dedup, multimodal, similarity, text
-from graphique_spark.suite import fround, query, table
+from graphique_spark.suite import ORACLES, fround, query, table
 
 def _spread(ds):
     """CPU-dense per-row suite queries: unlock map-side parallelism when the
@@ -223,6 +223,23 @@ def decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return text.contaminated_docs(corpus, bench, n=3)
+
+
+_DECON_ORACLE = ORACLES["decontaminate"]
+
+
+@query("decontaminate_bloom", _DECON_ORACLE)
+def decontaminate_bloom(spark, sf_dir):
+    """Same contamination semantics through the Bloom prefilter: corpus
+    grams are rejected map-side against a broadcast bitmap before any
+    shuffle; the exact verify join repairs false positives, so the oracle
+    is byte-identical to ``decontaminate``'s. The scale case: a benchmark
+    gram set too large for a broadcast hash join still folds into a
+    fixed-size bitmap."""
+    docs = table(spark, sf_dir, "documents").df
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.contaminated_docs_bloom(corpus, bench, n=3)
 
 
 @query(

@@ -672,3 +672,36 @@ def test_incremental_minhash_matches_full_batch(spark, tables, tmp_path):
             expect[(new_id, index_id)] = round(r["jaccard"], 12)
     assert got == expect
     assert len(got) > 0  # the fixture corpus must actually exercise this
+
+
+def test_bloom_decontamination_matches_exact(tables):
+    # the Bloom prefilter must not change results (false positives die in
+    # the verify join), across bitmap sizes incl. a tiny high-fpp one
+    docs = tables["documents"].df
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in text.contaminated_docs(corpus, bench, n=3).collect()
+    }
+    assert exact  # fixture must exercise overlap
+    for m_bits in (1 << 12, 1 << 18):
+        got = {
+            (r["doc_id"], r["n_shared"])
+            for r in text.contaminated_docs_bloom(
+                corpus, bench, n=3, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact
+
+
+def test_build_bloom_no_false_negatives(spark):
+    members = spark.range(500).select((F.col("id") * 7919).alias("h"))
+    bitmap = text.build_bloom(members, "h", m_bits=1 << 14, k=3)
+    bf = spark.createDataFrame([(bitmap,)], "bf array<bigint>")
+    misses = (
+        members.crossJoin(F.broadcast(bf))
+        .filter(~text.bloom_might_contain(F.col("h"), F.col("bf"), 1 << 14, 3))
+        .count()
+    )
+    assert misses == 0  # bloom filters never false-negative

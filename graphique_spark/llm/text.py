@@ -201,6 +201,109 @@ def contaminated_docs(
     )
 
 
+def kept_lines(col: Column, min_words: int = 3) -> Column:
+    """C4-style boilerplate line filter (Raffel et al. 2020 §2.2): keep a
+    line only if it has at least ``min_words`` whitespace words AND ends in
+    terminal punctuation (. ! ? or a closing quote). Returns the kept-line
+    array (in-row HOFs; join back with array_join). Nav bars, cookie
+    banners, and menu fragments fail both tests."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), F.trim), lambda x: F.length(x) > 0
+    )
+    def keep(line: Column) -> Column:
+        words = F.size(F.split(line, r"\s+"))
+        terminal = F.substring(line, -1, 1).isin(".", "!", "?", '"')
+        return (words >= min_words) & terminal
+
+    return F.filter(lines, keep)
+
+
+def logistic_quality(col: Column) -> Column:
+    """Linear quality classifier in expression form: engineered features
+    (log-length, stopword ratio, punctuation ratio, mean word length
+    centered on prose norms) through fixed weights + sigmoid — the shape of
+    a fastText-style quality model with the training externalized (swap the
+    literal weights for learned ones; the plan is identical map-side
+    codegen). Returns a score in (0, 1)."""
+    log_len = F.log(F.length(col).cast("double") + 1.0)
+    stop = stopword_ratio(col)
+    punct = punct_ratio(col)
+    wlen = F.coalesce(mean_word_length(col), F.lit(0.0))
+    z = (
+        F.lit(-3.0)
+        + 0.5 * log_len
+        + 6.0 * F.coalesce(stop, F.lit(0.0))
+        - 8.0 * F.coalesce(punct, F.lit(0.0))
+        - 0.3 * F.abs(wlen - 5.0)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def pack_sequences(df, text: str = "text", id_col: str = "doc_id", capacity: int = 4096):
+    """GPT-style sequence packing: conceptually concatenate all documents
+    in ``id_col`` order and cut every ``capacity`` tokens; report where
+    each document lands. Returns (id, n_tokens, token_offset, bin_first,
+    bin_last) — a doc straddling a cut belongs to multiple bins, exactly
+    like the standard pack-then-chunk pretraining loader.
+
+    Scale shape: the global running offset uses the two-phase
+    ``partitioned_cumsum`` (range partition + local window + #partitions
+    driver summary) — never a single-task global window. Everything after
+    the offset is map-side arithmetic."""
+    from graphique_spark.operators.sequence import partitioned_cumsum
+
+    c = partitioned_cumsum(
+        df.select(F.col(id_col), token_count(F.col(text)).alias("n_tokens")),
+        F.col("n_tokens").cast("long"),
+        [id_col],
+        "__end",
+    )
+    start = (F.col("__end") - F.col("n_tokens")).cast("long")
+    bin_first = F.floor(start / capacity)
+    bin_last = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("__end") - 1) / capacity)
+    ).otherwise(bin_first)
+    return c.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("token_offset"),
+        bin_first.cast("long").alias("bin_first"),
+        bin_last.cast("long").alias("bin_last"),
+    )
+
+
+def mixture_sample(df, weights: dict[str, float], by: str = "source", id_col: str = "doc_id"):
+    """Deterministic source-mixture resampling: scale every source group so
+    the kept corpus matches the target ``weights`` proportions, keeping the
+    largest total the data allows (the binding source keeps 100%; others
+    downsample by hashed-id threshold — no RNG, replay-safe).
+
+    Two passes: a bounded per-source count (collected — #sources rows),
+    then a map-side keep-filter ``hash60(id) % 1e6 < threshold``. Returns
+    the kept rows plus the integer ``__threshold`` column for audit."""
+    from graphique_spark.llm.dedup import hash60
+
+    counts = {
+        r[by]: r["n"] for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = set(counts) - set(weights)
+    if missing:
+        raise ValueError(f"no target weight for sources {sorted(missing)}")
+    wsum = float(sum(weights.values()))
+    shares = {s: w / wsum for s, w in weights.items() if s in counts}
+    # largest feasible total: N = min over sources of count_s / share_s
+    n_total = min(counts[s] / shares[s] for s in counts)
+    thresholds = {
+        s: int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000) for s in counts
+    }
+    thr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv]), F.col(by)
+    )
+    return df.withColumn("__threshold", thr).filter(
+        F.pmod(hash60(F.col(id_col).cast("string")), F.lit(1_000_000)) < F.col("__threshold")
+    )
+
+
 def build_bloom(hashes, col: str = "h", m_bits: int = 1 << 20, k: int = 3) -> list[int]:
     """Fold a column of long hashes into an ``m_bits`` Bloom bitmap,
     returned as ``m_bits / 64`` Python ints (the broadcastable form).

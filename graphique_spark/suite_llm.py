@@ -1296,6 +1296,158 @@ def funnel_stages(spark, sf_dir):
 
 
 @query(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(e - n_tokens AS BIGINT) AS token_offset,
+           floor((e - n_tokens) / 512)::BIGINT AS bin_first,
+           CASE WHEN n_tokens > 0 THEN floor((e - 1) / 512)
+                ELSE floor((e - n_tokens) / 512) END::BIGINT AS bin_last
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style pack-then-chunk: concatenate docs in id order, cut every
+    512 tokens, report each doc's global offset and the bins it spans. The
+    global running offset is the two-phase partitioned_cumsum — no
+    single-task global window (oracle uses the plain SQL window, which IS
+    that bottleneck — fine at oracle scale)."""
+    docs = table(spark, sf_dir, "documents").df
+    return text.pack_sequences(docs, capacity=512)
+
+
+@query(
+    "clean_boilerplate",
+    """
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               len(string_split_regex(x, '\\s+')) >= 3
+               AND substr(x, -1, 1) IN ('.', '!', '?', '"')) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash
+    FROM k
+    """,
+)
+def clean_boilerplate(spark, sf_dir):
+    """C4 line rules: drop lines under 3 words or without terminal
+    punctuation; emit per-doc removal stats + an md5 of the cleaned text
+    (value-checking the actual surviving content, not just counts).
+    Map-only in-row HOFs."""
+    docs = table(spark, sf_dir, "documents").df
+    all_lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), F.trim), lambda x: F.length(x) > 0
+    )
+    kept = text.kept_lines(F.col("text"), min_words=3)
+    return docs.select(
+        "doc_id",
+        F.size(all_lines).cast("long").alias("n_lines"),
+        (F.size(all_lines) - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
+    )
+
+
+@query(
+    "quality_logistic",
+    f"""
+    WITH w AS ({_QUALITY_CTE}),
+    f AS (
+      SELECT doc_id,
+             ln(CAST(length(text) AS DOUBLE) + 1.0) AS log_len,
+             CASE WHEN tokens = 0 THEN 0.0
+                  ELSE CAST(stop_hits AS DOUBLE) / tokens END AS stop,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                       / len(words) END AS wlen
+      FROM w
+    )
+    SELECT doc_id,
+           floor(1.0 / (1.0 + exp(-((-3.0) + 0.5 * log_len + 6.0 * stop
+                                    - 8.0 * punct - 0.3 * abs(wlen - 5.0))))
+                 * 10000 + 0.5)::BIGINT AS q_scaled
+    FROM f
+    """,
+)
+def quality_logistic(spark, sf_dir):
+    """fastText-shaped linear quality classifier (fixed literal weights +
+    sigmoid) — pure map-side codegen; 1e4 floor-scaling absorbs libm exp/ln
+    noise across engines."""
+    docs = table(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        F.floor(text.logistic_quality(F.col("text")) * 10000.0 + F.lit(0.5)).alias(
+            "q_scaled"
+        ),
+    )
+
+
+@query(
+    "mixture_sample",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    s AS (SELECT lang, n,
+                 CASE lang WHEN 'en' THEN 8.0 / 20.0 ELSE 3.0 / 20.0 END AS share
+          FROM c),
+    t AS (SELECT lang, n,
+                 CAST(floor(least(1.0, share * (SELECT min(n / share) FROM s) / n)
+                            * 1000000) AS BIGINT) AS threshold
+          FROM s),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN t ON d.lang = t.lang
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < t.threshold
+      GROUP BY d.lang
+    )
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n_total, t.threshold,
+           CAST(k.n_kept AS BIGINT) AS n_kept
+    FROM t JOIN k USING (lang)
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Deterministic language-mixture resampling (en:8 others:3 of 20):
+    the binding language keeps 100%, the rest downsample by hashed-id
+    threshold — replay-safe, two bounded passes (per-lang counts collected,
+    then a map-side filter). Emits the per-lang audit summary."""
+    docs = table(spark, sf_dir, "documents").df
+    weights = {"en": 8.0, "de": 3.0, "fr": 3.0, "es": 3.0, "zh": 3.0}
+    kept = text.mixture_sample(docs, weights, by="lang")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    summary = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("__threshold").cast("long").alias("threshold"),
+    )
+    return totals.join(summary, "lang").select(
+        "lang", "n_total", "threshold", "n_kept"
+    )
+
+
+@query(
     "embedding_clusters",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -705,3 +705,39 @@ def test_build_bloom_no_false_negatives(spark):
         .count()
     )
     assert misses == 0  # bloom filters never false-negative
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    df = spark.createDataFrame(
+        [(0, "a " * 100), (1, "b " * 100), (2, "c " * 100), (3, ""), (4, "d " * 300)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.pack_sequences(df, capacity=128).collect()}
+    assert [got[i]["token_offset"] for i in range(5)] == [0, 100, 200, 300, 300]
+    assert got[0]["bin_first"] == 0 and got[0]["bin_last"] == 0
+    assert got[1]["bin_first"] == 0 and got[1]["bin_last"] == 1  # straddles 128
+    assert got[3]["n_tokens"] == 0 and got[3]["bin_first"] == got[3]["bin_last"] == 2
+    assert got[4]["bin_first"] == 2 and got[4]["bin_last"] == 4  # 300..600 spans 3 bins
+    # bins partition the token stream: every bin up to the max is covered
+    covered = set()
+    for r in got.values():
+        covered.update(range(r["bin_first"], r["bin_last"] + 1))
+    assert covered == set(range(5))
+
+
+def test_mixture_sample_hits_targets(spark, tables):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 8.0, "de": 3.0, "fr": 3.0, "es": 3.0, "zh": 3.0}
+    kept = text.mixture_sample(docs, weights, by="lang")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # hash thresholds only approximate the target shares; ±35% relative
+    for lang, w in weights.items():
+        assert abs(counts[lang] / total - w / 20.0) < 0.35 * (w / 20.0)
+    # deterministic: same rows both runs
+    again = {r["lang"]: r["n"] for r in text.mixture_sample(docs, weights, by="lang").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+    import pytest
+
+    with pytest.raises(ValueError, match="no target weight"):
+        text.mixture_sample(docs, {"en": 1.0}, by="lang")

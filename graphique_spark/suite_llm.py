@@ -1447,6 +1447,48 @@ def mixture_sample(spark, sf_dir):
     )
 
 
+_PROFILE_NUM = """
+    SELECT '{c}' AS "column", '{t}' AS dtype,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(floor(CAST(min({c}) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS min_num_scaled,
+           CAST(floor(CAST(max({c}) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS max_num_scaled,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem"""
+_PROFILE_STR = """
+    SELECT '{c}' AS "column", '{t}' AS dtype,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS BIGINT) AS min_num_scaled, CAST(NULL AS BIGINT) AS max_num_scaled,
+           CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str
+    FROM lineitem"""
+
+
+@query(
+    "profile_table",
+    " UNION ALL ".join(
+        [
+            _PROFILE_NUM.format(c="l_orderkey", t="bigint"),
+            _PROFILE_NUM.format(c="l_quantity", t="double"),
+            _PROFILE_STR.format(c="l_returnflag", t="string"),
+            _PROFILE_STR.format(c="l_shipdate", t="timestamp_ntz"),
+        ]
+    ),
+)
+def profile_table(spark, sf_dir):
+    """Single-pass per-column profile (nulls, exact distincts, extrema) —
+    every metric is an aggregate expression in ONE distributed agg; the
+    lone result row reshapes driver-side (bounded by #columns)."""
+    from graphique_spark.operators.profile import profile
+
+    lineitem = table(spark, sf_dir, "lineitem").df
+    return profile(
+        lineitem, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+
+
 @query(
     "embedding_clusters",
     f"""

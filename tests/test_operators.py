@@ -338,3 +338,24 @@ def test_range_join_outer_semi_anti_match_naive(spark):
 
     with pytest.raises(ValueError, match="right/full"):
         range_join(points, bands, "p", "lo", "hi", 10.0, how="full")
+
+
+def test_profile_single_pass_metrics(spark):
+    from graphique_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (3, 1.0, "a")],
+        "k long, v double, s string",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["min_num_scaled"] == 1_000_000  # 1.0 scaled
+    assert rows["v"]["max_num_scaled"] == 7_500_000
+    assert rows["v"]["min_str"] is None
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["min_str"] == "a"
+    assert rows["s"]["min_num_scaled"] is None
+    # approx mode still lands near truth on tiny data
+    approx = {r["column"]: r for r in profile(df, exact=False).collect()}
+    assert abs(approx["k"]["n_distinct"] - 3) <= 1

@@ -19,6 +19,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """Read a parquet root, returning ``None`` ONLY when the path is
+    genuinely missing (first batch of an incremental sink). Any other read
+    failure — fs hiccup, metadata conflict — re-raises so a streaming
+    checkpoint retries the batch; swallowing it would make incremental
+    merges silently treat existing state as empty."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        condition = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, getter, None)
+            if fn is not None:
+                try:
+                    condition = fn()
+                    break
+                except Exception:  # noqa: BLE001
+                    continue
+        missing = (condition or "").startswith("PATH_NOT_FOUND") or (
+            condition is None and "PATH_NOT_FOUND" in str(exc)
+        )
+        if not missing:
+            raise
+        return None
+
+
 def read_event_stream(
     spark,
     path: str,
@@ -214,6 +242,92 @@ def interval_join(
     return l.join(r, cond, how)
 
 
+def incremental_dedup_sink(
+    docs: DataFrame,
+    index_dest: str,
+    dups_dest: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+):
+    """Streaming fuzzy-dedup against a growing MinHash index — the
+    100 TB ingest topology: each micro-batch of documents is (1) checked
+    against the persisted index of everything seen before
+    (``incremental_minhash_dedup`` — batch side broadcasts, index side
+    never shuffles), with near-dup pairs appended to ``dups_dest``; then
+    (2) its own signature rows are appended to ``index_dest``, so the next
+    batch sees it as history. The historical corpus is never re-shingled.
+
+    Idempotence: both outputs are hive-partitioned by ``batch_id`` with
+    per-write dynamic overwrite, so a retried batch replaces exactly its
+    own partition instead of double-appending; the dedup reads only
+    strictly-earlier batch partitions, so a retry never matches a doc
+    against its own half-written index rows.
+
+    Scope: pairs are CROSS-batch (new vs history). Within-batch near-dups
+    are one ``minhash_candidates`` call over the (small) batch if needed.
+    """
+    from graphique_spark.llm import dedup as _dedup
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            existing = read_parquet_if_exists(spark, index_dest)
+            if existing is not None:
+                # strictly-earlier batches only: a RETRIED batch may have
+                # already written its own index partition, and matching a
+                # doc against itself would fabricate jaccard=1.0 dups.
+                # batch_id is the hive partition key, so this prunes files.
+                history = existing.filter(F.col("batch_id") < batch_id).select(
+                    "id", "hs", "band_keys"
+                )
+                dups = _dedup.incremental_minhash_dedup(
+                    batch, history,
+                    text=text, id_col=id_col, num_hashes=num_hashes,
+                    bands=bands, min_jaccard=min_jaccard,
+                )
+            else:
+                dups = spark.createDataFrame(
+                    [], "new_id long, index_id long, jaccard double"
+                )
+            (
+                dups.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(dups_dest)
+            )
+            idx_rows = _dedup.minhash_index(
+                batch, text=text, id_col=id_col, num_hashes=num_hashes, bands=bands
+            )
+            (
+                idx_rows.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(index_dest)
+            )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def write_stream_to_parquet(
     df: DataFrame,
     dest: str,
@@ -275,31 +389,7 @@ def upsert_sink(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            # Only a genuinely-missing dest means "first batch". Any other
-            # read failure (fs hiccup, metadata conflict) must FAIL the
-            # batch so the checkpoint retries it — treating it as first
-            # batch would dynamic-overwrite touched partitions with
-            # batch-only rows, silently dropping previously merged keys.
-            from pyspark.errors import AnalysisException
-
-            try:
-                existing = spark.read.parquet(dest)
-            except AnalysisException as exc:
-                condition = None
-                for getter in ("getCondition", "getErrorClass"):
-                    fn = getattr(exc, getter, None)
-                    if fn is not None:
-                        try:
-                            condition = fn()
-                            break
-                        except Exception:  # noqa: BLE001
-                            continue
-                missing = (condition or "").startswith("PATH_NOT_FOUND") or (
-                    condition is None and "PATH_NOT_FOUND" in str(exc)
-                )
-                if not missing:
-                    raise
-                existing = None
+            existing = read_parquet_if_exists(spark, dest)
             if existing is not None:
                 touched = batch.select(part).distinct()
                 affected = existing.join(F.broadcast(touched), on=part, how="semi")

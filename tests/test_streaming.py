@@ -263,3 +263,51 @@ def test_upsert_sink_rejects_non_key_partition_col(spark, tables, tmp_path):
             agg, str(tmp_path / "dest"), keys=["event_type"],
             checkpoint=str(tmp_path / "ckpt"), partition_col="n",
         )
+
+
+def test_incremental_dedup_sink(spark, tables, tmp_path):
+    # stream documents in two micro-batches: cross-batch near-dup pairs
+    # must match the batch-split incremental computation, and the index
+    # must accumulate every doc exactly once
+    from graphique_spark import streaming
+    from graphique_spark.llm import dedup
+
+    docs = tables["documents"].df.select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 40)
+    b = docs.filter(F.col("doc_id") >= 40)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = streaming.read_event_stream(
+        spark, src, schema="doc_id bigint, text string", max_files_per_trigger=1
+    )
+    q = streaming.incremental_dedup_sink(
+        stream,
+        index_dest=str(tmp_path / "index"),
+        dups_dest=str(tmp_path / "dups"),
+        checkpoint=str(tmp_path / "ckpt"),
+        min_jaccard=0.0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert index.count() == docs.count()  # every doc indexed exactly once
+    assert index.select("id").distinct().count() == docs.count()
+
+    got = {
+        frozenset((r["new_id"], r["index_id"])): round(r["jaccard"], 12)
+        for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    }
+    # expectation: exactly the cross-split subset of full-corpus candidate
+    # pairs (file->batch order may flip, hence frozenset keys)
+    expect = {
+        frozenset((r["id_a"], r["id_b"])): round(r["jaccard"], 12)
+        for r in dedup.minhash_candidates(docs).collect()
+        if (r["id_a"] < 40) != (r["id_b"] < 40)
+    }
+    assert got == expect
+    assert expect  # fixture must actually exercise cross-batch dups

@@ -591,6 +591,38 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
     return roots.union(self_labeled)
 
 
+def canonical_pick(
+    components: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "doc_id",
+    priority: Column | None = None,
+) -> DataFrame:
+    """The keep/drop decision that completes fuzzy dedup: for each near-dup
+    component, keep the member with the highest ``priority`` (default
+    ``n_chars`` — longest text wins; ties break to the smallest id, so the
+    pick is deterministic). Returns (id_col, component, keep_id,
+    is_duplicate) — ``is_duplicate`` rows are the delete list.
+
+    Scale shape: components are slim (member, component) rows; one
+    ``max_by`` aggregate over the bounded component key and one join back
+    — both shuffles carry two longs + the priority, never documents."""
+    pr = priority if priority is not None else F.col("n_chars")
+    joined = components.join(
+        attrs, components["v"] == attrs[id_col]
+    ).select(components["v"].alias("member"), "component", pr.alias("__pr"))
+    keep = joined.groupBy("component").agg(
+        F.max_by(
+            F.col("member"), F.struct(F.col("__pr"), (-F.col("member")).alias("nid"))
+        ).alias("keep_id")
+    )
+    return joined.join(keep, "component").select(
+        F.col("member").alias(id_col),
+        "component",
+        "keep_id",
+        (F.col("member") != F.col("keep_id")).alias("is_duplicate"),
+    )
+
+
 def duplicate_segments(
     df: DataFrame,
     text: str = "text",

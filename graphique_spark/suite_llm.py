@@ -942,6 +942,48 @@ def dedup_components(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.7
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+    att AS (SELECT c.v, c.component, d.n_chars
+            FROM comp c JOIN documents d ON c.v = d.doc_id),
+    k AS (
+      SELECT component, v AS keep_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, v) AS rn
+        FROM att) WHERE rn = 1
+    )
+    SELECT a.v AS doc_id, a.component, k.keep_id,
+           a.v <> k.keep_id AS is_duplicate
+    FROM att a JOIN k USING (component)
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """The end of the dedup pipeline: candidates -> components -> a
+    deterministic keep/drop decision per member (longest text wins, ties
+    to smallest id). is_duplicate=true rows are the delete list a curation
+    job actually applies."""
+    docs = table(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.7
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.canonical_pick(comps, docs.select("doc_id", "n_chars"))
+
+
+@query(
     "pii_redact",
     """
     WITH aug AS (

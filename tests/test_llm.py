@@ -741,3 +741,20 @@ def test_mixture_sample_hits_targets(spark, tables):
 
     with pytest.raises(ValueError, match="no target weight"):
         text.mixture_sample(docs, {"en": 1.0}, by="lang")
+
+
+def test_canonical_pick_priority_and_ties(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "v long, component long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "doc_id long, n_chars long"
+    )
+    rows = {r["doc_id"]: r for r in dedup.canonical_pick(comps, attrs).collect()}
+    # comp 1: 2 and 3 tie on n_chars=9 -> smaller id 2 wins over 3, beats 1
+    assert rows[1]["keep_id"] == 2 and rows[1]["is_duplicate"]
+    assert rows[2]["keep_id"] == 2 and not rows[2]["is_duplicate"]
+    assert rows[3]["is_duplicate"]
+    # comp 10: pure tie -> min id
+    assert rows[10]["keep_id"] == 10 and not rows[10]["is_duplicate"]
+    assert rows[11]["keep_id"] == 10 and rows[11]["is_duplicate"]

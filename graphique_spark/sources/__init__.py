@@ -344,3 +344,105 @@ def write_zordered(
         partitions or df.sparkSession.sparkContext.defaultParallelism, z
     ).sortWithinPartitions(z)
     out.write.mode(mode).parquet(dest)
+
+
+def _list_files(spark: SparkSession, root: str):
+    """Driver-side recursive file listing via the Hadoop FS API —
+    metadata only (namenode RPCs), no data pages. Returns
+    [(path_str, size_bytes)] for data files (skips _SUCCESS etc.)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((status.getPath().toString(), status.getLen()))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 2**20,
+    partition_keys: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> dict:
+    """Small-files compaction — the steady-state killer of 100 TB tables:
+    streaming sinks and fine-grained upserts leave thousands of KB-sized
+    files per partition, and every downstream scan then pays a task (and a
+    namenode round trip) per file. Rewrites ``src`` to ``dest`` with file
+    counts sized from the actual bytes on disk.
+
+    Plan shape: the sizing pass is driver-side file *metadata* listing
+    (no data read); the rewrite is one narrow round-robin repartition per
+    partition — no shuffle by value, no sort. Partitioned layouts keep
+    their dirs (each sized independently: a 10 GB partition gets
+    ceil(10 GB/target) files, a 10 KB one gets 1). Returns
+    {files_before, files_after, bytes, rows_written is NOT counted}.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    files = _list_files(spark, src)
+    total = sum(size for _, size in files)
+    df = spark.read.parquet(src)
+    if not partition_keys:
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df.repartition(n_out).write.mode(mode).parquet(dest)
+    else:
+        # per-partition byte totals from the listing; dir layout is
+        # .../key1=v1/key2=v2/file
+        import re
+        from collections import defaultdict
+
+        per_part: dict[tuple, int] = defaultdict(int)
+        for path, size in files:
+            part = tuple(re.findall(r"/([^/=]+)=([^/]*)", path))
+            per_part[part] += size
+        splits = {
+            part: max(1, math.ceil(size / target_file_bytes))
+            for part, size in per_part.items()
+        }
+        max_split = max(splits.values())
+        if max_split == 1:
+            out = df.repartition(*partition_keys)
+        else:
+            # oversized partitions split round-robin; seed fixed for
+            # rerun-stable layout (values, not layout, carry semantics)
+            split_map = F.create_map(
+                *[
+                    x
+                    for part, n in splits.items()
+                    for x in (
+                        F.lit("/".join(f"{k}={v}" for k, v in part)),
+                        F.lit(n),
+                    )
+                ]
+            )
+            part_str = F.concat_ws(
+                "/",
+                *[
+                    F.concat_ws("=", F.lit(k), F.col(k).cast("string"))
+                    for k in partition_keys
+                ],
+            )
+            salt = (F.rand(42) * split_map[part_str]).cast("int")
+            # explicit partition count: without it AQE coalesces the tiny
+            # shuffle back to one task per dir and the split is lost
+            total = sum(splits.values())
+            out = df.withColumn("_salt", salt).repartition(
+                total, *partition_keys, "_salt"
+            ).drop("_salt")
+        out.write.partitionBy(*partition_keys).mode(mode).parquet(dest)
+    after = _list_files(spark, dest)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

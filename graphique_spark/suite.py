@@ -1468,3 +1468,256 @@ def range_join_bands(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         (F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics at realistic TPC-H shape (SURVEY §2.4/§2.5 composed):
+# Catalyst's join reordering + broadcast selection is the 100 TB story here —
+# dims broadcast, the single big-table shuffle happens once, AQE re-plans
+# the post-filter sizes at runtime.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, odate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: filtered dim (customer segment) broadcast into the
+    orders⋈lineitem shuffle join, aggregate, global top-10 via
+    TakeOrderedAndProject — no full sort at any scale."""
+    cut = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(c_mktsegment={"eq": ["BUILDING"]})
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(orders.df["o_orderdate"] < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(li.df["l_shipdate"] > cut).project(
+        {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))}
+    ).select("l_orderkey", "revenue")
+    return (
+        li.join(orders, keys=["l_orderkey"], rkeys=["o_orderkey"])
+        .join(cust, keys=["o_custkey"], rkeys=["c_custkey"], broadcast=True)
+        .project({"odate": F.to_date("o_orderdate").cast("string")})
+        .group(
+            by=["l_orderkey", "odate", "o_orderpriority"],
+            aggregate=[Agg("sum", "revenue", alias="revenue")],
+        )
+        .project({"revenue": fround(F.col("revenue"), 2)})
+        .order(by=["-revenue", "l_orderkey"], limit=10)
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .df
+    )
+
+
+@query(
+    "q5_region_volume",
+    """
+    SELECT n_name,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join where every dimension side
+    (supplier, nation, region) broadcasts; only lineitem⋈orders and
+    the customer probe shuffle. The c_nationkey = s_nationkey local
+    predicate rides the supplier join keys."""
+    cut_lo = F.lit("1996-01-01").cast("timestamp")
+    cut_hi = F.lit("1997-01-01").cast("timestamp")
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (orders.df["o_orderdate"] >= cut_lo) & (orders.df["o_orderdate"] < cut_hi)
+    ).select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = table(spark, sf_dir, "lineitem").project(
+        {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))}
+    ).select("l_orderkey", "l_suppkey", "revenue")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(r_name={"eq": ["ASIA"]})
+    return (
+        li.join(orders, keys=["l_orderkey"], rkeys=["o_orderkey"])
+        .join(cust, keys=["o_custkey"], rkeys=["c_custkey"])
+        .join(
+            supp,
+            keys=["l_suppkey", "c_nationkey"],
+            rkeys=["s_suppkey", "s_nationkey"],
+            broadcast=True,
+        )
+        .join(nation, keys=["s_nationkey"], rkeys=["n_nationkey"], broadcast=True)
+        .join(region, keys=["n_regionkey"], rkeys=["r_regionkey"], broadcast=True)
+        .group(by=["n_name"], aggregate=[Agg("sum", "revenue", alias="revenue")])
+        .project({"revenue": fround(F.col("revenue"), 2)})
+        .select("n_name", "revenue")
+        .df
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY cohort
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot (long→wide contingency table). Explicit value list keeps the
+    plan a single-pass hash aggregate — no extra distinct-values job, no
+    second shuffle; missing cells coalesce to 0 like SQL FILTER counts."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    events = table(spark, sf_dir, "events").df
+    wide = (
+        events.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return wide.select(
+        "cohort", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "window_time_range",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_1h
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark, sf_dir):
+    """RANGE frame over event time (trailing 1 h per user) — the frame key
+    is epoch microseconds on both engines so peer/boundary semantics are
+    bit-identical. Partitioned by user: no global window, scales with the
+    key count."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events").filter(user_id={"lt": 40}).df
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.floor(F.sum("value").over(w) * 100 + F.lit(0.5)) / 100).alias("sum_1h"),
+    )
+
+
+@query(
+    "incremental_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS spend,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS mean_spend,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg(spark, sf_dir):
+    """Incremental aggregation by mergeable partial states (the no-full-
+    recompute pattern: daily deltas fold into per-key state linear in key
+    count, independent of history size). Three disjoint 'days' of orders
+    are aggregated separately, merged hierarchically, finalized — and must
+    equal the direct aggregate over everything."""
+    from graphique_spark.operators.incremental import (
+        aggregate_state, finalize_state, merge_states,
+    )
+
+    orders = table(spark, sf_dir, "orders").df
+    aggs = {
+        "n": ("count", "o_orderkey"),
+        "spend": ("sum", "o_totalprice"),
+        "mean_spend": ("avg", "o_totalprice"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+    }
+    keys = ["o_orderpriority"]
+    days = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    states = [aggregate_state(d, keys, aggs) for d in days]
+    merged = merge_states([merge_states(states[:2], keys), states[2]], keys)
+    out = finalize_state(merged, keys, aggs)
+    return out.select(
+        "o_orderpriority",
+        "n",
+        fround(F.col("spend"), 2).alias("spend"),
+        fround(F.col("mean_spend"), 2).alias("mean_spend"),
+        "lo",
+        "hi",
+    )
+
+
+@query(
+    "compact_roundtrip",
+    """
+    SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus, count(*) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS spend
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def compact_roundtrip(spark, sf_dir):
+    """Small-files compaction round trip: fragment orders into 16 files
+    per partition dir, compact back to size-targeted files (metadata-only
+    sizing pass + one narrow repartition), and verify the data through a
+    grouped aggregate over the compacted copy."""
+    import os
+    import tempfile
+
+    from graphique_spark import sources
+
+    base = os.path.join(tempfile.gettempdir(), "graphique_spark_compact")
+    src, dest = base + "_src", base + "_dest"
+    orders = table(spark, sf_dir, "orders").df
+    orders.repartition(16).write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(src)
+    stats = sources.compact_parquet(
+        spark, src, dest, partition_keys=["o_orderstatus"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    return (
+        spark.read.parquet(dest)
+        .groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("spend"),
+        )
+    )

@@ -1559,3 +1559,83 @@ def embedding_clusters(spark, sf_dir):
             "mean_cos_scaled"
         ),
     )
+
+
+@query(
+    "dedup_substring",
+    """
+    WITH ex AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, greatest(length(text) - 59, 1), 20),
+          p -> substr(text, p, 60))) AS gram
+        FROM documents)
+    ),
+    freq AS (SELECT gram, count(*) AS n_docs FROM ex GROUP BY gram)
+    SELECT * FROM (
+      SELECT doc_id,
+             count(*) AS n_windows,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+             floor(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*) * 1000000 + 0.5)::BIGINT AS dup_frac_scaled
+      FROM ex JOIN freq USING (gram)
+      GROUP BY doc_id
+    ) WHERE n_dup_windows > 0
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Partial-overlap dedup (strided 60-char windows, the practical form
+    of Lee et al. 2022 suffix-array dedup): docs sharing any verbatim
+    window with another doc, with how much of each doc is shared."""
+    docs = table(spark, sf_dir, "documents").df
+    out = dedup.substring_duplicates(docs, window=60, stride=20)
+    return out.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.floor(F.col("dup_fraction") * 1000000.0 + F.lit(0.5)).alias(
+            "dup_frac_scaled"
+        ),
+    )
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, change FROM (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS DISTINCT FROM n.text
+                    OR o.lang IS DISTINCT FROM n.lang
+                    OR o.source IS DISTINCT FROM n.source
+                    OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    ) WHERE change <> 'unchanged'
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot change audit: two corpus versions (simulated re-crawl —
+    some docs dropped, some added back, every third re-normalized), diffed
+    to (key, added|removed|changed) via slim fingerprint join."""
+    from graphique_spark.operators.diff import snapshot_diff as diff_op
+
+    docs = table(spark, sf_dir, "documents").df
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return diff_op(old, new, keys=["doc_id"])

@@ -455,3 +455,48 @@ def test_zorder_layout_tightens_file_stats(spark, tables, tmp_path):
     assert mean_span(zdir, "l_orderkey") < 0.5
     # layout preserves the data
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_compact_parquet_flat_and_partitioned(spark, tables, tmp_path):
+    from graphique_spark.sources import _list_files, compact_parquet
+
+    orders = tables["orders"].df
+    # fragment: 16 files flat, 16 per partition dir
+    flat_src = str(tmp_path / "flat_src")
+    orders.repartition(16).write.parquet(flat_src)
+    flat_dest = str(tmp_path / "flat_dest")
+    stats = compact_parquet(spark, flat_src, flat_dest, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert spark.read.parquet(flat_dest).count() == orders.count()
+
+    part_src = str(tmp_path / "part_src")
+    orders.repartition(16).write.partitionBy("o_orderstatus").parquet(part_src)
+    part_dest = str(tmp_path / "part_dest")
+    stats = compact_parquet(
+        spark, part_src, part_dest, target_file_bytes=1 << 30,
+        partition_keys=["o_orderstatus"],
+    )
+    n_status = orders.select("o_orderstatus").distinct().count()
+    assert stats["files_after"] == n_status  # one file per partition dir
+    back = spark.read.parquet(part_dest)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # partition dirs preserved
+    assert all(f"o_orderstatus=" in p for p, _ in _list_files(spark, part_dest))
+
+
+def test_compact_parquet_splits_oversized_partitions(spark, tables, tmp_path):
+    from graphique_spark.sources import compact_parquet
+
+    orders = tables["orders"].df
+    src = str(tmp_path / "src")
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(src)
+    dest = str(tmp_path / "dest")
+    # tiny target: every partition must split into several files
+    stats = compact_parquet(
+        spark, src, dest, target_file_bytes=2 << 10,
+        partition_keys=["o_orderstatus"],
+    )
+    n_status = orders.select("o_orderstatus").distinct().count()
+    assert stats["files_after"] > n_status
+    assert spark.read.parquet(dest).count() == orders.count()

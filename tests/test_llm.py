@@ -758,3 +758,33 @@ def test_canonical_pick_priority_and_ties(spark):
     # comp 10: pure tie -> min id
     assert rows[10]["keep_id"] == 10 and not rows[10]["is_duplicate"]
     assert rows[11]["keep_id"] == 10 and rows[11]["is_duplicate"]
+
+
+def test_substring_duplicates_flags_partial_overlap(spark):
+    from graphique_spark.llm.dedup import substring_duplicates
+
+    shared = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, "AAA " * 20 + shared),          # shares a window with doc 2
+        (2, shared + " BBB" * 20),          # ...but is otherwise different
+        (3, "totally unrelated content " * 5),
+        (4, "x"),                           # shorter than one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_duplicates(df, window=20, stride=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert all(r["n_dup_windows"] >= 1 for r in got.values())
+    assert all(0 < r["dup_fraction"] <= 1 for r in got.values())
+
+
+def test_substring_duplicates_short_doc_whole_text_window(spark):
+    from graphique_spark.llm.dedup import substring_duplicates
+
+    # docs shorter than the window fall back to one whole-text window:
+    # exact short dupes still collide, distinct shorts don't
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in substring_duplicates(df, window=60, stride=20).collect()}
+    assert out == {1, 2}

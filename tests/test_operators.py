@@ -359,3 +359,115 @@ def test_profile_single_pass_metrics(spark):
     # approx mode still lands near truth on tiny data
     approx = {r["column"]: r for r in profile(df, exact=False).collect()}
     assert abs(approx["k"]["n_distinct"] - 3) <= 1
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from graphique_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed (value), 3 removed, 4 changed (null->real), 5 added
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, "e", 50)],
+        "k long, v string, w long",
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    full = snapshot_diff(old, new, keys=["k"], include_unchanged=True)
+    assert {r["k"]: r["change"] for r in full.collect()}[1] == "unchanged"
+
+
+def test_snapshot_diff_duplicate_keys_and_column_subset(spark):
+    from graphique_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (1, "a2", 1), (2, "b", 9)], "k long, v string, extra long"
+    )
+    # same multiset of v for k=1 -> unchanged when comparing v only;
+    # extra differs but is excluded by compare=
+    new = spark.createDataFrame(
+        [(1, "a2", 7), (1, "a", 7), (2, "b2", 9)], "k long, v string, extra long"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], compare=["v"]).collect()}
+    assert got == {2: "changed"}
+    # dup-key multiset actually differs -> changed
+    new2 = spark.createDataFrame([(1, "a", 1), (1, "a", 1)], "k long, v string, extra long")
+    got2 = {r["k"]: r["change"] for r in snapshot_diff(old, new2, ["k"], compare=["v"]).collect()}
+    assert got2[1] == "changed"
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_rows(spark):
+    """The full-outer exchange must carry (key, hash) rows, not document
+    bodies: the compared wide column is projected away before the join."""
+    from graphique_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x" * 10)], "k long, body string")
+    new = spark.createDataFrame([(1, "y" * 10)], "k long, body string")
+    plan = snapshot_diff(old, new, ["k"])._jdf.queryExecution().optimizedPlan().toString()
+    # the rows crossing the shuffle are the Aggregate/Join outputs: keys and
+    # 8-byte hashes only — the wide column must appear solely inside the
+    # map-side fingerprint Project underneath
+    for line in plan.splitlines():
+        stripped = line.strip(" :+-")
+        if stripped.startswith(("Join", "Aggregate [")):
+            assert "body" not in stripped
+
+
+def test_incremental_state_merge_matches_direct_aggregate(spark, tables):
+    from graphique_spark.operators.incremental import (
+        aggregate_state, finalize_state, merge_states,
+    )
+
+    orders = tables["orders"].df
+    aggs = {
+        "n": ("count", "o_orderkey"),
+        "spend": ("sum", "o_totalprice"),
+        "mean": ("avg", "o_totalprice"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+        "spread": ("var", "o_totalprice"),
+    }
+    keys = ["o_orderpriority"]
+    # three deltas: % 3 partitions of the table, merged hierarchically
+    parts = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    states = [aggregate_state(p, keys, aggs) for p in parts]
+    merged01 = merge_states([states[0], states[1]], keys)
+    merged = merge_states([merged01, states[2]], keys)
+    got = {
+        r["o_orderpriority"]: r
+        for r in finalize_state(merged, keys, aggs).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy(*keys).agg(
+            F.count("o_orderkey").alias("n"),
+            F.sum("o_totalprice").alias("spend"),
+            F.avg("o_totalprice").alias("mean"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.var_pop("o_totalprice").alias("spread"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k]["n"] == want[k]["n"]
+        for col in ("spend", "mean", "lo", "hi", "spread"):
+            assert got[k][col] == pytest.approx(want[k][col], rel=1e-9)
+
+
+def test_incremental_state_new_keys_in_delta(spark):
+    from graphique_spark.operators.incremental import (
+        aggregate_state, finalize_state, merge_states,
+    )
+
+    aggs = {"n": ("count", "v"), "hi": ("max", "v")}
+    old = spark.createDataFrame([("a", 1), ("a", 5)], "k string, v long")
+    delta = spark.createDataFrame([("b", 7)], "k string, v long")
+    merged = merge_states(
+        [aggregate_state(old, ["k"], aggs), aggregate_state(delta, ["k"], aggs)],
+        ["k"],
+    )
+    got = {r["k"]: (r["n"], r["hi"]) for r in finalize_state(merged, ["k"], aggs).collect()}
+    assert got == {"a": (2, 5), "b": (1, 7)}

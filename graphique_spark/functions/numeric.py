@@ -99,3 +99,34 @@ def cummax(col: Column, order_by: Sequence[Column | str]) -> Column:
 
 def cummin(col: Column, order_by: Sequence[Column | str]) -> Column:
     return F.min(col).over(_cumwindow(order_by))
+
+
+def equidepth_histogram(df, col: str, buckets: int = 10):
+    """Equi-depth (equal-frequency) histogram: exact interpolated quantile
+    boundaries + per-bucket counts. Returns (bucket, lo, hi, n) with
+    ``bucket`` 0-based; a value equal to a boundary belongs to the bucket
+    above it (strict ``<`` count of boundaries below).
+
+    Scale shape: boundaries come from one ``percentile`` aggregate (a
+    single combined row — the sort is inside the agg buffer, never a
+    global exchange); assignment is an in-row filtered-size over the
+    boundary array after a one-row broadcast cross join; the final count
+    is an ordinary hash aggregate on a ``buckets``-ary key. For 100 TB
+    swap ``percentile`` for ``approx_percentile`` — same plan, sketch
+    accuracy instead of an exact in-buffer sort."""
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.select(
+        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("__bounds")
+    )
+    c = F.col(col)
+    bucket = F.size(F.filter(F.col("__bounds"), lambda b: b < c))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), c.alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -503,3 +503,24 @@ def weighted_sample(df, k: int, weight, id_col: str = "doc_id"):
     u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
     keyed = df.withColumn("__ws_key", F.pow(u, 1.0 / weight))
     return top_k(keyed, ["-__ws_key"], k, ()).drop("__ws_key")
+
+
+def group_sample_k(df, by: str, k: int, id_col: str = "doc_id"):
+    """Deterministic k-per-group sample: rows rank by the md5 of their id
+    within each group and the first ``k`` win. Reproducible across runs,
+    engines and cluster sizes (no RNG state), unbiased w.r.t. any column
+    correlated with the id.
+
+    Scale shape: one shuffle on the group key, per-group window rank —
+    groups process independently, so this scales with the largest group,
+    not the table. (For a global k see ``weighted_sample``;
+    for fraction-per-group see ``stratified_sample``.)"""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(by).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,60 @@
+"""Change-data-capture apply: fold an ordered op log into a base snapshot.
+
+The ingestion half of every incremental pipeline: upstream emits
+(insert | update | delete) rows with a sequence number; applying them to
+the previous snapshot produces the next one without reprocessing history.
+
+Scale shape: the log first collapses to its latest op per key with a
+map-side-combinable ``max(struct(seq, op, payload))`` — no window, no
+global sort (struct buffers force SortAggregate, whose sorts are
+per-partition and stream group-at-a-time; the shuffle still carries one
+combined row per key) — so the only full-size work is one anti-join of
+the base against the collapsed keys (AQE broadcasts it when the day's
+churn is small, the common case). The base never shuffles by value; with
+both sides bucketed on the keys the exchange disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INSERT, UPDATE, DELETE = "insert", "update", "delete"
+
+
+def apply_cdc(
+    base: DataFrame,
+    log: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC log to ``base``. ``log`` carries the base's columns plus
+    ``seq_col`` (monotone per key; the latest wins) and ``op_col``
+    ('insert'/'update'/'delete' — insert and update are both upserts, the
+    distinction is kept only for the emitter's semantics). Sequence ties
+    within a key break deterministically by op string, then payload.
+    Returns the next snapshot with the base's schema."""
+    keys = list(keys)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in payload + keys + [seq_col, op_col] if c not in log.columns]
+    if missing:
+        raise ValueError(f"apply_cdc: log is missing columns {missing}")
+    packed = F.struct(
+        F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]
+    ).alias("_st")
+    latest = (
+        log.select(*keys, packed)
+        .groupBy(*keys)
+        .agg(F.max("_st").alias("_st"))
+        .select(
+            *keys,
+            F.col(f"_st.{op_col}").alias("_op"),
+            *[F.col(f"_st.{c}").alias(c) for c in payload],
+        )
+    )
+    untouched = base.join(latest.select(*keys), on=keys, how="anti")
+    upserts = latest.where(F.col("_op") != DELETE).select(*base.columns)
+    return untouched.unionByName(upserts)

@@ -1721,3 +1721,108 @@ def compact_roundtrip(spark, sf_dir):
             (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("spend"),
         )
     )
+
+
+@query(
+    "cdc_apply",
+    """
+    SELECT o_orderkey,
+           floor(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END
+                 * 100 + 0.5) / 100 AS price,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 20 <> 0
+    """,
+)
+def cdc_apply(spark, sf_dir):
+    """CDC log fold: base snapshot missing every 4th order; a log that
+    re-inserts them (seq 1), doubles every 10th order's price (seq 1) and
+    deletes every 20th (seq 2, overriding the earlier update). The op log
+    collapses map-side to latest-per-key; one anti-join against base —
+    no window, no sort."""
+    from graphique_spark.operators.cdc import apply_cdc
+
+    orders = table(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    base = orders.where(key % 4 != 0)
+    inserts = orders.where(key % 4 == 0).select(
+        "*", F.lit(1).alias("seq"), F.lit("insert").alias("op")
+    )
+    updates = orders.where(key % 10 == 0).select(
+        key.alias("o_orderkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit(1).alias("seq"),
+        F.lit("update").alias("op"),
+    )
+    deletes = orders.where(key % 20 == 0).select(
+        "*", F.lit(2).alias("seq"), F.lit("delete").alias("op")
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    snapshot = apply_cdc(base, log, keys=["o_orderkey"], seq_col="seq")
+    return snapshot.select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("price"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),
+              quantile_cont(o_totalprice, 0.375), quantile_cont(o_totalprice, 0.5),
+              quantile_cont(o_totalprice, 0.625), quantile_cont(o_totalprice, 0.75),
+              quantile_cont(o_totalprice, 0.875)] AS bounds
+      FROM orders
+    )
+    SELECT len(list_filter(b.bounds, x -> x < o_totalprice)) AS bucket,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n
+    FROM orders, b GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark, sf_dir):
+    """Equal-frequency histogram over order totals: exact interpolated
+    octile boundaries (one aggregate row), in-row bucket assignment, hash
+    count — no global sort anywhere."""
+    from graphique_spark.functions.numeric import equidepth_histogram
+
+    orders = table(spark, sf_dir, "orders").df
+    return equidepth_histogram(orders, "o_totalprice", buckets=8)
+
+
+@query(
+    "group_regression",
+    """
+    SELECT l_returnflag,
+           floor(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             AS slope,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             AS intercept,
+           floor(corr(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             AS r
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_regression(spark, sf_dir):
+    """Per-group OLS (price ~ quantity) from algebraic aggregates only:
+    covar_pop/var_pop/avg/corr are all map-side-combinable hash
+    aggregates — one slim shuffle, mergeable across deltas the same way
+    operators.incremental states are."""
+    li = table(spark, sf_dir, "lineitem").df
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    grouped = li.groupBy("l_returnflag").agg(
+        slope.alias("slope_raw"),
+        F.avg(y).alias("my"),
+        F.avg(x).alias("mx"),
+        F.corr(y, x).alias("r_raw"),
+    )
+    return grouped.select(
+        "l_returnflag",
+        fround(F.col("slope_raw"), 4).alias("slope"),
+        fround(F.col("my") - F.col("slope_raw") * F.col("mx"), 4).alias("intercept"),
+        fround(F.col("r_raw"), 4).alias("r"),
+    )

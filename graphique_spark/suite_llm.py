@@ -1639,3 +1639,23 @@ def snapshot_diff(spark, sf_dir):
         ),
     )
     return diff_op(old, new, keys=["doc_id"])
+
+
+@query(
+    "sample_per_group",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    """Deterministic 5-per-language sample (md5-rank): reproducible across
+    engines and cluster sizes, no RNG state — the fixed-quota counterpart
+    of fraction-based stratified sampling."""
+    docs = table(spark, sf_dir, "documents").df
+    return text.group_sample_k(docs, by="lang", k=5).select("lang", "doc_id")

@@ -172,3 +172,56 @@ def stream_interval_join(spark, sf_dir):
         F.count(F.lit(1)).alias("pairs"),
         F.countDistinct("event_id").alias("clicks_with_purchase"),
     )
+
+
+@query(
+    "stream_upsert_totals",
+    """
+    SELECT user_id % 8 AS cohort, user_id,
+           count(*) AS events_n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_totals(spark, sf_dir):
+    """True end-to-end streaming upsert: a 3-file landing zone streamed
+    with maxFilesPerTrigger=1 (3 micro-batches), per-user running totals
+    in update output mode, merged into hive-partitioned parquet by
+    ``upsert_sink`` (each batch anti-joins out stale rows and dynamically
+    overwrites only the partitions it touched). The final table must equal
+    the one-shot batch aggregate over all events — exactly-once across
+    batch boundaries is the thing being proven."""
+    import os
+    import shutil
+    import tempfile
+
+    workdir = os.path.join(tempfile.gettempdir(), "graphique_spark_upsert_q")
+    shutil.rmtree(workdir, ignore_errors=True)
+    events = table(spark, sf_dir, "events").df
+    src = f"{workdir}/src"
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = (
+        events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    )
+    stream = streaming.read_event_stream(spark, src, schema=schema, max_files_per_trigger=1)
+    totals = stream.groupBy(
+        (F.col("user_id") % 8).alias("cohort"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("events_n"), F.sum("value").alias("value_sum"))
+    q = streaming.upsert_sink(
+        totals,
+        dest=f"{workdir}/table",
+        keys=["cohort", "user_id"],
+        checkpoint=f"{workdir}/ckpt",
+        partition_col="cohort",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{workdir}/table").select(
+        F.col("cohort").cast("long").alias("cohort"),
+        "user_id",
+        "events_n",
+        (F.floor(F.col("value_sum") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

@@ -103,3 +103,31 @@ def test_kurtosis_sample_matches_duckdb(tables, oracle):
     )
     want = oracle.execute("SELECT kurtosis(o_totalprice) FROM orders").fetchone()[0]
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_equidepth_histogram_balanced_and_total(spark):
+    from graphique_spark.functions.numeric import equidepth_histogram
+
+    df = spark.range(1000).select((F.col("id") * 7 % 1000).cast("double").alias("v"))
+    out = equidepth_histogram(df, "v", buckets=10).collect()
+    assert len(out) == 10
+    assert sum(r["n"] for r in out) == 1000
+    assert all(95 <= r["n"] <= 105 for r in out)  # near-equal depth
+    by_bucket = sorted(out, key=lambda r: r["bucket"])
+    for prev, cur in zip(by_bucket, by_bucket[1:]):
+        assert prev["hi"] <= cur["lo"]  # non-overlapping, ordered ranges
+
+
+def test_group_sample_k_deterministic_and_bounded(spark, tables):
+    from graphique_spark.llm.text import group_sample_k
+
+    docs = tables["documents"].df
+    a = group_sample_k(docs, by="lang", k=3).select("lang", "doc_id").collect()
+    b = group_sample_k(docs, by="lang", k=3).select("lang", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    from collections import Counter
+
+    per = Counter(r["lang"] for r in a)
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(3, sizes[lang])

@@ -471,3 +471,49 @@ def test_incremental_state_new_keys_in_delta(spark):
     )
     got = {r["k"]: (r["n"], r["hi"]) for r in finalize_state(merged, ["k"], aggs).collect()}
     assert got == {"a": (2, 5), "b": (1, 7)}
+
+
+def test_apply_cdc_latest_op_wins_and_ties_break_deterministically(spark):
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    log = spark.createDataFrame(
+        [
+            (1, "A", 1, "update"),
+            (1, "AA", 2, "update"),   # latest for k=1
+            (2, None, 1, "delete"),
+            (4, "d", 1, "insert"),
+            (4, None, 2, "delete"),
+            (4, "d2", 3, "insert"),   # resurrection after delete
+            (5, "x", 1, "update"),    # same seq: 'update' > 'insert' lexically
+            (5, "y", 1, "insert"),
+        ],
+        "k long, v string, seq long, op string",
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(base, log, ["k"]).collect()}
+    assert got == {1: "AA", 3: "c", 4: "d2", 5: "x"}
+
+
+def test_apply_cdc_rejects_missing_columns(spark):
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame([(1, 1, "insert")], "k long, seq long, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_cdc(base, bad, ["k"])
+
+
+def test_apply_cdc_log_collapses_without_window(spark):
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = spark.createDataFrame([(1, "b", 1, "update")], "k long, v string, seq long, op string")
+    plan = apply_cdc(base, log, ["k"])._jdf.queryExecution().executedPlan().toString()
+    # scale guards: latest-per-key must come from a map-side-combinable
+    # aggregate (partial_max below the exchange), never a Window, and no
+    # sort may be global (SMJ/SortAggregate sorts are per-partition:
+    # 'Sort [...], false' — the bool is the isGlobal flag)
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert ", true, 0" not in plan  # no global sort
+    assert "Exchange SinglePartition" not in plan

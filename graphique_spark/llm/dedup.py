@@ -122,6 +122,48 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _signatures(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, hs, m0..m{n-1}): distinct hashed-shingle set + the MinHash
+    values as SEPARATE columns. Keeping the minhashes as per-column
+    projections over the named ``hs`` column is load-bearing: collapsing
+    them into one nested expression lets Catalyst inline the (expensive)
+    shingle-hash of ``hs`` into every transform when a downstream explode
+    prunes columns — re-shingling each doc ``num_hashes`` times. The
+    column boundary here keeps ``hs`` computed exactly once per row
+    (plan-asserted in tests)."""
+    df = ensure_parallelism(df)
+    hashed = F.array_distinct(
+        F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    ]
+    return df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
+        "id", "hs", *mins
+    )
+
+
+def _band_key_array(num_hashes: int, bands: int) -> Column:
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_index(
     df: DataFrame,
     text: str = "text",
@@ -136,33 +178,16 @@ def minhash_index(
     per-shingle ever shuffles).
 
     This is the incremental-dedup primitive for a rolling corpus: index
-    each ingest batch once, persist (kilobytes per doc, partitioned
+    each ingest batch once, PERSIST it (kilobytes per doc, partitioned
     however suits the reader), and dedup any future batch against it with
     :func:`incremental_minhash_dedup` — the historical corpus is never
-    re-shingled."""
-    df = ensure_parallelism(df)
-    rows = num_hashes // bands
-    hashed = F.array_distinct(
-        F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
-            )
-        ).alias(f"m{i}")
-        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
-    ]
-    sigs = df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
-        "id", "hs", *mins
-    )
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
-            for b in range(bands)
-        ]
-    )
-    return sigs.select("id", "hs", band_keys.alias("band_keys"))
+    re-shingled. Persisting is not just for reuse: exploding ``band_keys``
+    straight off this (unpersisted) plan makes Catalyst re-derive the
+    packed array from text per consumer, which is why the in-memory
+    pipelines (:func:`minhash_candidates`) build on :func:`_signatures`
+    instead."""
+    sigs = _signatures(df, text, id_col, k, num_hashes)
+    return sigs.select("id", "hs", _band_key_array(num_hashes, bands).alias("band_keys"))
 
 
 def incremental_minhash_dedup(
@@ -187,10 +212,16 @@ def incremental_minhash_dedup(
     index; the hash-set verify join touches only candidate ids.
     ``max_band_freq`` caps boilerplate band keys on the index side (a key
     shared by m index docs yields m pairs per colliding new doc).
+
+    ``index`` should be a PERSISTED :func:`minhash_index` table (that is
+    the whole point of the pattern); probing an unpersisted index plan
+    works but re-derives its band keys from text through Catalyst's
+    projection collapse.
     """
-    new_idx = minhash_index(new_docs, text, id_col, k, num_hashes, bands)
-    nb = new_idx.select(
-        F.col("id").alias("new_id"), F.posexplode("band_keys").alias("band", "key")
+    new_sigs = _signatures(new_docs, text, id_col, k, num_hashes)
+    nb = new_sigs.select(
+        F.col("id").alias("new_id"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key"),
     )
     ib = index.select(
         F.col("id").alias("index_id"), F.posexplode("band_keys").alias("band", "key")
@@ -209,7 +240,7 @@ def incremental_minhash_dedup(
         .distinct()
     )
     cand_n = cands.join(
-        F.broadcast(new_idx.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n"))),
+        F.broadcast(new_sigs.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n"))),
         on="new_id",
     )
     # broadcast the (candidate, new-hash-set) side: the index scan stays
@@ -254,8 +285,10 @@ def minhash_candidates(
     are dropped via a broadcast anti-join against the (tiny) hot-key set —
     boilerplate that common isn't a useful near-dup signal anyway.
     """
-    sigs = minhash_index(df, text, id_col, k, num_hashes, bands)
-    banded = sigs.select("id", F.posexplode("band_keys").alias("band", "key"))
+    sigs = _signatures(df, text, id_col, k, num_hashes)
+    banded = sigs.select(
+        "id", F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key")
+    )
     if max_band_freq is not None:
         hot = (
             banded.groupBy("band", "key")

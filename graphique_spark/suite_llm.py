@@ -382,10 +382,20 @@ def dedup_incremental(spark, sf_dir):
     split) — index side never re-shingled, never shuffled (new batch
     broadcasts). The oracle recomputes both signature sets and restricts
     candidates to new-vs-index pairs."""
+    import os
+    import tempfile
+
     docs = table(spark, sf_dir, "documents").df
     existing = docs.filter(F.col("doc_id") < _INCR_SPLIT)
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
-    index = dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS)
+    # persist the index, as the pattern prescribes: index rows are written
+    # once per corpus; probing an unpersisted index plan would re-derive
+    # its band keys from text on every consumer
+    idx_path = os.path.join(tempfile.gettempdir(), "graphique_spark_mh_index")
+    dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
     return dedup.incremental_minhash_dedup(
         batch, index, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.0
     )

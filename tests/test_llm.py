@@ -788,3 +788,20 @@ def test_substring_duplicates_short_doc_whole_text_window(spark):
     )
     out = {r["doc_id"] for r in substring_duplicates(df, window=60, stride=20).collect()}
     assert out == {1, 2}
+
+
+def test_minhash_no_shingle_recompute_in_plan(spark, tables):
+    """Catalyst regression guard: pruning/collapse under the band-key
+    explode must NOT inline the shingle-hash derivation into each minhash
+    transform (it once did, re-shingling every doc num_hashes times — a
+    12x wall regression). The expensive text->shingles chain must appear
+    exactly once per side of the pair join."""
+    from graphique_spark.llm.dedup import minhash_candidates
+
+    docs = tables["documents"].df
+    pairs = minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the full query reads documents on several independent branches
+    # (banded left/right + two hash-set verify sides); each branch may
+    # shingle once, never 16x
+    assert plan.count("length(text") <= 4

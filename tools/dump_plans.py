@@ -8,6 +8,8 @@ Usage: PYTHONPATH=/root/repo python tools/dump_plans.py
 
 from __future__ import annotations
 
+import re
+
 SF_DIR = "/root/testdata/sf0.01"
 
 #: query -> the plan property a reviewer should find in it
@@ -25,6 +27,26 @@ HIGHLIGHTS = {
     "dedup_incremental": (
         "index side never shuffles: new-batch band keys and candidate sets "
         "BroadcastExchange; index scans are map-side joins"
+    ),
+    "q5_region_volume": (
+        "six-table join: every dimension (supplier/nation/region) "
+        "BroadcastHashJoin, pushed date/region filters, partial agg"
+    ),
+    "q3_shipping_priority": (
+        "TakeOrderedAndProject top-10 over the joined agg; shipdate/"
+        "segment filters pushed into both scans"
+    ),
+    "cdc_apply": (
+        "latest-op-per-key is a partial_max(struct) aggregate (map-side "
+        "combined), never a Window; one anti-join against base"
+    ),
+    "snapshot_diff": (
+        "full-outer exchange carries (key, 8-byte fingerprint) rows only — "
+        "document bodies pruned before the aggregate"
+    ),
+    "histogram_equidepth": (
+        "boundaries from one percentile aggregate row; bucket assignment "
+        "in-row over the broadcast array; no global sort"
     ),
 }
 
@@ -56,6 +78,11 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
+        )
+        # control chars (e.g. a \x00 literal in a plan) would make the
+        # file read as binary to grep
+        plan = re.sub(
+            r"[\x00-\x08\x0b-\x1f]", lambda m: f"\\x{ord(m.group()):02x}", plan
         )
         sections.append(f"## {name}\n\n**Look for:** {highlight}\n\n```\n{plan}```\n")
     with open("PLANS.md", "w") as f:

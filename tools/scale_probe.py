@@ -156,8 +156,48 @@ def main() -> None:
         )
         return dedup.connected_components(edges, method="star", max_iterations=24)
 
+    def substring(mult):
+        from graphique_spark.llm import dedup
+
+        return dedup.substring_duplicates(multiplied(spark, "documents", mult))
+
+    def snapshot(mult):
+        from graphique_spark.operators.diff import snapshot_diff
+
+        docs = multiplied(spark, "documents", mult)
+        old = docs.filter(F.col("doc_id") % 7 != 0)
+        new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+        return snapshot_diff(old, new, keys=["doc_id"])
+
+    def cdc(mult):
+        from graphique_spark.operators.cdc import apply_cdc
+
+        orders = multiplied(spark, "orders", mult).select(
+            "o_orderkey", "o_totalprice"
+        )
+        key = F.col("o_orderkey")
+        base = orders.where(key % 4 != 0)
+        log = (
+            orders.where(key % 4 == 0)
+            .select("*", F.lit(1).alias("seq"), F.lit("insert").alias("op"))
+            .unionByName(
+                orders.where(key % 20 == 0).select(
+                    "*", F.lit(2).alias("seq"), F.lit("delete").alias("op")
+                )
+            )
+        )
+        return apply_cdc(base, log, keys=["o_orderkey"], seq_col="seq")
+
     probes = {
         "q1": q1,
+        "substring_dedup": substring,
+        "snapshot_diff": snapshot,
+        "cdc_apply": cdc,
         "star_join": star_join,
         "window_rank": window_rank,
         "minhash": minhash,

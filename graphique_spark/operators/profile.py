@@ -1,13 +1,15 @@
 """Single-pass table profiling: per-column null counts, distinct counts,
 and min/max — the data-quality summary every ingest job wants.
 
-Scale shape: ONE distributed scan computes every metric as aggregate
-expressions in a single ``agg`` (partial/map-side combine; multiple
-count-distincts expand to one Expand + partial aggs under Catalyst — still
-one pass over the data). The single result row is reshaped to long format
-on the driver (bounded by #columns, never by rows). ``exact=False`` swaps
-``count_distinct`` for HLL ``approx_count_distinct`` when the distinct
-cardinality itself is huge.
+Scale shape: two column-pruned scans — plain metrics (counts/extrema) in
+one single-row ``agg``, exact distinct counts in a second, cross-joined.
+Keeping them apart matters: mixed distinct+plain aggregates make Catalyst
+Expand the input (n_distinct+1)-fold and evaluate the plain aggregates
+over the expanded stream (measured 5x slower). The combined result row is
+reshaped to long format on the driver (bounded by #columns, never by
+rows). ``exact=False`` swaps ``count_distinct`` for HLL
+``approx_count_distinct``, which IS a plain aggregate — that mode is one
+scan, and the right call when distinct cardinalities are huge.
 
 Numeric extrema are emitted floor-scaled (×1e6, BIGINT) so cross-engine
 float representation can't leak into value comparisons; string/date/
@@ -36,23 +38,36 @@ def _scaled(col):
 
 
 def profile(df: DataFrame, columns: Sequence[str] | None = None, exact: bool = True) -> DataFrame:
-    """Profile ``columns`` (default: all) in one pass; returns one row per
-    column with schema :data:`PROFILE_SCHEMA`."""
+    """Profile ``columns`` (default: all); returns one row per column with
+    schema :data:`PROFILE_SCHEMA`.
+
+    Exact distinct counts run in their OWN aggregate, cross-joined to the
+    plain aggregates (both single-row): mixing n distinct aggs with plain
+    aggs in one ``agg`` makes Catalyst Expand every input row (n+1)-fold
+    and push the plain aggs through the expanded stream — measured 5x
+    slower than two column-pruned scans at sf0.1. ``exact=False`` HLL
+    distincts are plain aggregates, so they stay in the single scan."""
     dtypes = dict(df.dtypes)
     cols = list(columns or df.columns)
-    distinct = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
+    distinct_aggs = []
     for c in cols:
         kind = dtypes[c]
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(distinct(F.col(c)).alias(f"nd_{c}"))
+        if exact:
+            distinct_aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"nd_{c}"))
         if kind.startswith(_NUMERIC):
             aggs.append(_scaled(F.min(c)).alias(f"mn_{c}"))
             aggs.append(_scaled(F.max(c)).alias(f"mx_{c}"))
         else:
             aggs.append(F.min(F.col(c).cast("string")).alias(f"ms_{c}"))
             aggs.append(F.max(F.col(c).cast("string")).alias(f"xs_{c}"))
-    row = df.agg(*aggs).first()  # ONE scan; single bounded row
+    plain = df.agg(*aggs)
+    row = (
+        plain.crossJoin(df.agg(*distinct_aggs)) if distinct_aggs else plain
+    ).first()  # bounded: one combined row
     out = []
     for c in cols:
         kind = dtypes[c]

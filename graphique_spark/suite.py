@@ -1580,6 +1580,228 @@ def q5_region_volume(spark, sf_dir):
 
 
 @query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): the quarter filter prunes
+    orders before its shuffle join with lineitem; customer joins once on the
+    already-aggregated-down stream; nation broadcasts. Global top-20 is
+    TakeOrderedAndProject — never a full sort."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (orders.df["o_orderdate"] >= lo) & (orders.df["o_orderdate"] < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(l_returnflag={"eq": ["R"]})
+    li = li.project(
+        {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))}
+    ).select("l_orderkey", "revenue")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, keys=["l_orderkey"], rkeys=["o_orderkey"])
+        .join(cust, keys=["o_custkey"], rkeys=["c_custkey"])
+        .join(nation, keys=["c_nationkey"], rkeys=["n_nationkey"], broadcast=True)
+        .group(
+            by=["c_custkey", "c_name", "c_acctbal", "n_name"],
+            aggregate=[Agg("sum", "revenue", alias="revenue")],
+        )
+        .project({"revenue": fround(F.col("revenue"), 2)})
+        .order(by=["-revenue", "c_custkey"], limit=20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .df
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'on_time' END AS delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY delay_class ORDER BY delay_class
+    """,
+)
+def q12_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority), adapted to this dataset's
+    columns: classify lines by ship-vs-order-date lag, count urgent/other
+    priorities per class. One shuffle join (both sides filtered first), one
+    two-row aggregate — conditional sums stay inside the partial agg."""
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (orders.df["o_orderdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (orders.df["o_orderdate"] < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = li.join(orders, keys=["l_orderkey"], rkeys=["o_orderkey"]).df
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.withColumn(
+            "delay_class",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "late",
+            ).otherwise("on_time"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+           / 10000 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): one month of lineitem probes a
+    broadcast part dimension; the promo/total ratio is a single global
+    aggregate — map-side partials, one row out, no shuffle of part."""
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (li.df["l_shipdate"] >= F.lit("1997-03-01").cast("timestamp"))
+        & (li.df["l_shipdate"] < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(part, keys=["l_partkey"], rkeys=["p_partkey"], broadcast=True).df
+    return joined.agg(
+        fround(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(0.0))
+            / F.sum(revenue),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+           o_totalprice,
+           floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, odate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the HAVING subquery aggregates
+    lineitem down to qualifying orderkeys first, then semi-joins — the big
+    table is scanned once for the aggregate and once for the detail, and
+    AQE turns the tiny qualifying-keys side into a broadcast semi-join."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.df.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    detail = li.df.join(big, "l_orderkey", "left_semi")
+    return (
+        Dataset(detail)
+        .join(orders, keys=["l_orderkey"], rkeys=["o_orderkey"])
+        .join(cust, keys=["o_custkey"], rkeys=["c_custkey"])
+        .project({"odate": F.to_date("o_orderdate").cast("string")})
+        .group(
+            by=["c_custkey", "o_orderkey", "odate", "o_totalprice"],
+            aggregate=[Agg("sum", "l_quantity", alias="total_qty")],
+        )
+        .project({"total_qty": fround(F.col("total_qty"), 2)})
+        .order(by=["-o_totalprice", "o_orderkey"], limit=20)
+        .select("c_custkey", "o_orderkey", "odate", "o_totalprice", "total_qty")
+        .df
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): disjunction of brand/size/quantity
+    conjuncts. The part-only arms of the OR are pushed below the broadcast
+    join (Catalyst extracts `p_brand IN (...)` and the size hull as a
+    derived filter), so the dimension shrinks before the probe."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(part, keys=["l_partkey"], rkeys=["p_partkey"], broadcast=True).df
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    return joined.filter(
+        arm("Brand#1", 1, 15, 1, 21)
+        | arm("Brand#13", 10, 30, 10, 30)
+        | arm("Brand#20", 20, 50, 20, 40)
+    ).agg(
+        fround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
     "pivot_event_counts",
     """
     SELECT user_id % 10 AS cohort,

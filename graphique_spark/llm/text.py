@@ -524,3 +524,150 @@ def group_sample_k(df, by: str, k: int, id_col: str = "doc_id"):
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def bm25_topk(df, query_terms: list[str], k: int = 10,
+              text: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 retrieval: score every document against a bag of query
+    terms and return the global top-k (id, score). idf uses the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form; tf saturates with ``k1``
+    and normalizes by doc length against the corpus mean with ``b``.
+
+    Scale shape: the query-term filter lands *before* the (doc, term)
+    count shuffle, so only matching postings ever shuffle — the corpus
+    vocabulary never materializes. Document frequencies for the ≤|Q| query
+    terms and the (N, avgdl) scalars are one tiny aggregate each;
+    both join back as broadcasts. Selection is ``TakeOrderedAndProject``
+    (per-partition heaps), never a global sort."""
+    from graphique_spark.llm.dedup import ensure_parallelism
+    from graphique_spark.operators.topk import top_k
+
+    df = ensure_parallelism(df)
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
+        ).alias("term"),
+    )
+    doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = doclen.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    tf = (
+        terms.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    scored = (
+        tf.join(F.broadcast(docfreq), on="term")
+        .join(doclen, on=id_col)
+        .withColumn("__s", idf * (F.col("tf") * (k1 + 1.0)) / norm)
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return top_k(scored, ["-score", id_col], k, ())
+
+
+def unigram_lm_scores(df, text: str = "text", id_col: str = "doc_id"):
+    """CCNet-style LM quality signal (Wenzek et al. 2020), with the n-gram
+    LM trained on the corpus itself instead of an external KenLM: add-one-
+    smoothed unigram probabilities ``p(w) = (c(w)+1)/(T+V)`` from one
+    vocabulary aggregate, then each document scores its mean token
+    negative-log-likelihood (== ln perplexity). Low NLL ≈ head (common,
+    fluent) text; high NLL ≈ tail (rare/garbled). Returns
+    (id, n_tokens, nll).
+
+    Scale shape: exactly two shuffles — the vocabulary count and the
+    per-document sum — plus one posting⋈vocab join left unhinted because a
+    web-corpus vocabulary can exceed executor memory (AQE broadcasts when
+    it actually fits). Nothing touches the driver except the two model
+    scalars (T, V)."""
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
+        ).alias("term"),
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total, vsize = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
+    logp = F.log((F.col("c") + 1.0) / F.lit(float(total + vsize)))
+    return (
+        terms.join(vocab, on="term")
+        .withColumn("__lp", logp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("__lp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+
+
+def assign_split(col, weights: tuple[float, ...] = (0.98, 0.01, 0.01),
+                 names: tuple[str, ...] = ("train", "val", "test")):
+    """Deterministic train/val/test assignment from a row id: the id's
+    md5-derived uniform picks a bucket by cumulative weight. Reproducible
+    across engines/runs/cluster sizes (no RNG), stable under corpus growth
+    (a doc never changes split when new docs arrive) — the property that
+    keeps eval sets uncontaminated across dataset versions. Map-side
+    codegen; no shuffle."""
+    from graphique_spark.llm.dedup import hash60
+
+    u = hash60(col.cast("string")) / F.lit(float(2**60))
+    expr = F.lit(names[-1])
+    acc = 0.0
+    edges = []
+    for name, w in zip(names[:-1], weights[:-1]):
+        acc += w
+        edges.append((acc, name))
+    for edge, name in reversed(edges):
+        expr = F.when(u < edge, name).otherwise(expr)
+    return expr
+
+
+def shard_assignment(df, n_shards: int, id_col: str = "doc_id"):
+    """Deterministic shard id for training-data export: md5-derived bucket
+    in [0, n_shards). Unlike round-robin or monotonic ids, the assignment
+    is a pure function of the row — identical across engines, retries and
+    cluster sizes — so shard manifests can be diffed between pipeline
+    versions. Map-side; the subsequent `write_training_shards` repartition
+    is the only shuffle."""
+    from graphique_spark.llm.dedup import hash60
+
+    return df.withColumn(
+        "shard", (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    )
+
+
+def write_training_shards(df, dest: str, n_shards: int, id_col: str = "doc_id",
+                          order_col: str | None = None):
+    """Export a corpus as ``n_shards`` deterministic hash shards,
+    hive-partitioned by ``shard=``: one shuffle to co-locate each shard,
+    rows sorted within the shard file by the id's md5 (a deterministic
+    *global* shuffle of training order — the standard bias-avoidance step
+    before sequential epoch reads), one file per shard directory.
+
+    At 100 TB: shards are independent write tasks; per-shard file counts
+    stay 1 only while a shard fits a task — raise ``n_shards`` with the
+    corpus (maxRecordsPerFile would split obliviously; shard count is the
+    intended knob)."""
+    from graphique_spark.llm.dedup import hash60
+
+    sharded = shard_assignment(df, n_shards, id_col)
+    order = F.md5(F.col(id_col).cast("string")) if order_col is None else F.col(order_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dest)
+    )
+    return dest

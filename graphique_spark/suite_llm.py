@@ -1669,3 +1669,143 @@ def sample_per_group(spark, sf_dir):
     of fraction-based stratified sampling."""
     docs = table(spark, sf_dir, "documents").df
     return text.group_sample_k(docs, by="lang", k=5).select("lang", "doc_id")
+
+
+@query(
+    "retrieval_bm25",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE term IN ('spark', 'hash', 'window', 'batch')
+      GROUP BY doc_id, term
+    ),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (stats.n - docfreq.df + 0.5) / (docfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl)))
+               AS score
+      FROM tf JOIN docfreq USING (term) JOIN doclen USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored ORDER BY 2 DESC, doc_id LIMIT 15
+    """,
+)
+def retrieval_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval over the corpus (k1=1.2, b=0.75): postings are
+    filtered to the query terms BEFORE the tf shuffle, doc frequencies and
+    corpus stats broadcast, top-k via per-partition heaps. Over-fetch +
+    round + re-rank makes the cut deterministic across engines."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.bm25_topk(docs, ["spark", "hash", "window", "batch"], k=100)
+    return (
+        out.withColumn("score", fround(F.col("score"), 6))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+@query(
+    "lm_perplexity",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+    model AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
+    nll AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             -sum(ln((vocab.c + 1.0) / (model.total + model.v))) / count(*) AS nll
+      FROM terms JOIN vocab USING (term), model
+      GROUP BY doc_id
+    )
+    SELECT CAST(floor(nll * 10 + 0.5) / 10 AS DOUBLE) AS nll_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM nll GROUP BY nll_bucket
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    """Corpus-trained unigram LM perplexity (the CCNet head/middle/tail
+    quality signal with the KenLM externalized): per-document mean token
+    NLL, rolled up into 0.1-nat buckets. Two shuffles total (vocabulary,
+    per-doc sum); the posting⋈vocab join stays unhinted because web-scale
+    vocabularies can exceed executor memory."""
+    docs = table(spark, sf_dir, "documents").df
+    scores = text.unigram_lm_scores(docs)
+    return (
+        scores.withColumn("nll_bucket", fround(F.col("nll"), 1))
+        .groupBy("nll_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "split_assign",
+    """
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT source,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.96 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.98 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY source, split
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (96/2/2): the md5-derived
+    uniform keeps a document's split stable under corpus growth — new docs
+    never move old ones between splits, so eval sets stay uncontaminated
+    across dataset versions. Pure map-side expression; the only shuffle is
+    the audit count."""
+    docs = table(spark, sf_dir, "documents").df
+    return (
+        docs.withColumn(
+            "split", text.assign_split(F.col("doc_id"), (0.96, 0.02, 0.02))
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "shard_manifest",
+    """
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS INT) AS shard, doc_id, n_chars
+      FROM documents
+    ) GROUP BY shard
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Training-shard manifest: deterministic hash-shard assignment (the
+    pure-function half of `write_training_shards`) audited as per-shard
+    doc/char counts and id ranges — the artifact two pipeline versions
+    diff to prove shard stability. Map-side assignment, one count shuffle."""
+    docs = table(spark, sf_dir, "documents").df
+    sharded = text.shard_assignment(docs, 16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

@@ -805,3 +805,63 @@ def test_minhash_no_shingle_recompute_in_plan(spark, tables):
     # (banded left/right + two hash-set verify sides); each branch may
     # shingle once, never 16x
     assert plan.count("length(text") <= 4
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "nothing relevant here at all"),
+        (4, "a much longer document that mentions spark exactly once among many many other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bm25_topk(df, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # no query term, no score
+    assert ids[0] == 1  # highest tf, short doc
+    # length normalization: doc 2 (short) beats doc 4 (long) at equal tf
+    assert ids.index(2) < ids.index(4)
+
+
+def test_unigram_lm_rare_tokens_score_higher_nll(spark):
+    common = "the the the the cat cat"
+    rare = "zyzzyva qwertyuiop"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["nll"] for r in text.unigram_lm_scores(df).collect()}
+    assert out[3] > out[1]  # rare vocabulary = higher perplexity
+    assert out[1] == pytest.approx(out[2])
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    split = df.withColumn("s", text.assign_split(F.col("doc_id"), (0.8, 0.1, 0.1)))
+    counts = {r["s"]: r["n"] for r in split.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 20000 == pytest.approx(0.8, abs=0.02)
+    # growth stability: the same doc keeps its split in a larger corpus
+    bigger = spark.range(0, 40000).withColumnRenamed("id", "doc_id").withColumn(
+        "s", text.assign_split(F.col("doc_id"), (0.8, 0.1, 0.1))
+    )
+    a = dict(split.filter(F.col("doc_id") < 100).select("doc_id", "s").collect())
+    b = dict(bigger.filter(F.col("doc_id") < 100).select("doc_id", "s").collect())
+    assert a == b
+
+
+def test_write_training_shards_roundtrip(spark, tables, tmp_path):
+    docs = tables["documents"].select("doc_id", "text", "n_chars").df
+    dest = str(tmp_path / "shards")
+    text.write_training_shards(docs, dest, n_shards=8)
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()
+    assert set(back.select("shard").distinct().toPandas()["shard"]) == set(range(8))
+    # one file per shard directory, rows inside sorted by md5(doc_id)
+    import glob
+    for shard_dir in glob.glob(f"{dest}/shard=*"):
+        files = glob.glob(f"{shard_dir}/*.parquet")
+        assert len(files) == 1
+    one = spark.read.parquet(f"{dest}/shard=0")
+    got = [r["doc_id"] for r in one.collect()]
+    expect = sorted(got, key=lambda i: __import__("hashlib").md5(str(i).encode()).hexdigest())
+    assert got == expect

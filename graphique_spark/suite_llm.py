@@ -1809,3 +1809,52 @@ def shard_manifest(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+@query(
+    "image_dhash_dedup",
+    """
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    dh AS (
+      SELECT doc_id,
+        list_sum(flatten(list_transform(generate_series(0, 7), y ->
+          list_transform(generate_series(0, 6), x ->
+            CASE WHEN
+              ((x*w)//8 + (y*h)//8 + doc_id) % 256
+              + ((x*w)//8 + (y*h)//8 + 1 + doc_id) % 256
+              + ((x*w)//8 + (y*h)//8 + 2 + doc_id) % 256
+              >
+              (((x+1)*w)//8 + (y*h)//8 + doc_id) % 256
+              + (((x+1)*w)//8 + (y*h)//8 + 1 + doc_id) % 256
+              + (((x+1)*w)//8 + (y*h)//8 + 2 + doc_id) % 256
+            THEN 1::BIGINT << (y*7 + x) ELSE 0::BIGINT END)))) AS dhash
+      FROM img
+    )
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(id_a) AS BIGINT) AS first_a
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.dhash, b.dhash)) AS hamming
+      FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    GROUP BY hamming
+    """,
+)
+def image_dhash_dedup(spark, sf_dir):
+    """Perceptual image dedup: REAL dHash over really-decoded PPM pixels
+    (8x8 nearest-neighbor grayscale, 56 bits), near-dup pairs by Hamming
+    distance via pigeonhole-exact banding (max_hamming=3 < bands=4 means
+    the band equi-join provably finds every qualifying pair — the oracle
+    checks against brute-force all-pairs), rolled up per distance. Only
+    8-byte hashes ever shuffle; images never do."""
+    docs = table(spark, sf_dir, "documents").df.where(F.col("doc_id") < 100)
+    blobs = multimodal.attach_image_blobs(docs.select("doc_id"))
+    hashes = multimodal.dhash_images(blobs)
+    pairs = multimodal.phash_near_dups(hashes, max_hamming=3, bands=4)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("id_a").cast("bigint").alias("first_a"),
+    )

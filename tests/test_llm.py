@@ -865,3 +865,25 @@ def test_write_training_shards_roundtrip(spark, tables, tmp_path):
     got = [r["doc_id"] for r in one.collect()]
     expect = sorted(got, key=lambda i: __import__("hashlib").md5(str(i).encode()).hexdigest())
     assert got == expect
+
+
+def test_dhash_banding_exact_vs_bruteforce(spark):
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    blobs = multimodal.attach_image_blobs(df)
+    hashes = multimodal.dhash_images(blobs).cache()
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_near_dups(hashes, max_hamming=3, bands=4).collect()
+    }
+    rows = hashes.collect()
+    brute = {
+        (a["doc_id"], b["doc_id"])
+        for a in rows for b in rows
+        if a["doc_id"] < b["doc_id"]
+        and bin(a["dhash"] ^ b["dhash"]).count("1") <= 3
+    }
+    hashes.unpersist()
+    assert banded == brute  # pigeonhole banding loses nothing
+    assert brute  # the gradient corpus actually contains near-dups
+    with pytest.raises(ValueError):
+        multimodal.phash_near_dups(hashes, max_hamming=4, bands=4)

@@ -1858,3 +1858,116 @@ def image_dhash_dedup(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.min("id_a").cast("bigint").alias("first_a"),
     )
+
+
+_PR_ITER = """
+    d{i} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+    ),
+    i{i} AS (
+      SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+      FROM e JOIN outdeg o USING (src) JOIN r{i} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{j} AS (
+      SELECT nodes.node,
+             0.15 / n.n + 0.85 * (coalesce(i.inflow, 0) + d.dm / n.n) AS rank
+      FROM nodes CROSS JOIN n CROSS JOIN d{i} d
+      LEFT JOIN i{i} i ON nodes.node = i.node
+    )"""
+
+
+@query(
+    "pagerank_suppliers",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    """
+    + ",".join(_PR_ITER.format(i=i, j=i + 1) for i in range(3))
+    + """
+    SELECT node, floor(rank * 1e12 + 0.5) / 1e12 AS rank
+    FROM r3 ORDER BY 2 DESC, node LIMIT 25
+    """,
+)
+def pagerank_suppliers(spark, sf_dir):
+    """Link-authority ranking (the Common-Crawl host-PageRank shape used to
+    weight crawl sources in curation): 3 damped power iterations over the
+    customer->supplier purchase graph. Each iteration is one co-located
+    edge⋈rank join + one groupBy(dst) sum; dangling mass redistributes via
+    a scalar; lineage is cut per step. The oracle unrolls the identical
+    recurrence in SQL."""
+    from graphique_spark.operators.graph import pagerank
+
+    orders = table(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.withColumn("rank", fround(F.col("rank"), 12))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(25)
+    )
+
+
+@query(
+    "gap_fill_locf",
+    """
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS backfilled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN value END AS v
+      FROM events WHERE user_id < 50
+    )
+    """,
+)
+def gap_fill_locf(spark, sf_dir):
+    """Time-series gap fill: last-observation-carried-forward and its
+    backward twin per key (sensor/metric pipelines resampling sparse
+    observations). One shuffle on the key; both fills share the same sort
+    within it — Spark computes forward and backward frames off one
+    partitioning. Sparsity is simulated by nulling two of three values."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").df.where(F.col("user_id") < 50)
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("v"),
+    )
+    order = [F.unix_micros(F.col("ts")), F.col("event_id")]
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(fwd).alias("filled"),
+        F.first("v", ignorenulls=True).over(bwd).alias("backfilled"),
+    )

@@ -517,3 +517,29 @@ def test_apply_cdc_log_collapses_without_window(spark):
     assert "partial_max" in plan
     assert ", true, 0" not in plan  # no global sort
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from graphique_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3)]  # 3 is a dangling sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+
+    nodes = [1, 2, 3, 4]
+    out = {1: [2, 3], 2: [3], 4: [3]}
+    rank = {v: 1 / 4 for v in nodes}
+    d, n = 0.85, 4
+    for _ in range(5):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for u, targets in out.items():
+            for v in targets:
+                inflow[v] += rank[u] / len(targets)
+        rank = {v: (1 - d) / n + d * (inflow[v] + dangling / n) for v in nodes}
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[3] == max(got.values())  # the sink everyone links to wins

@@ -403,6 +403,7 @@ def phash_near_dups(
     max_hamming: int = 3,
     bands: int = 4,
     id_col: str = "doc_id",
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over dHash values,
     EXACT w.r.t. ``max_hamming`` via pigeonhole banding: the 56 bits split
@@ -411,11 +412,15 @@ def phash_near_dups(
     ``max_hamming < bands``, so the band equi-join loses nothing
     (enforced). Candidates verify with ``bit_count(xor)``.
 
-    Scale shape: the only shuffle carries (band_idx, band_val, id, hash) —
-    4 rows of ~24 bytes per image; no image data, no all-pairs. Skewed
-    bands (e.g. the all-zero hash of flat images) bound their blow-up in
-    the verify filter, and a frequency cap like MinHash's
-    ``max_band_freq`` slots in the same way if needed."""
+    Scale shape: images collapse to DISTINCT hash values before any join —
+    a billion copies of one meme are ONE row through banding — so the
+    band join is quadratic only in distinct near-colliding hashes, never
+    in image count. Identical-hash pairs re-expand through a per-hash
+    self-join at the end; that expansion is linear in the *output* (pair
+    enumeration is the caller's contract). ``max_band_freq`` additionally
+    caps pathological band values across distinct hashes (MinHash's
+    ``max_band_freq`` trade: recall on mega-clusters for a hard bound),
+    at the cost of the exactness guarantee."""
     if max_hamming >= bands:
         raise ValueError(
             f"exactness needs max_hamming < bands (got {max_hamming} >= {bands}): "
@@ -423,6 +428,8 @@ def phash_near_dups(
         )
     width_bits = 56 // bands
     mask = (1 << width_bits) - 1
+    ids = hashes.select(F.col(id_col), "dhash")
+    distinct_h = ids.select("dhash").distinct()
     bandvals = F.array(
         *[
             F.struct(
@@ -434,21 +441,44 @@ def phash_near_dups(
             for i in range(bands)
         ]
     )
-    exploded = (
-        hashes.select(F.col(id_col), F.col("dhash"), F.explode(bandvals).alias("b"))
-        .select(id_col, "dhash", "b.band", "b.val")
+    exploded = distinct_h.select("dhash", F.explode(bandvals).alias("b")).select(
+        "dhash", "b.band", "b.val"
     )
-    left = exploded.toDF("id_a", "hash_a", "band", "val")
-    right = exploded.toDF("id_b", "hash_b", "band", "val")
-    pairs = (
+    if max_band_freq is not None:
+        freq = exploded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("__f"))
+        exploded = (
+            exploded.join(freq, on=["band", "val"])
+            .where(F.col("__f") <= max_band_freq)
+            .drop("__f")
+        )
+    left = exploded.toDF("ha", "band", "val")
+    right = exploded.toDF("hb", "band", "val")
+    hpairs = (
         left.join(right, on=["band", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hash_a", "hash_b")
+        .where(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(
-        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
-    ).alias("hamming")
-    return pairs.select("id_a", "id_b", hamming).where(
-        F.col("hamming") <= max_hamming
+    # expand qualifying hash pairs to id pairs (distinct hashes: a<b order
+    # already holds per pair; cross-hash ids need no ordering fix because
+    # ha != hb partitions the ids)
+    a = ids.toDF("id_a", "ha")
+    b = ids.toDF("id_b", "hb")
+    cross = (
+        hpairs.join(a, on="ha")
+        .join(b, on="hb")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
     )
+    # identical-hash images: every intra-hash pair at distance 0
+    same = (
+        a.join(b, a["ha"] == b["hb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(same)

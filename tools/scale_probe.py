@@ -193,8 +193,41 @@ def main() -> None:
         )
         return apply_cdc(base, log, keys=["o_orderkey"], seq_col="seq")
 
+    def bm25(mult):
+        from graphique_spark.llm import text as t
+
+        docs = multiplied(spark, "documents", mult)
+        return t.bm25_topk(docs, ["spark", "hash", "window", "batch"], k=100)
+
+    def lm_nll(mult):
+        from graphique_spark.llm import text as t
+
+        return t.unigram_lm_scores(multiplied(spark, "documents", mult))
+
+    def pagerank_probe(mult):
+        from graphique_spark.operators.graph import pagerank
+
+        orders = multiplied(spark, "orders", mult).select("o_orderkey", "o_custkey")
+        li = multiplied(spark, "lineitem", mult).select("l_orderkey", "l_suppkey")
+        edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        return pagerank(edges, iterations=3)
+
+    def dhash(mult):
+        from graphique_spark.llm import multimodal
+
+        docs = multiplied(spark, "documents", mult).select("doc_id")
+        hashes = multimodal.dhash_images(multimodal.attach_image_blobs(docs))
+        return multimodal.phash_near_dups(hashes, max_hamming=3, bands=4)
+
     probes = {
         "q1": q1,
+        "bm25": bm25,
+        "lm_nll": lm_nll,
+        "pagerank": pagerank_probe,
+        "image_dhash": dhash,
         "substring_dedup": substring,
         "snapshot_diff": snapshot,
         "cdc_apply": cdc,

@@ -740,3 +740,54 @@ def substring_duplicates(
         .where(F.col("n_dup_windows") > 0)
         .withColumn("dup_fraction", F.col("n_dup_windows") / F.col("n_windows"))
     )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """The APPLY half of C4-style segment dedup (Raffel et al. 2020 kept
+    one occurrence of every duplicated three-sentence span): split docs
+    into ``seg_words``-word segments, keep each distinct segment's first
+    corpus occurrence (min (doc, position)) plus all unique segments, and
+    reconstruct the cleaned text in original order. Returns
+    (doc_id, n_kept, clean_text); documents whose every segment lost the
+    keep race disappear (their text is empty).
+
+    Scale shape: segmentation is in-row HOFs; the keep decision is ONE
+    map-side-combinable aggregate per segment key (count + min(doc,pos)
+    in the same groupBy) joined back to the exploded stream; reconstruction
+    is a per-doc sort_array over collected (pos, seg) structs — bounded by
+    the longest document, not the corpus. Same two-shuffle shape as the
+    profiling pass (`duplicate_segments`)."""
+    df = ensure_parallelism(df)
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(words, i * seg_words + 1, seg_words), " ").alias("seg"),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    )
+    freq = ex.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
+    )
+    kept = ex.join(freq, on="seg").where(
+        (F.col("n") == 1)
+        | ((F.col("id") == F.col("keep.id")) & (F.col("pos") == F.col("keep.pos")))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("pos", "seg")))
+    return kept.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["seg"]), " "
+        ).alias("clean_text"),
+    )

@@ -1971,3 +1971,44 @@ def gap_fill_locf(spark, sf_dir):
         F.last("v", ignorenulls=True).over(fwd).alias("filled"),
         F.first("v", ignorenulls=True).over(bwd).alias("backfilled"),
     )
+
+
+@query(
+    "dedup_segments_apply",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+        unnest(generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS pos,
+        unnest(list_transform(
+          generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1),
+          i -> array_to_string(words[i * 10 + 1 : i * 10 + 10], ' '))) AS seg
+      FROM w
+    ),
+    freq AS (
+      SELECT seg, count(*) AS n,
+             min(doc_id) AS kd,
+             min(pos) FILTER (doc_id = (SELECT min(e2.doc_id) FROM ex e2
+                                        WHERE e2.seg = ex.seg)) AS kp
+      FROM ex GROUP BY seg
+    ),
+    kept AS (
+      SELECT ex.doc_id, ex.pos, ex.seg
+      FROM ex JOIN freq USING (seg)
+      WHERE freq.n = 1 OR (ex.doc_id = freq.kd AND ex.pos = freq.kp)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           array_to_string(list(seg ORDER BY pos), ' ') AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_segments_apply(spark, sf_dir):
+    """C4 line-dedup APPLY: drop every repeated 10-word segment except its
+    first corpus occurrence and rebuild the cleaned documents in order.
+    One combined count+min(doc,pos) aggregate decides keeps; rebuild is a
+    per-doc sorted collect."""
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.remove_duplicate_segments(docs)

@@ -887,3 +887,18 @@ def test_dhash_banding_exact_vs_bruteforce(spark):
     assert brute  # the gradient corpus actually contains near-dups
     with pytest.raises(ValueError):
         multimodal.phash_near_dups(hashes, max_hamming=4, bands=4)
+
+
+def test_remove_duplicate_segments_keeps_first_occurrence(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))  # a 10-word boilerplate segment
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + u1), (2, boiler + " " + u2), (3, boiler)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_segments(df).collect()}
+    assert out[1]["clean_text"] == boiler + " " + u1  # first occurrence keeps it
+    assert out[2]["clean_text"] == u2  # later copies lose the segment
+    assert 3 not in out  # all segments dropped -> doc vanishes
+    assert out[1]["n_kept"] == 2 and out[2]["n_kept"] == 1

@@ -48,6 +48,26 @@ HIGHLIGHTS = {
         "boundaries from one percentile aggregate row; bucket assignment "
         "in-row over the broadcast array; no global sort"
     ),
+    "retrieval_bm25": (
+        "query-term filter BEFORE the (doc, term) count shuffle; docfreq "
+        "and corpus stats broadcast; TakeOrderedAndProject top-k"
+    ),
+    "image_dhash_dedup": (
+        "only 8-byte hashes shuffle: distinct-hash band join, id "
+        "expansion after the Hamming verify"
+    ),
+    "q18_large_orders": (
+        "HAVING subquery aggregates lineitem first; qualifying keys "
+        "broadcast back as a semi-join (AQE)"
+    ),
+    "dedup_segments_apply": (
+        "keep decision is one combined count+min(struct) aggregate; "
+        "rebuild is per-doc sort_array, bounded by the longest doc"
+    ),
+    "gap_fill_locf": (
+        "forward and backward fills share one hash partitioning + sort "
+        "(single Exchange, two frames)"
+    ),
 }
 
 

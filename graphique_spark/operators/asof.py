@@ -205,3 +205,45 @@ def _asof_range(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(renames[c]) for c in payload_cols],
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-time (SCD Type 2) dimension join: each fact row picks the
+    dimension version in effect at its timestamp — the latest version with
+    ``valid_from <= fact_ts`` per key, optionally voided when that
+    version's ``valid_to`` has already passed (gap in coverage).
+
+    Built on the as-of union+last-window strategy: dimension versions and
+    facts interleave in one per-key sort, so the join never shuffles more
+    than (facts + versions) rows and no fact ever scans the full version
+    history. The common warehouse alternative — a range join on
+    ``valid_from <= ts < valid_to`` — degrades to a per-key cross product
+    when version counts grow; this stays linear."""
+    out = asof_join(
+        facts,
+        dims,
+        on=fact_ts,
+        right_on=valid_from,
+        by=[key],
+        direction="backward",
+        suffix=suffix,
+    )
+    if valid_to is not None:
+        vt = valid_to + suffix if valid_to + suffix in out.columns else valid_to
+        payload = [
+            c for c in out.columns
+            if c not in facts.columns and c != vt
+        ]
+        expired = F.col(vt).isNotNull() & (F.col(vt) <= F.col(fact_ts))
+        for c in payload:
+            out = out.withColumn(c, F.when(expired, F.lit(None)).otherwise(F.col(c)))
+        out = out.withColumn(vt, F.when(expired, F.lit(None)).otherwise(F.col(vt)))
+    return out

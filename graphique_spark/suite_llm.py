@@ -2012,3 +2012,61 @@ def dedup_segments_apply(spark, sf_dir):
     per-doc sorted collect."""
     docs = table(spark, sf_dir, "documents").df
     return dedup.remove_duplicate_segments(docs)
+
+
+@query(
+    "scd2_dimension_join",
+    """
+    WITH dims AS (
+      SELECT s_suppkey, ver,
+             CASE ver WHEN 0 THEN TIMESTAMP '1995-01-01'
+                      WHEN 1 THEN TIMESTAMP '1997-01-01'
+                      ELSE TIMESTAMP '1999-01-01' END AS valid_from,
+             s_acctbal + 100 * ver AS bal_version
+      FROM supplier, unnest([0, 1, 2]) AS t(ver)
+    ),
+    facts AS (SELECT *, row_number() OVER () AS rid FROM lineitem),
+    picked AS (
+      SELECT l.l_suppkey, l.l_extendedprice, d.ver, d.bal_version
+      FROM facts l JOIN dims d
+        ON l.l_suppkey = d.s_suppkey AND d.valid_from <= l.l_shipdate
+      QUALIFY row_number() OVER (PARTITION BY l.rid
+                                 ORDER BY d.valid_from DESC) = 1
+    )
+    SELECT ver, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(bal_version) * 100 + 0.5) / 100 AS bal_sum
+    FROM picked GROUP BY ver
+    """,
+)
+def scd2_dimension_join(spark, sf_dir):
+    """SCD Type 2 point-in-time join: every lineitem picks the supplier
+    version in effect at its ship date (three synthetic versions per
+    supplier). Uses the as-of union+last-window strategy — facts and
+    versions interleave in one per-key sort; never a per-key cross product
+    over the version history. The oracle brute-forces the same pick with a
+    QUALIFY window."""
+    from graphique_spark.operators.asof import scd2_join
+
+    supp = table(spark, sf_dir, "supplier").df.select("s_suppkey", "s_acctbal")
+    versions = supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ver"),
+    ).select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        "ver",
+        F.when(F.col("ver") == 0, F.lit("1995-01-01"))
+        .when(F.col("ver") == 1, F.lit("1997-01-01"))
+        .otherwise(F.lit("1999-01-01"))
+        .cast("timestamp")
+        .alias("valid_from"),
+        (F.col("s_acctbal") + 100 * F.col("ver")).alias("bal_version"),
+    )
+    facts = table(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_shipdate"
+    )
+    joined = scd2_join(facts, versions, key="l_suppkey", fact_ts="l_shipdate")
+    return joined.groupBy("ver").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fround(F.sum("bal_version"), 2).alias("bal_sum"),
+    )

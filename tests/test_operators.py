@@ -543,3 +543,37 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert got[v] == pytest.approx(rank[v], rel=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
     assert got[3] == max(got.values())  # the sink everyone links to wins
+
+
+def test_scd2_join_picks_version_in_effect(spark):
+    from graphique_spark.operators.asof import scd2_join
+
+    dims = spark.createDataFrame(
+        [
+            (1, "2020-01-01", "2021-01-01", "v1"),
+            (1, "2021-01-01", None, "v2"),
+            (2, "2020-06-01", "2020-07-01", "only"),  # coverage gap after July
+        ],
+        "k long, valid_from string, valid_to string, tag string",
+    ).select(
+        "k",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "tag",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2020-05-05"),  # inside v1
+            (11, 1, "2021-01-01"),  # boundary -> v2 takes effect
+            (12, 1, "2022-03-03"),  # open-ended v2
+            (13, 2, "2020-06-15"),  # inside the only version
+            (14, 2, "2020-08-01"),  # after valid_to: gap -> no version
+            (15, 2, "2019-01-01"),  # before any version
+        ],
+        "fid long, k long, ts string",
+    ).select("fid", "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r["fid"]: r["tag"]
+        for r in scd2_join(facts, dims, key="k", fact_ts="ts", valid_to="valid_to").collect()
+    }
+    assert out == {10: "v1", 11: "v2", 12: "v2", 13: "only", 14: None, 15: None}

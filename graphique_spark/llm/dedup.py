@@ -791,3 +791,50 @@ def remove_duplicate_segments(
             F.transform(ordered, lambda s: s["seg"]), " "
         ).alias("clean_text"),
     )
+
+
+def corpus_minhash(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """ONE MinHash signature for an entire corpus: per permutation, the
+    min over every shingle hash in every document. A corpus of any size
+    compresses to ``num_hashes`` longs; signatures of two corpora estimate
+    their shingle-set Jaccard without touching either corpus again — the
+    sketch a dataset registry stores per crawl/dump to answer "how much
+    does the new dump overlap the old one" at planning time.
+
+    Scale shape: the per-doc signature projection is map-side; the global
+    min is a map-side-combinable aggregate shuffling #partitions rows of
+    ``num_hashes`` longs. Mergeable: min of two corpus signatures IS the
+    signature of the union."""
+    sigs = _signatures(df, text, id_col, k, num_hashes)
+    return sigs.agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)])
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Estimated shingle-set Jaccard between two corpora from their
+    corpus-level MinHash signatures: the fraction of matching permutation
+    mins. One row out: (n_matches, jaccard_est). The two single-row
+    signature frames cross-join trivially (1x1)."""
+    sa = corpus_minhash(a, text, id_col, k, num_hashes)
+    sb = corpus_minhash(b, text, id_col, k, num_hashes)
+    for i in range(num_hashes):
+        sb = sb.withColumnRenamed(f"m{i}", f"n{i}")
+    matches = sum(
+        (F.col(f"m{i}") == F.col(f"n{i}")).cast("long") for i in range(num_hashes)
+    )
+    return sa.crossJoin(sb).select(
+        matches.alias("n_matches"),
+        (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
+    )

@@ -2070,3 +2070,36 @@ def scd2_dimension_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         fround(F.sum("bal_version"), 2).alias("bal_sum"),
     )
+
+
+_CORPUS_MINS = ", ".join(
+    f"min(({1_000_003 * i + 12_345} * (h % {_M}) + {999_983 * i + 7}) % {_M}) AS m{i}"
+    for i in range(32)
+)
+_CORPUS_MATCHES = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(32)
+)
+
+
+@query(
+    "corpus_overlap_minhash",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    a AS (SELECT {_CORPUS_MINS} FROM ex WHERE doc_id % 2 = 0),
+    b AS (SELECT {_CORPUS_MINS} FROM ex WHERE doc_id % 2 = 1 OR doc_id % 3 = 0)
+    SELECT CAST({_CORPUS_MATCHES} AS BIGINT) AS n_matches,
+           CAST({_CORPUS_MATCHES} AS BIGINT) / 32.0 AS jaccard_est
+    FROM a, b
+    """,
+)
+def corpus_overlap_minhash(spark, sf_dir):
+    """Corpus-vs-corpus overlap from two 32-long MinHash signatures (the
+    registry sketch answering "how much does the new dump overlap the old
+    one" without re-reading either): per permutation the corpus-wide min
+    shingle hash; estimate = matching-min fraction. Deterministic md5
+    permutations make the estimate bit-identical in any engine — the
+    oracle recomputes both signatures from scratch."""
+    docs = table(spark, sf_dir, "documents").df
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 3 == 0))
+    return dedup.corpus_overlap(a, b, num_hashes=32)

@@ -902,3 +902,23 @@ def test_remove_duplicate_segments_keeps_first_occurrence(spark):
     assert out[2]["clean_text"] == u2  # later copies lose the segment
     assert 3 not in out  # all segments dropped -> doc vanishes
     assert out[1]["n_kept"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about spark shuffles and partitions") for i in range(20)],
+        "doc_id long, text string",
+    )
+    same = dedup.corpus_overlap(docs, docs).first()
+    assert same["n_matches"] == 32 and same["jaccard_est"] == 1.0
+    other = spark.createDataFrame(
+        [(i, "زبان فارسی متن کاملا متفاوت " + "×" * i) for i in range(20, 30)],
+        "doc_id long, text string",
+    )
+    diff = dedup.corpus_overlap(docs, other).first()
+    assert diff["jaccard_est"] < 0.3  # near-disjoint shingle sets
+    # mergeability: signature of (a ∪ b) == elementwise min of signatures
+    u = dedup.corpus_minhash(docs.union(other)).first()
+    a = dedup.corpus_minhash(docs).first()
+    b = dedup.corpus_minhash(other).first()
+    assert all(u[f"m{i}"] == min(a[f"m{i}"], b[f"m{i}"]) for i in range(32))

@@ -671,3 +671,45 @@ def write_training_shards(df, dest: str, n_shards: int, id_col: str = "doc_id",
         .parquet(dest)
     )
     return dest
+
+
+def token_budget_rates(
+    df,
+    budget_tokens: int,
+    weights: dict[str, float],
+    by: str = "source",
+    text: str = "text",
+    max_epochs: float = 4.0,
+):
+    """Data-mixing planner (the LLaMA/Pile recipe step): given a global
+    token ``budget_tokens`` and target mixture ``weights`` per source,
+    compute each source's sampling rate in epochs —
+    ``rate = budget * weight / source_tokens`` capped at ``max_epochs``
+    (repeating a small source beyond a few epochs stops helping). Returns
+    (source, n_docs, n_tokens, rate, capped, expected_tokens); feed the
+    rate into :func:`mixture_sample` (fraction) or a loader epoch count.
+
+    Scale shape: one map-side token count + one tiny per-source aggregate;
+    the weight table rides as a literal CASE expression — nothing joins,
+    nothing shuffles but the per-source partials."""
+    wcol = F.lit(None).cast("double")
+    for name, w in weights.items():
+        wcol = F.when(F.col(by) == name, F.lit(float(w))).otherwise(wcol)
+    per = (
+        df.select(F.col(by), token_count(F.col(text)).alias("__t"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    raw = F.lit(float(budget_tokens)) * wcol / F.col("n_tokens")
+    rate = F.least(raw, F.lit(float(max_epochs)))
+    return per.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        rate.alias("rate"),
+        (raw > max_epochs).alias("capped"),
+        (rate * F.col("n_tokens")).alias("expected_tokens"),
+    ).where(rate.isNotNull())

@@ -70,3 +70,33 @@ def two_phase_agg(
     if counts:
         final_aggs.append(F.sum("__p_n").cast("long").alias(counts))
     return partial.groupBy(*by).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic that decides whether a join/agg on
+    ``keys`` needs salting: the ``top`` heaviest key values with their
+    row share and the ratio to a perfectly uniform key. A ``skew_ratio``
+    in the hundreds means one reducer would own that multiple of the
+    average partition — the planning signal for :func:`salted_join` /
+    :func:`two_phase_agg` or a higher AQE skew threshold.
+
+    Scale shape: one map-side-combined count per key, global scalars from
+    its tiny re-aggregate, heap top-k — the report never materializes more
+    than ``top`` rows."""
+    keys = list(keys)
+    from graphique_spark.operators.topk import top_k
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total, n_keys = counts.agg(F.sum("n"), F.count(F.lit(1))).first()
+    heavy = top_k(counts, ["-n", *keys], top, ())
+    mean = float(total) / float(n_keys)
+    return heavy.select(
+        *keys,
+        "n",
+        (F.col("n") / F.lit(float(total))).alias("share"),
+        (F.col("n") / F.lit(mean)).alias("skew_ratio"),
+    )

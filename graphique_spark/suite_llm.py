@@ -2103,3 +2103,75 @@ def corpus_overlap_minhash(spark, sf_dir):
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 3 == 0))
     return dedup.corpus_overlap(a, b, num_hashes=32)
+
+
+@query(
+    "skew_report_keys",
+    """
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+    s AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+    SELECT event_type, n,
+           floor(n / (SELECT total FROM s) * 1000000 + 0.5) / 1000000 AS share,
+           floor(n / ((SELECT total FROM s) / (SELECT n_keys FROM s)) * 1000000 + 0.5)
+             / 1000000 AS skew_ratio
+    FROM c ORDER BY n DESC, event_type LIMIT 5
+    """,
+)
+def skew_report_keys(spark, sf_dir):
+    """Key-skew diagnostic (the 'do I need salting?' planning probe): the
+    heaviest key values with row share and ratio to a uniform key. One
+    map-side-combined count, scalar re-aggregate, heap top-k."""
+    from graphique_spark.operators.skew import skew_report
+
+    ev = table(spark, sf_dir, "events").df
+    rep = skew_report(ev, ["event_type"], top=5)
+    return rep.select(
+        "event_type",
+        "n",
+        fround(F.col("share"), 6).alias("share"),
+        fround(F.col("skew_ratio"), 6).alias("skew_ratio"),
+    )
+
+
+@query(
+    "token_budget_mix",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(least(1000000.0 * CASE source
+                         WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 ELSE 0.1 END / n_tokens, 4.0)
+                 * 1000000 + 0.5) / 1000000 AS rate,
+           1000000.0 * CASE source
+             WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+             WHEN 'src2' THEN 0.2 ELSE 0.1 END / n_tokens > 4.0 AS capped,
+           floor(least(1000000.0 * CASE source
+                         WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 ELSE 0.1 END / n_tokens, 4.0)
+                 * n_tokens * 100 + 0.5) / 100 AS expected_tokens
+    FROM per
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Data-mixing plan for a 1M-token budget over four sources with
+    40/30/20/10 target weights, rates capped at 4 epochs. One token-count
+    aggregate; the weight table is a literal CASE — no joins."""
+    docs = table(spark, sf_dir, "documents").df.where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    out = text.token_budget_rates(
+        docs, 1_000_000, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fround(F.col("rate"), 6).alias("rate"),
+        "capped",
+        fround(F.col("expected_tokens"), 2).alias("expected_tokens"),
+    )

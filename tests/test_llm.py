@@ -922,3 +922,20 @@ def test_corpus_overlap_identical_and_disjoint(spark):
     a = dedup.corpus_minhash(docs).first()
     b = dedup.corpus_minhash(other).first()
     assert all(u[f"m{i}"] == min(a[f"m{i}"], b[f"m{i}"]) for i in range(32))
+
+
+def test_token_budget_rates_cap_and_math(spark):
+    df = spark.createDataFrame(
+        [(1, "a " * 1000, "big"), (2, "b " * 10, "small"), (3, "c " * 10, "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in text.token_budget_rates(
+            df, 500, {"big": 0.5, "small": 0.5}, max_epochs=4.0
+        ).collect()
+    }
+    assert out["big"]["rate"] == pytest.approx(250 / 1000)
+    assert not out["big"]["capped"]
+    assert out["small"]["rate"] == 4.0 and out["small"]["capped"]  # 250/20 > 4
+    assert out["small"]["expected_tokens"] == pytest.approx(80.0)

@@ -577,3 +577,14 @@ def test_scd2_join_picks_version_in_effect(spark):
         for r in scd2_join(facts, dims, key="k", fact_ts="ts", valid_to="valid_to").collect()
     }
     assert out == {10: "v1", 11: "v2", 12: "v2", 13: "only", 14: None, 15: None}
+
+
+def test_skew_report_flags_hot_key(spark):
+    from graphique_spark.operators.skew import skew_report
+
+    rows = [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, ["k"], top=3).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["share"] == pytest.approx(0.9)
+    assert rep[0]["skew_ratio"] == pytest.approx(900 / (1000 / 101))  # ~91x mean

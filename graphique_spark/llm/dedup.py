@@ -489,7 +489,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
-    method: str = "label",
+    method: str = "auto",
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the survivor-
@@ -497,7 +497,12 @@ def connected_components(
     member of a component is a duplicate of the same canonical doc).
     Returns (v, component) where component = min doc id reachable.
 
-    Two algorithms behind one interface:
+    ``method="auto"`` (default) first tries the bounded small-graph fast
+    path (driver union-find over a ``graphique.cc.smallGraphEdges``-capped
+    edge collect — the broadcast-join-threshold analogue), falling back to
+    ``"label"`` when the graph exceeds the cap.
+
+    Two distributed algorithms behind the same interface:
 
     * ``method="label"`` — iterative min-label propagation. Each round is
       one slim shuffle join (edges x labels, two longs each) + a min
@@ -520,6 +525,44 @@ def connected_components(
         # materialize once: the (possibly expensive) upstream pair pipeline
         # must not re-run inside every propagation round
     )
+    if method == "auto":
+        # Small-graph fast path: once the edge list is materialized its
+        # size is known; under the threshold a driver union-find beats N
+        # iterative shuffle rounds the way a broadcast join beats a
+        # sort-merge join — a BOUNDED collect (<=~1 MiB at the default),
+        # same contract as spark.sql.autoBroadcastJoinThreshold. Near-dup
+        # edge sets are tiny relative to their corpora (they are pairs,
+        # not docs); graphs exceeding the bound fall through to the
+        # distributed label-propagation path unchanged.
+        small_cap = int(
+            edges.sparkSession.conf.get("graphique.cc.smallGraphEdges", "65536")
+        )
+        sample = edges.limit(small_cap + 1).collect()
+        if len(sample) <= small_cap:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in sample:
+                a, b = row["a"], row["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # attach the larger root under the smaller: the root
+                    # invariant (root == component min) gives the same
+                    # labels as the distributed algorithms
+                    parent[max(ra, rb)] = min(ra, rb)
+            labels = [(v, find(v)) for v in parent]
+            schema = edges.select(
+                F.col("a").alias("v"), F.col("a").alias("component")
+            ).schema
+            return edges.sparkSession.createDataFrame(labels, schema=schema)
+        method = "label"
     if method == "star":
         return _star_components(edges, max_iterations, materialize)
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(

@@ -199,26 +199,37 @@ def stream_upsert_totals(spark, sf_dir):
     shutil.rmtree(workdir, ignore_errors=True)
     events = table(spark, sf_dir, "events").df
     src = f"{workdir}/src"
-    for i in range(3):
-        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    # one scan, one parallel job: three hive dirs (__b=0..2) each holding
+    # one file — vs three serial full-scan coalesce(1) writes
+    events.withColumn("__b", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "__b"
+    ).write.partitionBy("__b").mode("overwrite").parquet(src)
     schema = (
         events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+        + ", __b int"
     )
     stream = streaming.read_event_stream(spark, src, schema=schema, max_files_per_trigger=1)
     totals = stream.groupBy(
         (F.col("user_id") % 8).alias("cohort"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("events_n"), F.sum("value").alias("value_sum"))
-    q = streaming.upsert_sink(
-        totals,
-        dest=f"{workdir}/table",
-        keys=["cohort", "user_id"],
-        checkpoint=f"{workdir}/ckpt",
-        partition_col="cohort",
-        available_now=True,
-    )
-    q.awaitTermination(300)
+    # the state-store partition count is fixed by shuffle.partitions at the
+    # checkpoint's first batch; 8 partitions fit this keyspace and cut the
+    # per-batch state-commit file churn 4x (fresh checkpoint every run, so
+    # the temporary setting can't corrupt resumed state)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming.upsert_sink(
+            totals,
+            dest=f"{workdir}/table",
+            keys=["cohort", "user_id"],
+            checkpoint=f"{workdir}/ckpt",
+            partition_col="cohort",
+            available_now=True,
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(f"{workdir}/table").select(
         F.col("cohort").cast("long").alias("cohort"),
         "user_id",

@@ -287,8 +287,15 @@ def test_star_components_matches_label_propagation(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     label = {
         r["v"]: r["component"]
-        for r in dedup.connected_components(pairs, max_iterations=70).collect()
+        for r in dedup.connected_components(
+            pairs, max_iterations=70, method="label"
+        ).collect()
     }
+    auto = {
+        r["v"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert auto == label  # small-graph union-find fast path agrees
     star = {
         r["v"]: r["component"]
         for r in dedup.connected_components(pairs, method="star").collect()
@@ -310,7 +317,7 @@ def test_star_components_chain_round_count(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=8).collect()
+        dedup.connected_components(pairs, max_iterations=8, method="label").collect()
 
 
 def test_prefix_jaccard_reliable_checkpoint(spark, tmp_path):

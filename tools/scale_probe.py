@@ -99,7 +99,9 @@ def main() -> None:
 
         docs = multiplied(spark, "documents", mult)
         pairs = dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.7)
-        return dedup.connected_components(pairs)
+        # explicit method: the probe measures the DISTRIBUTED path, not the
+        # small-graph union-find fast path the auto default would take
+        return dedup.connected_components(pairs, method="label")
 
     def segments(mult):
         from graphique_spark.llm import dedup

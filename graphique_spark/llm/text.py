@@ -7,6 +7,8 @@ codegen-friendly, and mirrorable in ANSI SQL for the correctness oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -534,43 +536,49 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form; tf saturates with ``k1``
     and normalizes by doc length against the corpus mean with ``b``.
 
-    Scale shape: the query-term filter lands *before* the (doc, term)
-    count shuffle, so only matching postings ever shuffle — the corpus
-    vocabulary never materializes. Document frequencies for the ≤|Q| query
-    terms and the (N, avgdl) scalars are one tiny aggregate each;
-    both join back as broadcasts. Selection is ``TakeOrderedAndProject``
-    (per-partition heaps), never a global sort."""
+    Scale shape: ONE explode and ONE groupBy(doc) shuffle total — per-doc
+    query-term tfs are conditional counts pivoted into columns of that
+    single aggregate (the query is a handful of terms, so the row stays
+    narrow), doc length rides in the same aggregate, and the corpus
+    stats + per-term document frequencies come from one scalar
+    re-aggregate of it. Scoring is then a map-side expression; the corpus
+    vocabulary never materializes and nothing joins. Selection is
+    ``TakeOrderedAndProject`` (per-partition heaps), never a global sort.
+    """
     from graphique_spark.llm.dedup import ensure_parallelism
     from graphique_spark.operators.topk import top_k
 
+    terms = list(dict.fromkeys(query_terms))
     df = ensure_parallelism(df)
-    terms = df.select(
+    tok = df.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
         ).alias("term"),
     )
-    doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    n_docs, avgdl = doclen.agg(
-        F.count(F.lit(1)), F.avg("dl")
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)),
+        F.avg("dl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")) for i in range(len(terms))],
     ).first()
-    tf = (
-        terms.where(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
-    scored = (
-        tf.join(F.broadcast(docfreq), on="term")
-        .join(doclen, on=id_col)
-        .withColumn("__s", idf * (F.col("tf") * (k1 + 1.0)) / norm)
-        .groupBy(id_col)
-        .agg(F.sum("__s").alias("score"))
-    )
+    n_docs, avgdl, dfs = stats[0], stats[1], stats[2:]
+    norm_tail = k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    score = None
+    for i in range(len(terms)):
+        idf = math.log(1.0 + (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
+        tf = F.col(f"__tf{i}")
+        part = F.when(
+            tf > 0, F.lit(idf) * (tf * (k1 + 1.0)) / (tf + norm_tail)
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    scored = per_doc.select(id_col, score.alias("score")).where(F.col("score") > 0)
     return top_k(scored, ["-score", id_col], k, ())
 
 

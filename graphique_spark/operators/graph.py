@@ -39,7 +39,10 @@ def pagerank(
     cuts lineage so the final DAG doesn't re-execute every prior step.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # one persisted copy of the deduped edge list: the node set, out-degrees
+    # and contribution weights all derive from it, and without the persist
+    # the (possibly expensive) upstream edge pipeline re-runs per lineage
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -55,16 +58,18 @@ def pagerank(
         .persist()
     )
     nodes = nodes.repartition(n_parts, "node").persist()
-    n = nodes.count()  # also materializes the persisted edge/node tables
+    n = nodes.count()  # materializes e + nodes; contrib reuses cached e
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        # mass of dangling nodes (no out-edges) spreads uniformly
+        # mass of dangling nodes (no out-edges) spreads uniformly; kept as
+        # a LAZY one-row aggregate cross-joined into the update, so each
+        # iteration is a single job (a driver-side .first() here would run
+        # a second full pass over the rank table per round)
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            ranks.join(outdeg.select("src"), ranks["node"] == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         inflow = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -74,15 +79,18 @@ def pagerank(
         )
         ranks = (
             nodes.join(inflow, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + damping * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dangling / n)
+                    + damping
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     contrib_edges.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return ranks

@@ -2048,3 +2048,71 @@ def group_regression(spark, sf_dir):
         fround(F.col("my") - F.col("slope_raw") * F.col("mx"), 4).alias("intercept"),
         fround(F.col("r_raw"), 4).alias("r"),
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (priority checking), adapted to this dataset's
+    columns: orders with at least one late-shipping line, counted per
+    priority. The EXISTS becomes a left-semi join — lineitem never
+    duplicates orders, no distinct needed — and the quarter filter prunes
+    the probe side before the shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (orders.df["o_orderdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (orders.df["o_orderdate"] < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_shipdate")
+    late = orders.df.join(
+        li,
+        (li["l_orderkey"] == orders.df["o_orderkey"])
+        & (li["l_shipdate"] > orders.df["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — every predicate pushes into the parquet scan,
+    the sum partial-aggregates map-side, one row crosses the wire."""
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (li.df["l_shipdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (li.df["l_shipdate"] < F.lit("1998-01-01").cast("timestamp"))
+        & (li.df["l_discount"] >= 0.05)
+        & (li.df["l_discount"] <= 0.07)
+        & (li.df["l_quantity"] < 24)
+    )
+    return li.df.agg(
+        fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )

@@ -2175,3 +2175,62 @@ def token_budget_mix(spark, sf_dir):
         "capped",
         fround(F.col("expected_tokens"), 2).alias("expected_tokens"),
     )
+
+
+_DHASH_CTE = """
+    img AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    dh AS (
+      SELECT doc_id,
+        list_sum(flatten(list_transform(generate_series(0, 7), y ->
+          list_transform(generate_series(0, 6), x ->
+            CASE WHEN
+              ((x*w)//8 + (y*h)//8 + doc_id) % 256
+              + ((x*w)//8 + (y*h)//8 + 1 + doc_id) % 256
+              + ((x*w)//8 + (y*h)//8 + 2 + doc_id) % 256
+              >
+              (((x+1)*w)//8 + (y*h)//8 + doc_id) % 256
+              + (((x+1)*w)//8 + (y*h)//8 + 1 + doc_id) % 256
+              + (((x+1)*w)//8 + (y*h)//8 + 2 + doc_id) % 256
+            THEN 1::BIGINT << (y*7 + x) ELSE 0::BIGINT END)))) AS dhash
+      FROM img
+    )"""
+
+
+@query(
+    "image_dup_clusters",
+    f"""
+    WITH RECURSIVE {_DHASH_CTE},
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM dh a JOIN dh b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    )
+    SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster,
+           v <> min(label) AS is_duplicate
+    FROM reach GROUP BY v
+    """,
+)
+def image_dup_clusters(spark, sf_dir):
+    """The full perceptual-dedup pipeline composed end-to-end: decode ->
+    dHash -> Hamming banding -> connected components -> keep/drop flags
+    (cluster = min image id, everything else marked duplicate). The same
+    component machinery the text dedup path uses — pairs in, groups out —
+    against a recursive-CTE oracle."""
+    docs = table(spark, sf_dir, "documents").df.where(F.col("doc_id") < 100)
+    hashes = multimodal.dhash_images(multimodal.attach_image_blobs(docs.select("doc_id")))
+    pairs = multimodal.phash_near_dups(hashes, max_hamming=3, bands=4)
+    comps = dedup.connected_components(pairs)
+    return comps.select(
+        F.col("v").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+        (F.col("v") != F.col("component")).alias("is_duplicate"),
+    )

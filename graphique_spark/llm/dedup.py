@@ -881,3 +881,56 @@ def corpus_overlap(
         matches.alias("n_matches"),
         (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
     )
+
+
+def corpus_overlap_single_pass(
+    df: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    text: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """:func:`corpus_overlap` for two cohorts OF THE SAME TABLE (old dump
+    vs new dump living side by side, one source vs the rest): membership
+    predicates instead of two DataFrames, so both signatures come out of
+    ONE scan — per-doc permutation mins are computed map-side once, and a
+    single aggregate takes the conditional min per (cohort, permutation).
+    Two separate frames would scan and shingle the table twice; Catalyst
+    does not merge scans across DataFrames."""
+    base = ensure_parallelism(
+        df.where(in_a | in_b).select(
+            in_a.alias("__a"), in_b.alias("__b"), F.col(text).alias("__t")
+        )
+    )
+    hashed = F.array_distinct(
+        F.transform(char_shingles(F.col("__t"), k), lambda s: hash60(s))
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * (h % MERSENNE) + F.lit(b)) % MERSENNE
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
+    ]
+    # same projection-boundary discipline as _signatures: hs is computed
+    # once per row behind a named column, never inlined into each transform
+    sigs = base.select("__a", "__b", hashed.alias("hs")).select("__a", "__b", *mins)
+    agg = sigs.agg(
+        *[
+            F.min(F.when(F.col("__a"), F.col(f"m{i}"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+        *[
+            F.min(F.when(F.col("__b"), F.col(f"m{i}"))).alias(f"n{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    matches = sum(
+        (F.col(f"m{i}") == F.col(f"n{i}")).cast("long") for i in range(num_hashes)
+    )
+    return agg.select(
+        matches.alias("n_matches"),
+        (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
+    )

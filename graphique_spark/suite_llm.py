@@ -2100,9 +2100,12 @@ def corpus_overlap_minhash(spark, sf_dir):
     permutations make the estimate bit-identical in any engine — the
     oracle recomputes both signatures from scratch."""
     docs = table(spark, sf_dir, "documents").df
-    a = docs.where(F.col("doc_id") % 2 == 0)
-    b = docs.where((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 3 == 0))
-    return dedup.corpus_overlap(a, b, num_hashes=32)
+    return dedup.corpus_overlap_single_pass(
+        docs,
+        F.col("doc_id") % 2 == 0,
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 3 == 0),
+        num_hashes=32,
+    )
 
 
 @query(

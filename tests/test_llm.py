@@ -946,3 +946,16 @@ def test_token_budget_rates_cap_and_math(spark):
     assert not out["big"]["capped"]
     assert out["small"]["rate"] == 4.0 and out["small"]["capped"]  # 250/20 > 4
     assert out["small"]["expected_tokens"] == pytest.approx(80.0)
+
+
+def test_corpus_overlap_single_pass_matches_two_frame(spark):
+    docs = spark.createDataFrame(
+        [(i, f"shared prose number {i % 7} with common phrasing") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a_pred = F.col("doc_id") % 2 == 0
+    b_pred = F.col("doc_id") % 3 == 0
+    two = dedup.corpus_overlap(docs.where(a_pred), docs.where(b_pred)).first()
+    one = dedup.corpus_overlap_single_pass(docs, a_pred, b_pred).first()
+    assert one["n_matches"] == two["n_matches"]
+    assert one["jaccard_est"] == two["jaccard_est"]

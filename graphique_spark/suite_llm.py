@@ -2237,3 +2237,123 @@ def image_dup_clusters(spark, sf_dir):
         F.col("component").cast("bigint").alias("cluster"),
         (F.col("v") != F.col("component")).alias("is_duplicate"),
     )
+
+
+@query(
+    "quality_filter_sweep",
+    f"""
+    WITH w AS ({_QUALITY_CTE}),
+    f AS (
+      SELECT doc_id, tokens,
+             ln(CAST(length(text) AS DOUBLE) + 1.0) AS log_len,
+             CASE WHEN tokens = 0 THEN 0.0
+                  ELSE CAST(stop_hits AS DOUBLE) / tokens END AS stop,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                       / len(words) END AS wlen
+      FROM w
+    ),
+    scored AS (
+      SELECT doc_id, tokens,
+             ntile(10) OVER (ORDER BY
+               floor(1.0 / (1.0 + exp(-((-3.0) + 0.5 * log_len + 6.0 * stop
+                                        - 8.0 * punct - 0.3 * abs(wlen - 5.0))))
+                     * 10000 + 0.5) DESC, doc_id) AS decile
+      FROM f
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(sum(tokens)) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+    FROM scored GROUP BY decile ORDER BY decile
+    """,
+)
+def quality_filter_sweep(spark, sf_dir):
+    """Threshold-sweep report for a quality filter: docs ranked by the
+    logistic quality score (1e4 floor-scaled, the proven cross-engine
+    repr), cut into deciles, token retention cumulative from the best
+    decile down — the table a curation run reads to pick its cutoff
+    ('keep the top 60% = X tokens'). One global rank (a range partitioner
+    at scale, like order-by), one aggregate, one 10-row window."""
+    from pyspark.sql import Window
+
+    docs = _spread(table(spark, sf_dir, "documents")).df
+    scored = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("toks"),
+        F.floor(text.logistic_quality(F.col("text")) * 10000.0 + F.lit(0.5)).alias("q"),
+    )
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id"))
+    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(cum).cast("bigint").alias("cum_tokens"),
+    ).orderBy("decile")
+
+
+@query(
+    "ab_test_welch",
+    """
+    WITH g AS (
+      SELECT user_id % 2 AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean, var_samp(value) AS var
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY grp
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             (a.mean - b.mean)
+               / sqrt(a.var / a.n + b.var / b.n) AS t
+      FROM g a JOIN g b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT n_a, n_b,
+           floor(mean_a * 10000 + 0.5) / 10000 AS mean_a,
+           floor(mean_b * 10000 + 0.5) / 10000 AS mean_b,
+           floor(t * 10000 + 0.5) / 10000 AS t_stat,
+           abs(t) > 1.96 AS significant
+    FROM w
+    """,
+)
+def ab_test_welch(spark, sf_dir):
+    """A/B comparison at warehouse scale: treatment/control purchase values
+    (split by user hash) reduced to count/mean/variance partials — one
+    map-side-combinable aggregate per arm — then the Welch t statistic is
+    scalar arithmetic over the two rows. No row-level data ever leaves the
+    aggregate."""
+    ev = table(spark, sf_dir, "events").df.where(F.col("event_type") == "purchase")
+    g = (
+        ev.groupBy((F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = g.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = g.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        fround(F.col("mean_a"), 4).alias("mean_a"),
+        fround(F.col("mean_b"), 4).alias("mean_b"),
+        fround(t, 4).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

@@ -48,7 +48,8 @@ def main() -> None:
         "top_k_global", "q1_pricing_summary", "join_star_broadcast",
         "dedup_minhash", "dedup_components", "similarity_ivf",
         "text_repetition", "multimodal_decode", "stream_tumbling_window",
-        "runs_adjacency",
+        "runs_adjacency", "pagerank_suppliers", "retrieval_bm25",
+        "asof_join_events", "image_dhash_dedup",
     ]:
         try:
             fn = queries.get(warm)

@@ -85,6 +85,23 @@ check("take_from index join", lambda: nation.project(
 ).take_from("idx", nation.order(by=["n_nationkey"]).with_row_index("_rowid"), rowid="_rowid").count())
 
 
+# probes: round-5 additions (graph, temporal, retrieval, planning)
+check("pagerank ranks sum to 1", lambda: (
+    lambda rs: "ok" if abs(sum(r["rank"] for r in rs) - 1.0) < 1e-9 else f"sum={sum(r['rank'] for r in rs)}"
+)(__import__("graphique_spark.operators.graph", fromlist=["pagerank"]).pagerank(
+    tables["orders"].df.selectExpr("o_custkey AS src", "o_orderkey AS dst").limit(500),
+    iterations=2,
+).collect()))
+check("scd2_join picks latest version", lambda: __import__(
+    "graphique_spark.operators.asof", fromlist=["scd2_join"]
+).scd2_join(
+    tables["orders"].df.selectExpr("o_orderkey", "o_custkey AS k", "o_orderdate AS ts"),
+    tables["orders"].df.selectExpr("o_custkey AS k", "o_orderdate AS valid_from", "o_totalprice AS v").limit(200),
+    key="k", fact_ts="ts",
+).count())
+check("skew_report shapes", lambda: len(__import__(
+    "graphique_spark.operators.skew", fromlist=["skew_report"]
+).skew_report(tables["events"].df, ["event_type"], top=3).collect()))
 
 failures = [c for c in checks if c[1] == "FAIL"]
 print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")

@@ -2357,3 +2357,72 @@ def ab_test_welch(spark, sf_dir):
         fround(t, 4).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "data_quality_report",
+    """
+    SELECT rule, kind, violations, checked FROM (
+      SELECT 'qty_not_null' AS rule, 'not_null' AS kind,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+             CAST(count(*) AS BIGINT) AS checked, 1 AS o
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_range', 'in_range',
+             CAST(sum(CASE WHEN l_discount IS NULL
+                            OR l_discount < 0.0 OR l_discount > 0.08
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT), 2
+      FROM lineitem
+      UNION ALL
+      SELECT 'flag_domain', 'isin',
+             CAST(sum(CASE WHEN l_returnflag IS NULL
+                            OR l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT), 3
+      FROM lineitem
+      UNION ALL
+      SELECT 'line_unique', 'unique',
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+             CAST(coalesce(sum(c), 0) AS BIGINT), 4
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+      UNION ALL
+      SELECT 'order_fk', 'foreign_key',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT), 5
+    ) ORDER BY o
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Deequ-style expectation suite over lineitem: three row-local rules
+    share ONE conditional-count scan, uniqueness is one key-only groupBy,
+    the foreign key is one anti-join (AQE broadcasts the order keys).
+    Gate-the-pipeline output: a violations row per rule."""
+    from graphique_spark.operators.quality import Rule, validate
+
+    li = table(spark, sf_dir, "lineitem").df
+    orders = table(spark, sf_dir, "orders").df
+    report = validate(
+        li,
+        [
+            Rule("qty_not_null", "not_null", column="l_quantity"),
+            Rule("discount_range", "in_range", column="l_discount", lo=0.0, hi=0.08),
+            Rule("flag_domain", "isin", column="l_returnflag", values=["A", "N", "R"]),
+            Rule(
+                "line_unique",
+                "unique",
+                columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            ),
+            Rule(
+                "order_fk",
+                "foreign_key",
+                column="l_orderkey",
+                ref=orders,
+                ref_column="o_orderkey",
+            ),
+        ],
+    )
+    return report.select("rule", "kind", "violations", "checked")

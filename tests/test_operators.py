@@ -588,3 +588,34 @@ def test_skew_report_flags_hot_key(spark):
     assert rep[0]["k"] == "hot"
     assert rep[0]["share"] == pytest.approx(0.9)
     assert rep[0]["skew_ratio"] == pytest.approx(900 / (1000 / 101))  # ~91x mean
+
+
+def test_validate_rules_catch_planted_violations(spark):
+    from graphique_spark.operators.quality import Rule, validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, None, "A"), (3, 50.0, "X"), (3, 7.0, "A")],
+        "id long, v double, flag string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id long")
+    out = {
+        r["rule"]: r
+        for r in validate(
+            df,
+            [
+                Rule("v_not_null", "not_null", column="v"),
+                Rule("v_range", "in_range", column="v", lo=0.0, hi=10.0),
+                Rule("flag_dom", "isin", column="flag", values=["A", "B"]),
+                Rule("id_unique", "unique", columns=["id"]),
+                Rule("id_fk", "foreign_key", column="id", ref=ref, ref_column="id"),
+                Rule("pred", "predicate", expr=F.col("id") < 10),
+            ],
+        ).collect()
+    }
+    assert out["v_not_null"]["violations"] == 1
+    assert out["v_range"]["violations"] == 2  # null + 50.0
+    assert out["flag_dom"]["violations"] == 1
+    assert out["id_unique"]["violations"] == 1  # id=3 twice -> 1 surplus row
+    assert out["id_fk"]["violations"] == 2  # two rows with id=3
+    assert out["pred"]["violations"] == 0 and out["pred"]["passed"]
+    assert all(r["checked"] == 4 for r in out.values())

@@ -721,3 +721,51 @@ def token_budget_rates(
         (raw > max_epochs).alias("capped"),
         (rate * F.col("n_tokens")).alias("expected_tokens"),
     ).where(rate.isNotNull())
+
+
+def inverted_index(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 50,
+):
+    """Search-index build: (term, df, postings) where postings is the top
+    ``max_postings`` documents by term frequency as ``"doc:tf"`` strings,
+    best first. ``min_df`` prunes hapax noise.
+
+    Scale shape: postings are RANKED per term with a window and truncated
+    BEFORE any collect — a stop-word's million-document posting list never
+    materializes in one task's memory; what reaches collect_list is at
+    most ``max_postings`` rows per term. The rank window and the final
+    per-term aggregate share the term hash partitioning (one shuffle)."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text, id_col)
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    ranked = tf.withColumn("__rn", F.row_number().over(w))
+    top = ranked.where(F.col("__rn") <= max_postings)
+    out = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rn").alias("rn"),
+                            F.concat_ws(":", id_col, "tf").alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("postings"),
+    )
+    # document frequency must count ALL postings, not just the kept top-k;
+    # it comes from the pre-truncation frame grouped on the same key
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        out.join(dfreq, on="term")
+        .where(F.col("df") >= min_df)
+        .select("term", "df", "postings")
+    )

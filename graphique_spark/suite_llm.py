@@ -2426,3 +2426,118 @@ def data_quality_report(spark, sf_dir):
         ],
     )
     return report.select("rule", "kind", "violations", "checked")
+
+
+@query(
+    "basket_cooccurrence",
+    """
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lines),
+    part_n AS (SELECT l_partkey, count(*) AS n FROM lines GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_ab
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_a, p_b, CAST(n_ab AS BIGINT) AS n_ab,
+           floor(n_ab * (SELECT n FROM n_orders)
+                 / (CAST(na.n AS DOUBLE) * nb.n) * 10000 + 0.5) / 10000 AS lift
+    FROM pairs JOIN part_n na ON p_a = na.l_partkey
+               JOIN part_n nb ON p_b = nb.l_partkey
+    ORDER BY n_ab DESC, p_a, p_b LIMIT 20
+    """,
+)
+def basket_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence with lift (the co-purchase signal
+    recommender pipelines mine): the self-join is WITHIN the order key, so
+    pair volume is bounded by lines-per-order squared — never an all-pairs
+    product over the catalog; per-part counts join back unhinted (AQE
+    broadcasts a catalog that fits). Heap top-20 on the support count."""
+    lines = (
+        table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = lines.select("l_orderkey").distinct().count()
+    a = lines.toDF("l_orderkey", "p_a")
+    b = lines.toDF("l_orderkey", "p_b")
+    pairs = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    part_n = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    na = part_n.toDF("p_a", "n_a")
+    nb = part_n.toDF("p_b", "n_b")
+    lift = F.col("n_ab") * F.lit(float(n_orders)) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(na, on="p_a")
+        .join(nb, on="p_b")
+        .select(
+            "p_a",
+            "p_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            fround(lift, 4).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "p_a", "p_b")
+        .limit(20)
+    )
+
+
+@query(
+    "daily_latency_percentiles",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
+           floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+    FROM events WHERE event_type = 'error' GROUP BY day
+    """,
+)
+def daily_latency_percentiles(spark, sf_dir):
+    """The SLO dashboard rollup: exact daily p50/p95/p99 of a metric per
+    day partition — one hash aggregate whose per-day state is bounded by
+    that day's rows (for sketch-sized state at petabyte scale the same
+    query swaps in `operators.sketch.kll_quantiles`, trading exactness
+    for mergeability)."""
+    ev = table(spark, sf_dir, "events").df.where(F.col("event_type") == "error")
+    q = lambda p: fround(F.expr(f"percentile(value, {p})"), 4)
+    return ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        q(0.5).alias("p50"),
+        q(0.95).alias("p95"),
+        q(0.99).alias("p99"),
+    )
+
+
+@query(
+    "inverted_index_build",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc_id) AS rn
+      FROM tf
+    )
+    SELECT term, CAST((SELECT count(*) FROM tf t2 WHERE t2.term = ranked.term)
+                      AS BIGINT) AS df,
+           array_to_string(list(doc_id || ':' || tf ORDER BY rn), ' ') AS postings
+    FROM ranked WHERE rn <= 20
+    GROUP BY term
+    HAVING (SELECT count(*) FROM tf t2 WHERE t2.term = ranked.term) >= 2
+    """,
+)
+def inverted_index_build(spark, sf_dir):
+    """Inverted-index export: per term, document frequency + the top-20
+    posting list by tf (ties to lowest doc id). Postings rank-truncate
+    BEFORE collecting, so no term ever materializes an unbounded list."""
+    docs = _spread(table(spark, sf_dir, "documents")).df
+    return text.inverted_index(docs, min_df=2, max_postings=20)

@@ -2541,3 +2541,69 @@ def inverted_index_build(spark, sf_dir):
     BEFORE collecting, so no term ever materializes an unbounded list."""
     docs = _spread(table(spark, sf_dir, "documents")).df
     return text.inverted_index(docs, min_df=2, max_postings=20)
+
+
+@query(
+    "json_extract_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           CAST(count(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_stats(spark, sf_dir):
+    """Semi-structured column handling: JSON property extraction
+    (`get_json_object` — JVM-side, codegen) straight into a typed
+    aggregate. At scale the same pattern upgrades to `from_json` with an
+    explicit schema projected once, so the parse cost is paid one time per
+    row, not per extracted path."""
+    ev = table(spark, sf_dir, "events").df
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.min(k).cast("bigint").alias("k_min"),
+        F.max(k).cast("bigint").alias("k_max"),
+        F.sum(k.isNull().cast("long")).cast("bigint").alias("n_missing"),
+    )
+
+
+@query(
+    "rolling_active_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d1.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT d2.user_id) AS BIGINT) AS mau7
+    FROM days d1 JOIN du d2 ON d2.day BETWEEN d1.day - 6 AND d1.day
+    GROUP BY d1.day
+    """,
+)
+def rolling_active_users(spark, sf_dir):
+    """7-day rolling distinct actives (the MAU/WAU dashboard metric),
+    EXACT: each (day, user) fact contributes itself to the 7 window
+    anchors it can serve — a bounded explode of 7 rows per fact — then one
+    count_distinct per anchor. No self-join of the event table, no
+    quadratic window. (Sketch-sized state at petabyte scale: swap
+    count_distinct for `operators.sketch` HLL union, pytest-checked ±5%.)
+    """
+    ev = table(spark, sf_dir, "events").df
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    anchors = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "user_id",
+    )
+    real_days = du.select("day").distinct()
+    return (
+        anchors.join(real_days, on="day", how="left_semi")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("mau7"))
+    )

@@ -424,3 +424,90 @@ def upsert_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def cdc_sink(
+    log: DataFrame,
+    dest: str,
+    keys: list[str],
+    checkpoint: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    partition_col: str | None = None,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+):
+    """Streaming CDC apply: fold a change stream (insert/update/delete
+    rows with a sequence number) into a hive-partitioned parquet snapshot,
+    one micro-batch at a time — the table-format-free materialized-replica
+    pattern (Debezium topic -> queryable table).
+
+    Each batch applies :func:`graphique_spark.operators.cdc.apply_cdc`
+    against ONLY the partitions the batch touches (``partition_col`` must
+    be one of ``keys``, so a key's partition can never drift between
+    batches) and dynamically overwrites exactly those partitions. A
+    partition whose last surviving row was deleted cannot be rewritten by
+    dynamic overwrite — those directories are dropped explicitly through
+    the Hadoop FS API, which is idempotent under checkpoint-driven batch
+    retries. Both the touched-partition list and the op log are bounded by
+    the batch, never by table history."""
+    from graphique_spark.operators.cdc import apply_cdc
+
+    part = partition_col or keys[0]
+    if part not in keys:
+        raise ValueError(
+            f"partition_col {part!r} must be one of the CDC keys {keys} "
+            "(a key whose partition changes between batches would strand "
+            "its old row in an untouched partition)"
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            touched = [r[0] for r in batch.select(part).distinct().collect()]
+            if not touched:
+                return
+            payload = [c for c in batch.columns if c not in (seq_col, op_col)]
+            existing = read_parquet_if_exists(spark, dest)
+            if existing is not None:
+                base = existing.where(F.col(part).isin(touched)).select(payload)
+            else:
+                base = batch.select(payload).limit(0)
+            # materialize before overwriting dest: the merged plan reads
+            # from dest, and the barrier guarantees no task re-scans a
+            # partition the commit phase is about to replace
+            merged = apply_cdc(
+                base, batch, keys=keys, seq_col=seq_col, op_col=op_col
+            ).localCheckpoint()
+            (
+                merged.repartition(part)
+                .write.partitionBy(part)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(dest)
+            )
+            # partitions whose every row was deleted never appear in the
+            # dynamic-overwrite output — drop their directories explicitly
+            survivors = {r[0] for r in merged.select(part).distinct().collect()}
+            dead = [p for p in touched if p not in survivors]
+            if dead and existing is not None:
+                jvm = spark.sparkContext._jvm
+                conf = spark.sparkContext._jsc.hadoopConfiguration()
+                for p in dead:
+                    path = jvm.org.apache.hadoop.fs.Path(f"{dest}/{part}={p}")
+                    fs = path.getFileSystem(conf)
+                    fs.delete(path, True)
+        finally:
+            batch.unpersist()
+
+    writer = (
+        log.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

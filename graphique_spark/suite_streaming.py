@@ -236,3 +236,88 @@ def stream_upsert_totals(spark, sf_dir):
         "events_n",
         (F.floor(F.col("value_sum") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@query(
+    "stream_cdc_snapshot",
+    """
+    SELECT o_orderkey % 8 AS cohort, o_orderkey,
+           floor(CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 5000.0
+                      WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END * 100 + 0.5) / 100 AS v
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0)
+    """,
+)
+def stream_cdc_snapshot(spark, sf_dir):
+    """End-to-end streaming CDC apply: a 3-batch op log (inserts, then
+    updates + deletes, then re-inserts of some deleted keys) streamed
+    through ``cdc_sink`` into a partitioned parquet snapshot. The final
+    table must equal the one-shot SQL collapse of the whole log —
+    batch-boundary resurrection/tombstone semantics are the thing being
+    proven. Landing files get explicit mtimes so the file source's
+    batch order is deterministic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    workdir = os.path.join(tempfile.gettempdir(), "graphique_spark_cdc_q")
+    shutil.rmtree(workdir, ignore_errors=True)
+    src = f"{workdir}/src"
+    orders = table(spark, sf_dir, "orders").df.where(F.col("o_orderkey") < 3000)
+    key = F.col("o_orderkey")
+    base_cols = [
+        (key % 8).alias("cohort"),
+        key.alias("o_orderkey"),
+        F.col("o_totalprice").alias("v"),
+    ]
+    batches = [
+        orders.select(*base_cols, F.lit(1).alias("seq"), F.lit("insert").alias("op")),
+        orders.where(key % 5 == 0)
+        .select(
+            base_cols[0],
+            base_cols[1],
+            (F.col("o_totalprice") + 1000.0).alias("v"),
+            F.lit(2).alias("seq"),
+            F.lit("update").alias("op"),
+        )
+        .unionByName(
+            orders.where(key % 7 == 0).select(
+                base_cols[0],
+                base_cols[1],
+                F.lit(None).cast("double").alias("v"),
+                F.lit(3).alias("seq"),
+                F.lit("delete").alias("op"),
+            )
+        ),
+        orders.where(key % 14 == 0).select(
+            base_cols[0],
+            base_cols[1],
+            (F.col("o_totalprice") + 5000.0).alias("v"),
+            F.lit(4).alias("seq"),
+            F.lit("insert").alias("op"),
+        ),
+    ]
+    for i, b in enumerate(batches):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = "cohort long, o_orderkey long, v double, seq int, op string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = streaming.cdc_sink(
+        stream,
+        dest=f"{workdir}/snap",
+        keys=["cohort", "o_orderkey"],
+        checkpoint=f"{workdir}/ckpt",
+        partition_col="cohort",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{workdir}/snap").select(
+        F.col("cohort").cast("long").alias("cohort"),
+        "o_orderkey",
+        (F.floor(F.col("v") * 100 + F.lit(0.5)) / 100).alias("v"),
+    )

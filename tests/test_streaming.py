@@ -311,3 +311,40 @@ def test_incremental_dedup_sink(spark, tables, tmp_path):
     }
     assert got == expect
     assert expect  # fixture must actually exercise cross-batch dups
+
+
+def test_cdc_sink_applies_log_across_batches(spark, tmp_path):
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "cdc_src")
+    rows_b0 = [(k, k % 4, float(k), 1, "insert") for k in range(40)]
+    rows_b1 = [(k, k % 4, float(k) + 0.5, 2, "update") for k in range(0, 40, 5)] + [
+        (k, k % 4, None, 3, "delete") for k in range(0, 40, 7)
+    ]
+    # partition 3: delete every remaining key -> directory must vanish
+    rows_b2 = [(k, k % 4, None, 4, "delete") for k in range(40) if k % 4 == 3]
+    schema = "k long, cohort long, v double, seq int, op string"
+    for i, rows in enumerate([rows_b0, rows_b1, rows_b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: file source must see batch order
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.cdc_sink(
+        stream,
+        dest=str(tmp_path / "snap"),
+        keys=["cohort", "k"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_col="cohort",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
+    expect = {}
+    for k in range(40):
+        if k % 4 == 3 or k % 7 == 0:
+            continue  # deleted (partition purge or row delete)
+        expect[k] = float(k) + 0.5 if k % 5 == 0 else float(k)
+    assert got == expect
+    import glob
+    assert not glob.glob(str(tmp_path / "snap" / "cohort=3"))  # dead dir dropped

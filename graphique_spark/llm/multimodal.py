@@ -482,3 +482,44 @@ def phash_near_dups(
         .select("id_a", "id_b", F.lit(0).alias("hamming"))
     )
     return cross.unionByName(same)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    frame_samples: int = 64,
+) -> DataFrame:
+    """Frame-level audio features — the windowing step every speech
+    pipeline (VAD, diarization, ASR frontends) runs before modeling:
+    decode PCM, cut into ``frame_samples``-sample frames (tail dropped),
+    emit per-frame RMS and peak scaled to [0, 1]. Arrow-batched
+    ``mapInPandas``; the reshape is one numpy view, not a Python loop over
+    samples."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM supported")
+                    frames = w.readframes(w.getnframes())
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                n_frames = len(samples) // frame_samples
+                if not n_frames:
+                    continue
+                windows = samples[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                rms = np.sqrt((windows**2).mean(axis=1)) / 32768.0
+                peak = np.abs(windows).max(axis=1) / 32768.0
+                rows.extend(
+                    (doc_id, int(i), float(rms[i]), float(peak[i]))
+                    for i in range(n_frames)
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "rms", "peak"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=f"{id_col} long, frame_idx int, rms double, peak double"
+    )

@@ -2607,3 +2607,30 @@ def rolling_active_users(spark, sf_dir):
         .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("mau7"))
     )
+
+
+@query(
+    "audio_frame_features",
+    """
+    WITH s AS (
+      SELECT doc_id, f.frame_idx,
+             list_transform(generate_series(f.frame_idx * 64, f.frame_idx * 64 + 63),
+               i -> CAST(((i * (doc_id % 8 + 1)) % 64) * 200 - 6400 AS DOUBLE)) AS pcm
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+           (SELECT unnest(generate_series(0, 3)) AS frame_idx) f
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           sqrt(list_aggregate(list_transform(pcm, v -> v * v), 'avg')) / 32768.0
+             AS rms,
+           list_aggregate(list_transform(pcm, v -> abs(v)), 'max') / 32768.0 AS peak
+    FROM s
+    """,
+)
+def audio_frame_features(spark, sf_dir):
+    """Frame-level audio windowing over REALLY-decoded PCM (64-sample
+    frames from the 256-sample WAVs -> 4 frames each): per-frame RMS +
+    peak, the VAD/ASR frontend shape. The integer sawtooth synth keeps the
+    oracle bit-exact."""
+    docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
+    blobs = multimodal.attach_audio_blobs(docs.select("doc_id"))
+    return multimodal.audio_frame_features(blobs, frame_samples=64)

@@ -934,3 +934,74 @@ def corpus_overlap_single_pass(
         matches.alias("n_matches"),
         (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment join: ordered pairs (inner, outer) where
+    ``|grams(inner) ∩ grams(outer)| / |grams(inner)| >= min_containment``
+    — the quote/excerpt/boilerplate-wrapper relationship Jaccard misses
+    when document lengths differ wildly (a tweet fully quoted inside a
+    news page has tiny Jaccard but containment 1.0).
+
+    EXACT w.r.t. the threshold by prefix filtering the INNER side only:
+    containment >= t means at most ``floor((1-t)*|A|)`` of A's tokens can
+    miss from B, so some token among A's ``|A| - ceil(t*|A|) + 1``
+    smallest (by hashed order) must appear in B — the candidate join
+    explodes just that prefix against the outer side's full token stream,
+    and ``|B| >= t*|A|`` prunes on two ints before the pair-dedup shuffle.
+    Verification is one exact ``array_intersect`` over the materialized
+    sets. Scales with token frequency, never corpus²."""
+    df = ensure_parallelism(df)
+    materialize = materializer(df, checkpoint_dir)
+    t = min_containment
+    docs = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60))
+            ).alias("ng"),
+        ).withColumn("sz", F.size("ng"))
+    )
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    pref = docs.select(
+        F.col("id").alias("id_in"),
+        F.col("sz").alias("sz_in"),
+        F.explode(F.slice("ng", F.lit(1), plen)).alias("tok"),
+    )
+    full = docs.select(
+        F.col("id").alias("id_out"),
+        F.col("sz").alias("sz_out"),
+        F.explode("ng").alias("tok"),
+    )
+    cands = (
+        pref.join(full, on="tok")
+        .filter(
+            (F.col("id_in") != F.col("id_out"))
+            & (F.col("sz_out") >= t * F.col("sz_in"))
+        )
+        .select("id_in", "id_out")
+        .distinct()
+    )
+    sets = docs.select("id", "ng")
+    pairs = cands.join(
+        sets.select(F.col("id").alias("id_in"), F.col("ng").alias("ng_in")), on="id_in"
+    ).join(
+        sets.select(F.col("id").alias("id_out"), F.col("ng").alias("ng_out")),
+        on="id_out",
+    )
+    containment = (
+        F.size(F.array_intersect("ng_in", "ng_out")).cast("double")
+        / F.size("ng_in")
+    )
+    return (
+        pairs.withColumn("containment", containment)
+        .filter(F.col("containment") >= t)
+        .select("id_in", "id_out", "containment")
+    )

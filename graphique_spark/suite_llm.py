@@ -2634,3 +2634,95 @@ def audio_frame_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 100)
     blobs = multimodal.attach_audio_blobs(docs.select("doc_id"))
     return multimodal.audio_frame_features(blobs, frame_samples=64)
+
+
+@query(
+    "ewma_smoothing",
+    """
+    WITH ord AS (
+      SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
+      FROM events WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+           floor(list_reduce(vs, (a, b) -> 0.7 * a + 0.3 * b) * 1000000 + 0.5)
+             / 1000000 AS ewma
+    FROM ord
+    """,
+)
+def ewma_smoothing(spark, sf_dir):
+    """Per-key exponential moving average (alpha=0.3) — the sequential
+    smoother that has no windowed closed form without overflowing
+    alpha^-i. Values collect per key (bounded by a key's history, the
+    same contract as ordered collect_list aggregates) and fold once with
+    an `aggregate` HOF; the sequential double arithmetic is bit-identical
+    across engines."""
+    ev = table(spark, sf_dir, "events").df.where(F.col("user_id") < 50)
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.7) * acc + F.lit(0.3) * x,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n"),
+        fround(ewma, 6).alias("ewma"),
+    )
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 12), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    d AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+               )),
+               g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+             ))) AS ng
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+           floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / len(a.ng)
+                 * 1000000 + 0.5) / 1000000 AS containment
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / len(a.ng) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment join over a corpus with planted excerpts
+    (the first 12 words of every 5th doc re-ingested as its own page):
+    pairs where >=80% of the inner doc's 3-gram set appears in the outer
+    doc. Prefix-filtered on the inner side only — exact w.r.t. the
+    threshold; the oracle brute-forces all pairs."""
+    docs = table(spark, sf_dir, "documents").df
+    excerpts = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    pairs = dedup.containment_pairs(corpus, n=3, min_containment=0.8)
+    return pairs.withColumn("containment", fround(F.col("containment"), 6))

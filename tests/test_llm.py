@@ -959,3 +959,19 @@ def test_corpus_overlap_single_pass_matches_two_frame(spark):
     one = dedup.corpus_overlap_single_pass(docs, a_pred, b_pred).first()
     assert one["n_matches"] == two["n_matches"]
     assert one["jaccard_est"] == two["jaccard_est"]
+
+
+def test_containment_pairs_asymmetric(spark):
+    big = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))  # fully inside big
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_in"], r["id_out"]): r["containment"]
+        for r in dedup.containment_pairs(df, n=3, min_containment=0.9).collect()
+    }
+    assert out[(2, 1)] == pytest.approx(1.0)  # excerpt contained in big
+    assert (1, 2) not in out  # big is NOT contained in the excerpt
+    assert all(3 not in p for p in out)

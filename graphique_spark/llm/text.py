@@ -769,3 +769,49 @@ def inverted_index(
         .where(F.col("df") >= min_df)
         .select("term", "df", "postings")
     )
+
+
+def term_drift(
+    df,
+    in_a,
+    in_b,
+    text: str = "text",
+    top: int = 20,
+):
+    """Dataset drift monitor: which terms most explain the shift between
+    two cohorts of the same table (yesterday's crawl vs today's, source A
+    vs B)? Per-term contribution to ``D_KL(P_a || P_b)`` with add-one
+    smoothing over the joint vocabulary; the biggest positive contributors
+    are the terms newly over-represented in cohort A. Returns the ``top``
+    terms by |contribution| with both probabilities.
+
+    Scale shape: ONE scan (cohort membership is a pair of flags), one
+    groupBy(term) with two conditional counts, one scalar re-aggregate for
+    totals, heap top-k. The vocabulary shuffles once as (term, 2 longs)."""
+    tok = df.where(in_a | in_b).select(
+        in_a.alias("__a"),
+        in_b.alias("__b"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
+        ).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.col("__a").cast("long")).alias("ca"),
+        F.sum(F.col("__b").cast("long")).alias("cb"),
+    )
+    total_a, total_b, vocab = counts.agg(
+        F.sum("ca"), F.sum("cb"), F.count(F.lit(1))
+    ).first()
+    pa = (F.col("ca") + 1.0) / F.lit(float(total_a + vocab))
+    pb = (F.col("cb") + 1.0) / F.lit(float(total_b + vocab))
+    from graphique_spark.operators.topk import top_k
+
+    scored = counts.select(
+        "term",
+        "ca",
+        "cb",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        (pa * F.log(pa / pb)).alias("kl_term"),
+    ).withColumn("__abs", F.abs(F.col("kl_term")))
+    return top_k(scored, ["-__abs", "term"], top, ()).drop("__abs")

@@ -2726,3 +2726,49 @@ def dedup_containment(spark, sf_dir):
     corpus = docs.select("doc_id", "text").unionByName(excerpts)
     pairs = dedup.containment_pairs(corpus, n=3, min_containment=0.8)
     return pairs.withColumn("containment", fround(F.col("containment"), 6))
+
+
+@query(
+    "corpus_term_drift",
+    """
+    WITH tok AS (
+      SELECT doc_id % 3 = 0 AS a, doc_id % 3 <> 0 AS b,
+             unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY term
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM counts)
+    SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+           floor((ca + 1.0) / (tot.ta + tot.v) * 1e12 + 0.5) / 1e12 AS p_a,
+           floor((cb + 1.0) / (tot.tb + tot.v) * 1e12 + 0.5) / 1e12 AS p_b,
+           floor((ca + 1.0) / (tot.ta + tot.v)
+                 * ln(((ca + 1.0) / (tot.ta + tot.v))
+                      / ((cb + 1.0) / (tot.tb + tot.v))) * 1e12 + 0.5) / 1e12
+             AS kl_term
+    FROM counts, tot
+    ORDER BY abs((ca + 1.0) / (tot.ta + tot.v)
+                 * ln(((ca + 1.0) / (tot.ta + tot.v))
+                      / ((cb + 1.0) / (tot.tb + tot.v)))) DESC, term
+    LIMIT 20
+    """,
+)
+def corpus_term_drift(spark, sf_dir):
+    """Which terms most explain the distribution shift between two corpus
+    cohorts (KL contributions, add-one smoothed): the drift monitor a
+    dataset registry runs between crawl versions. One scan, one vocabulary
+    shuffle, heap top-20."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.term_drift(docs, F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 != 0)
+    return out.select(
+        "term",
+        F.col("ca").cast("bigint").alias("ca"),
+        F.col("cb").cast("bigint").alias("cb"),
+        fround(F.col("p_a"), 12).alias("p_a"),
+        fround(F.col("p_b"), 12).alias("p_b"),
+        fround(F.col("kl_term"), 12).alias("kl_term"),
+    )

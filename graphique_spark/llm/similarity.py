@@ -243,6 +243,19 @@ def embedding_near_dups(
     plane count (e.g. 16 buckets forever) reverts to n²/16 at 100× scale.
     The sizing count() is one cheap scan at plan-build time.
     """
+    pairs = _bucketed_pairs(df, vec_col, id_col, num_planes, target_bucket_rows)
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def _bucketed_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int | None,
+    target_bucket_rows: int,
+) -> DataFrame:
+    """Within-LSH-bucket (id_a, id_b, cosine) pairs — the shared blocking
+    stage of near-dup detection and hard-negative mining."""
     if num_planes is None:
         import math
 
@@ -264,9 +277,31 @@ def embedding_near_dups(
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lo: float = 0.5,
+    hi: float = 0.9,
+    num_planes: int | None = None,
+    target_bucket_rows: int = 256,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: pairs that
+    the LSH blocking deems related (same sign-projection bucket) but whose
+    cosine sits in the similar-NOT-duplicate band ``[lo, hi)`` — exactly
+    the negatives that teach a retriever its decision boundary; random
+    negatives are trivially far and near-dups are false negatives.
+
+    Same linear-scaling blocking as :func:`embedding_near_dups` (bucket
+    count grows with the corpus), same pair stream — only the cosine band
+    differs, so mining negatives costs nothing extra when run beside the
+    dedup pass. Returns (id_a, id_b, cosine)."""
+    pairs = _bucketed_pairs(df, vec_col, id_col, num_planes, target_bucket_rows)
+    return pairs.filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
 
 
 def _dim(df: DataFrame, vec_col: str) -> int:

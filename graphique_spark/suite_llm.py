@@ -2772,3 +2772,28 @@ def corpus_term_drift(spark, sf_dir):
         fround(F.col("p_b"), 12).alias("p_b"),
         fround(F.col("kl_term"), 12).alias("kl_term"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_frag} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           floor({_cos_frag("a.v", "c.v")} * 1000000 + 0.5) / 1000000 AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_frag("a.v", "c.v")} >= 0.5 AND {_cos_frag("a.v", "c.v")} < 0.9
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive hard negatives: same-LSH-bucket pairs in the
+    similar-but-not-duplicate cosine band [0.5, 0.9) — the training pairs
+    that define a retriever's decision boundary, mined from the same
+    blocked pair stream as the dedup pass."""
+    emb = table(spark, sf_dir, "embeddings").df
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.hard_negatives(base, lo=0.5, hi=0.9, num_planes=_PLANES)
+    return out.withColumn("cosine", fround(F.col("cosine"), 6))

@@ -815,3 +815,27 @@ def term_drift(
         (pa * F.log(pa / pb)).alias("kl_term"),
     ).withColumn("__abs", F.abs(F.col("kl_term")))
     return top_k(scored, ["-__abs", "term"], top, ()).drop("__abs")
+
+
+def temperature_shares(df, by: str = "lang", alpha: float = 0.7):
+    """Multilingual temperature sampling (the mBERT/XLM-R alpha-smoothing):
+    raw corpus shares p_i are flattened to ``p_i^alpha / sum(p_j^alpha)``
+    so low-resource groups get boosted without drowning the head. Returns
+    (group, n_docs, raw_share, sampled_share, boost) — feed sampled_share
+    into :func:`mixture_sample` / :func:`token_budget_rates` weights.
+
+    One tiny aggregate; the normalizing sum rides in as a lazy one-row
+    cross join, so the whole plan is a single job."""
+    per = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = per.agg(F.sum("n_docs").alias("__t"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "raw_share", F.col("n_docs") / F.col("__t")
+    )
+    powed = shared.withColumn("__p", F.pow(F.col("raw_share"), alpha))
+    z = powed.agg(F.sum("__p").alias("__z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .withColumn("sampled_share", F.col("__p") / F.col("__z"))
+        .withColumn("boost", F.col("sampled_share") / F.col("raw_share"))
+        .select(by, "n_docs", "raw_share", "sampled_share", "boost")
+    )

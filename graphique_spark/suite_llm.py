@@ -2797,3 +2797,35 @@ def hard_negative_mining(spark, sf_dir):
     )
     out = similarity.hard_negatives(base, lo=0.5, hi=0.9, num_planes=_PLANES)
     return out.withColumn("cosine", fround(F.col("cosine"), 6))
+
+
+@query(
+    "temperature_sampling_shares",
+    """
+    WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS tot FROM per),
+    p AS (SELECT lang, n_docs, n_docs / CAST(tot AS DOUBLE) AS raw_share,
+                 pow(n_docs / CAST(tot AS DOUBLE), 0.7) AS pw
+          FROM per, t),
+    z AS (SELECT sum(pw) AS z FROM p)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           floor(raw_share * 1e9 + 0.5) / 1e9 AS raw_share,
+           floor(pw / z.z * 1e9 + 0.5) / 1e9 AS sampled_share,
+           floor(pw / z.z / raw_share * 1e9 + 0.5) / 1e9 AS boost
+    FROM p, z
+    """,
+)
+def temperature_sampling_shares(spark, sf_dir):
+    """Alpha=0.7 temperature flattening of per-language corpus shares (the
+    multilingual pretraining mix): low-resource languages get boosted,
+    the head stays dominant. Single-job plan — the two normalizers ride as
+    lazy one-row cross joins."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.temperature_shares(docs, by="lang", alpha=0.7)
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        fround(F.col("raw_share"), 9).alias("raw_share"),
+        fround(F.col("sampled_share"), 9).alias("sampled_share"),
+        fround(F.col("boost"), 9).alias("boost"),
+    )

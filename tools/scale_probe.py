@@ -224,8 +224,34 @@ def main() -> None:
         hashes = multimodal.dhash_images(multimodal.attach_image_blobs(docs))
         return multimodal.phash_near_dups(hashes, max_hamming=3, bands=4)
 
+    def basket(mult):
+        li = multiplied(spark, "lineitem", mult).select("l_orderkey", "l_partkey").distinct()
+        a = li.toDF("l_orderkey", "p_a")
+        b = li.toDF("l_orderkey", "p_b")
+        return (
+            a.join(b, on="l_orderkey")
+            .where(F.col("p_a") < F.col("p_b"))
+            .groupBy("p_a", "p_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+
+    def containment(mult):
+        from graphique_spark.llm import dedup
+
+        return dedup.containment_pairs(
+            multiplied(spark, "documents", mult), min_containment=0.8
+        )
+
+    def inverted(mult):
+        from graphique_spark.llm import text as t
+
+        return t.inverted_index(multiplied(spark, "documents", mult), max_postings=20)
+
     probes = {
         "q1": q1,
+        "basket": basket,
+        "containment": containment,
+        "inverted_index": inverted,
         "bm25": bm25,
         "lm_nll": lm_nll,
         "pagerank": pagerank_probe,

@@ -2829,3 +2829,33 @@ def temperature_sampling_shares(spark, sf_dir):
         fround(F.col("sampled_share"), 9).alias("sampled_share"),
         fround(F.col("boost"), 9).alias("boost"),
     )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+             floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price,
+             floor(avg(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide-to-long melt (the inverse of pivot): per-flag metric columns
+    unpivot to (key, metric, value) rows — `DataFrame.unpivot`, a pure
+    map-side Expand (3 output rows per input row, no shuffle beyond the
+    feeding aggregate)."""
+    li = table(spark, sf_dir, "lineitem").df
+    wide = li.groupBy("l_returnflag").agg(
+        fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        fround(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    )

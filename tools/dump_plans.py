@@ -68,6 +68,18 @@ HIGHLIGHTS = {
         "forward and backward fills share one hash partitioning + sort "
         "(single Exchange, two frames)"
     ),
+    "data_quality_report": (
+        "all row-local rules fold into ONE conditional-count scan; "
+        "unique = key-only groupBy; FK = one anti-join"
+    ),
+    "basket_cooccurrence": (
+        "self-join WITHIN the order key — pair volume bounded by "
+        "lines-per-order squared, never catalog squared"
+    ),
+    "corpus_term_drift": (
+        "cohort membership as flags: one scan, one vocabulary shuffle "
+        "with two conditional counts, heap top-k"
+    ),
 }
 
 

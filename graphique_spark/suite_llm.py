@@ -2859,3 +2859,54 @@ def unpivot_metrics(spark, sf_dir):
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
     )
+
+
+@query(
+    "entity_fuzzy_match",
+    """
+    WITH recs AS (
+      SELECT p_partkey AS id, p_name || '#' || p_partkey AS k FROM part
+      UNION ALL
+      SELECT p_partkey + 500000,
+             substr(p_name || '#' || p_partkey, 1, 2)
+               || substr(p_name || '#' || p_partkey, 4)
+      FROM part WHERE p_partkey % 7 = 0
+    ),
+    b AS (SELECT id, k, substr(k, 1, 2) AS blk, length(k) AS ln FROM recs)
+    SELECT a.id AS id_a, c.id AS id_b, a.k AS k_a, c.k AS k_b,
+           CAST(levenshtein(a.k, c.k) AS INT) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+    WHERE abs(a.ln - c.ln) <= 2 AND levenshtein(a.k, c.k) <= 2
+    """,
+)
+def entity_fuzzy_match(spark, sf_dir):
+    """Entity resolution: blocked fuzzy matching over record keys with
+    planted single-edit corruptions (3rd char dropped). Blocking on the
+    2-char prefix bounds the pair space; a derived length-band conjunct
+    prunes before Levenshtein evaluates. The oracle brute-forces the same
+    blocks."""
+    from graphique_spark.operators.entity import blocked_fuzzy_pairs
+
+    part = table(spark, sf_dir, "part").df
+    base = part.select(
+        F.col("p_partkey").alias("rid"),
+        F.concat_ws("#", "p_name", "p_partkey").alias("k"),
+    )
+    corrupted = part.where(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 500000).alias("rid"),
+        F.concat(
+            F.substring(F.concat_ws("#", "p_name", "p_partkey"), 1, 2),
+            F.expr("substring(concat_ws('#', p_name, p_partkey), 4)"),
+        ).alias("k"),
+    )
+    recs = base.unionByName(corrupted)
+    pairs = blocked_fuzzy_pairs(
+        recs, key="k", block=F.substring("k", 1, 2), id_col="rid", max_distance=2
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "k_a",
+        "k_b",
+        F.col("distance").cast("int").alias("distance"),
+    )

@@ -619,3 +619,25 @@ def test_validate_rules_catch_planted_violations(spark):
     assert out["id_fk"]["violations"] == 2  # two rows with id=3
     assert out["pred"]["violations"] == 0 and out["pred"]["passed"]
     assert all(r["checked"] == 4 for r in out.values())
+
+
+def test_blocked_fuzzy_pairs_finds_typos_within_block(spark):
+    from graphique_spark.operators.entity import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "johnson"),
+            (2, "jonson"),    # 1 deletion
+            (3, "johnsen"),   # 1 substitution
+            (4, "smith"),     # different block entirely
+            (5, "johXXXXson"),  # same block, too far (distance 4 > 2)
+        ],
+        "rid long, name string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in blocked_fuzzy_pairs(
+            df, key="name", block=F.substring("name", 1, 2), id_col="rid"
+        ).collect()
+    }
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}

@@ -2910,3 +2910,46 @@ def entity_fuzzy_match(spark, sf_dir):
         "k_b",
         F.col("distance").cast("int").alias("distance"),
     )
+
+
+@query(
+    "winsorize_clip",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           floor(avg(least(greatest(e.value, b.lo), b.hi)) * 10000 + 0.5) / 10000
+             AS clipped_mean,
+           floor(avg(e.value) * 10000 + 0.5) / 10000 AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_clip(spark, sf_dir):
+    """Per-group winsorization (clip to [p5, p95]) — the outlier treatment
+    feature pipelines apply before aggregating heavy-tailed metrics. Two
+    passes: a tiny per-group percentile aggregate broadcasts back into a
+    map-side clip; the report compares clipped vs raw means and counts
+    what was clipped."""
+    ev = table(spark, sf_dir, "events").df
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    joined = ev.join(F.broadcast(bounds), on="event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).cast("bigint").alias("n_clipped_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).cast("bigint").alias("n_clipped_hi"),
+        fround(F.avg(clipped), 4).alias("clipped_mean"),
+        fround(F.avg("value"), 4).alias("raw_mean"),
+    )

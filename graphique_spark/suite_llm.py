@@ -2953,3 +2953,77 @@ def winsorize_clip(spark, sf_dir):
         fround(F.avg(clipped), 4).alias("clipped_mean"),
         fround(F.avg("value"), 4).alias("raw_mean"),
     )
+
+
+@query(
+    "dedup_savings_report",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.7
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+    att AS (SELECT c.v, c.component, d.n_chars
+            FROM comp c JOIN documents d ON c.v = d.doc_id),
+    k AS (
+      SELECT component, v AS keep_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, v) AS rn
+        FROM att) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_dropped,
+           CAST(sum(a.n_chars) AS BIGINT) AS chars_dropped,
+           tot.total_docs, tot.total_chars,
+           floor(sum(a.n_chars) / CAST(tot.total_chars AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS savings_frac
+    FROM att a JOIN k USING (component) CROSS JOIN tot
+    WHERE a.v <> k.keep_id
+    GROUP BY tot.total_docs, tot.total_chars
+    """,
+)
+def dedup_savings_report(spark, sf_dir):
+    """The dedup ROI number a curation run reports up: if near-dups (MinHash
+    0.7) are dropped keeping the longest member per component, how many
+    documents and characters disappear, and what fraction of the corpus is
+    that? Same pipeline as `dedup_canonical` with a one-row rollup; the
+    corpus totals ride in as a lazy scalar cross join."""
+    docs = table(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.7
+    )
+    comps = dedup.connected_components(pairs)
+    picked = dedup.canonical_pick(comps, docs.select("doc_id", "n_chars"))
+    dropped = picked.where(F.col("is_duplicate")).join(
+        docs.select("doc_id", "n_chars"), on="doc_id"
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        dropped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dropped"),
+            F.sum("n_chars").cast("bigint").alias("chars_dropped"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_dropped",
+            "chars_dropped",
+            "total_docs",
+            "total_chars",
+            fround(
+                F.col("chars_dropped") / F.col("total_chars").cast("double"), 6
+            ).alias("savings_frac"),
+        )
+    )

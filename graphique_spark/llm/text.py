@@ -839,3 +839,35 @@ def temperature_shares(df, by: str = "lang", alpha: float = 0.7):
         .withColumn("boost", F.col("sampled_share") / F.col("raw_share"))
         .select(by, "n_docs", "raw_share", "sampled_share", "boost")
     )
+
+
+def balanced_shards(df, n_shards: int, weight, id_col: str = "doc_id"):
+    """Weight-balanced contiguous sharding: order rows by the id's md5
+    (deterministic global shuffle), then cut the cumulative weight into
+    ``n_shards`` equal-weight spans — every shard carries ~total/n tokens
+    even when document sizes are wildly skewed, unlike count-based hash
+    shards where one shard can draw all the long documents. Returns the
+    input plus (cum_weight, shard).
+
+    Scale shape: the global running total is the two-phase
+    ``partitioned_cumsum`` (range partition + local window + #partitions
+    driver summary) — never a single-task global window; the cut itself is
+    map-side arithmetic."""
+    from graphique_spark.operators.sequence import partitioned_cumsum
+
+    keyed = df.withColumn("__order", F.md5(F.col(id_col).cast("string")))
+    cum = partitioned_cumsum(
+        keyed, F.col(weight).cast("double"), ["__order", id_col], "cum_weight"
+    )
+    total = cum.agg(F.max("cum_weight").alias("__t"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "shard",
+            F.least(
+                (F.col("cum_weight") * n_shards / F.col("__t")).cast("int"),
+                F.lit(n_shards - 1),
+            ),
+        )
+        .drop("__order", "__t")
+    )

@@ -3027,3 +3027,76 @@ def dedup_savings_report(spark, sf_dir):
             ).alias("savings_frac"),
         )
     )
+
+
+@query(
+    "balanced_shard_manifest",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    t AS (SELECT max(cum) AS total FROM c)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM (
+      SELECT least(CAST(floor(cum * 16.0 / t.total) AS INT), 15) AS shard, n_chars
+      FROM c, t
+    ) GROUP BY shard
+    """,
+)
+def balanced_shard_manifest(spark, sf_dir):
+    """Weight-balanced sharding audit: 16 contiguous equal-character spans
+    over the md5-shuffled corpus — per-shard char totals land within one
+    document of total/16 regardless of length skew. The oracle replays the
+    same cut with a window cumsum."""
+    docs = table(spark, sf_dir, "documents").df
+    out = text.balanced_shards(docs, 16, weight="n_chars")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "corpus_diversity",
+    """
+    WITH g AS (
+      SELECT source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 1), ' ')
+             )) AS gram
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_2grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_2grams,
+           floor(count(DISTINCT gram) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS diversity
+    FROM g GROUP BY source
+    """,
+)
+def corpus_diversity(spark, sf_dir):
+    """Per-source n-gram diversity (distinct/total 2-gram ratio — the
+    self-repetition signal across a whole source, the corpus-level
+    counterpart of the per-doc Gopher filters): low diversity marks
+    template farms worth down-weighting. One explode + one
+    count-distinct aggregate per source."""
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents").df)
+    # the multiset matters: dedup.word_ngrams dedups in-row, which would
+    # overstate diversity for self-repetitive documents
+    grams = docs.select(
+        "source", F.explode(text._all_word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_2grams"),
+        F.count_distinct("gram").cast("bigint").alias("distinct_2grams"),
+        fround(
+            F.count_distinct("gram") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("diversity"),
+    )

@@ -2116,3 +2116,176 @@ def q6_forecast_revenue(spark, sf_dir):
     return li.df.agg(
         fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
     )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order distribution): left join keeps
+    zero-order customers, the filter rides the JOIN CONDITION (not a
+    where, which would turn the join inner), then a double aggregation —
+    count per customer, histogram of counts."""
+    cust = table(spark, sf_dir, "customer").df.select("c_custkey")
+    orders = table(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated average
+    becomes one per-part aggregate joined back — the big table aggregates
+    once instead of re-scanning per row; the brand filter broadcasts
+    through the part dimension."""
+    li = table(spark, sf_dir, "lineitem").df.select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").df.where(F.col("p_brand") == "Brand#5").select(
+        "p_partkey"
+    )
+    avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("cut"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(avg_qty, on="l_partkey")
+        .where(F.col("l_quantity") < F.col("cut"))
+        .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (bilateral shipping volume): the two-nation disjunction is
+    applied AFTER both nation joins broadcast — Catalyst pushes each arm's
+    single-nation conjuncts into the dimension scans; the fact shuffle
+    happens once."""
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (li.df["l_shipdate"] >= F.lit("1996-01-01").cast("timestamp"))
+        & (li.df["l_shipdate"] < F.lit("1998-01-01").cast("timestamp"))
+    ).df.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = table(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    n1 = nation.toDF("n1_key", "supp_nation")
+    n2 = nation.toDF("n2_key", "cust_nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(fround(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+    FROM (
+      SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    ) GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (dormant high-balance customers), dormancy adapted
+    to this dataset: no orders since 1999 (every synthetic customer has
+    SOME order, so the literal no-orders-ever predicate is empty). The
+    scalar average rides in as a lazy one-row cross join, NOT EXISTS is a
+    left-anti join with the date filter pushed into the orders scan — no
+    correlated re-scans anywhere."""
+    cust = table(spark, sf_dir, "customer").df.select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .df.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    dormant = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        dormant.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            fround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

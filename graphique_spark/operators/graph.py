@@ -57,19 +57,29 @@ def pagerank(
         .repartition(n_parts, "src")
         .persist()
     )
-    nodes = nodes.repartition(n_parts, "node").persist()
+    # dangling membership (no out-edges) is static — flag it ONCE so no
+    # iteration ever re-joins ranks against the degree table
+    nodes = (
+        nodes.join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+            on="node",
+            how="left",
+        )
+        .select("node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("has_out"))
+        .repartition(n_parts, "node")
+        .persist()
+    )
     n = nodes.count()  # materializes e + nodes; contrib reuses cached e
     base = (1.0 - damping) / n
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "has_out", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        # mass of dangling nodes (no out-edges) spreads uniformly; kept as
-        # a LAZY one-row aggregate cross-joined into the update, so each
-        # iteration is a single job (a driver-side .first() here would run
-        # a second full pass over the rank table per round)
-        dangling = (
-            ranks.join(outdeg.select("src"), ranks["node"] == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        # mass of dangling nodes spreads uniformly; kept as a LAZY one-row
+        # aggregate cross-joined into the update, so each iteration is a
+        # single job (a driver-side .first() here would run a second full
+        # pass over the rank table per round)
+        dangling = ranks.where(~F.col("has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         inflow = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -82,6 +92,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 (
                     F.lit(base)
                     + damping
@@ -93,4 +104,4 @@ def pagerank(
     contrib_edges.unpersist()
     nodes.unpersist()
     e.unpersist()
-    return ranks
+    return ranks.select("node", "rank")

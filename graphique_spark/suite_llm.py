@@ -3103,3 +3103,78 @@ def corpus_diversity(spark, sf_dir):
             F.count_distinct("gram") / F.count(F.lit(1)).cast("double"), 6
         ).alias("diversity"),
     )
+
+
+@query(
+    "entity_clusters",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT p_partkey AS id, p_name || '#' || p_partkey AS k FROM part
+      UNION ALL
+      SELECT p_partkey + 500000,
+             substr(p_name || '#' || p_partkey, 1, 2)
+               || substr(p_name || '#' || p_partkey, 4)
+      FROM part WHERE p_partkey % 7 = 0
+      UNION ALL
+      SELECT p_partkey + 900000, p_name || '#' || p_partkey || 'x'
+      FROM part WHERE p_partkey % 14 = 0
+    ),
+    b AS (SELECT id, k, substr(k, -4) AS blk,
+                 CASE WHEN k LIKE '%x' THEN substr(k, -5, 4) ELSE substr(k, -4) END AS blk2,
+                 length(k) AS ln
+          FROM recs),
+    pairs AS (
+      SELECT a.id AS pa, c.id AS pb
+      FROM b a JOIN b c ON a.blk2 = c.blk2 AND a.id < c.id
+      WHERE abs(a.ln - c.ln) <= 2 AND levenshtein(a.k, c.k) <= 2
+    ),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    )
+    SELECT v AS id, CAST(min(label) AS BIGINT) AS cluster,
+           v <> min(label) AS is_duplicate
+    FROM reach GROUP BY v
+    """,
+)
+def entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution: fuzzy pairs (two corruption kinds —
+    dropped 3rd char and appended 'x', blocked on the corruption-stable
+    4-char stem) -> connected components -> canonical record per cluster.
+    The same pairs-to-groups machinery text dedup uses, against a
+    recursive-CTE oracle."""
+    from graphique_spark.operators.entity import blocked_fuzzy_pairs
+
+    part = table(spark, sf_dir, "part").df
+    mk = F.concat_ws("#", "p_name", "p_partkey")
+    base = part.select(F.col("p_partkey").alias("rid"), mk.alias("k"))
+    dropped = part.where(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 500000).alias("rid"),
+        F.concat(
+            F.substring(mk, 1, 2), F.expr("substring(concat_ws('#', p_name, p_partkey), 4)")
+        ).alias("k"),
+    )
+    suffixed = part.where(F.col("p_partkey") % 14 == 0).select(
+        (F.col("p_partkey") + 900000).alias("rid"), F.concat(mk, F.lit("x")).alias("k")
+    )
+    recs = base.unionByName(dropped).unionByName(suffixed)
+    # the block key must come from the corruption-stable STEM: strip the
+    # appended 'x' before taking the suffix
+    stem = F.when(
+        F.col("k").endswith("x"), F.expr("substring(k, 1, length(k) - 1)")
+    ).otherwise(F.col("k"))
+    pairs = blocked_fuzzy_pairs(
+        recs, key="k", block=stem.substr(-4, 4), id_col="rid", max_distance=2
+    )
+    comps = dedup.connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b")), src="id_a", dst="id_b"
+    )
+    return comps.select(
+        F.col("v").cast("bigint").alias("id"),
+        F.col("component").cast("bigint").alias("cluster"),
+        (F.col("v") != F.col("component")).alias("is_duplicate"),
+    )

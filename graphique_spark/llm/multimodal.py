@@ -523,3 +523,34 @@ def audio_frame_features(
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema=f"{id_col} long, frame_idx int, rms double, peak double"
     )
+
+
+def channel_histograms(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    bins: int = 16,
+) -> DataFrame:
+    """Per-channel intensity histograms of decoded images — the feature
+    behind color-based near-dup blocking, auto-exposure audits, and cheap
+    domain clustering. Returns one row per (image, channel) with a
+    ``bins``-bucket count array (uniform buckets over 0..255).
+    Arrow-batched ``mapInPandas``; the binning is one ``np.bincount`` per
+    channel, never a Python loop over pixels."""
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 256 // bins
+        for pdf in iterator:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                _, _, pixels = decode_image_blob(bytes(blob))
+                for c in range(pixels.shape[2]):
+                    counts = np.bincount(
+                        pixels[:, :, c].ravel() // width, minlength=bins
+                    )[:bins]
+                    rows.append((doc_id, c, [int(x) for x in counts]))
+            yield pd.DataFrame(rows, columns=[id_col, "channel", "counts"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=f"{id_col} long, channel int, counts array<bigint>"
+    )

@@ -2289,3 +2289,94 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           floor(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): eight-table join where every
+    dimension broadcasts and the market-share ratio is a conditional sum
+    over the same aggregate — no second pass, no self-join."""
+    li = table(spark, sf_dir, "lineitem").df.select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").df.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (orders.df["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+        & (orders.df["o_orderdate"] < F.lit("1998-01-01").cast("timestamp"))
+    ).df.select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").df
+    region = table(spark, sf_dir, "region").df.where(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("n2_key"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "correlation_matrix",
+    """
+    SELECT floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000
+             AS qty_price,
+           floor(corr(l_quantity, l_discount) * 1000000 + 0.5) / 1000000
+             AS qty_disc,
+           floor(corr(l_extendedprice, l_tax) * 1000000 + 0.5) / 1000000
+             AS price_tax,
+           floor(covar_samp(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+             AS qty_price_cov
+    FROM lineitem
+    """,
+)
+def correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations + sample covariance in one aggregate
+    pass — feature-analysis over the fact table with algebraic (map-side
+    combinable) moments only."""
+    li = table(spark, sf_dir, "lineitem").df
+    return li.agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        fround(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        fround(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )

@@ -3178,3 +3178,33 @@ def entity_clusters(spark, sf_dir):
         F.col("component").cast("bigint").alias("cluster"),
         (F.col("v") != F.col("component")).alias("is_duplicate"),
     )
+
+
+@query(
+    "image_channel_histograms",
+    """
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+      FROM documents WHERE doc_id < 50
+    ),
+    px AS (
+      SELECT doc_id, c.c AS channel,
+             flatten(list_transform(generate_series(0, h - 1), y ->
+               list_transform(generate_series(0, w - 1), x ->
+                 (x + y + c.c + doc_id) % 256))) AS vals
+      FROM img, (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           list_transform(generate_series(0, 15), b ->
+             CAST(len(list_filter(vals, v -> v // 16 = b)) AS BIGINT)) AS counts
+    FROM px
+    """,
+)
+def image_channel_histograms(spark, sf_dir):
+    """16-bin per-channel intensity histograms over REALLY-decoded PPM
+    pixels (np.bincount per channel, Arrow-batched) — the color-feature
+    pass behind exposure audits and cheap visual clustering. The oracle
+    rebuilds the gradient pixels and bins them in SQL."""
+    docs = table(spark, sf_dir, "documents").df.where(F.col("doc_id") < 50)
+    blobs = multimodal.attach_image_blobs(docs.select("doc_id"))
+    return multimodal.channel_histograms(blobs, bins=16)

@@ -2380,3 +2380,140 @@ def correlation_matrix(spark, sf_dir):
         fround(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
         fround(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
     )
+
+
+@query(
+    "monthly_top_parts",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             l_partkey AS p_partkey,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT month, p_partkey, revenue FROM (
+      SELECT *, row_number() OVER (PARTITION BY month
+                                   ORDER BY revenue DESC, p_partkey) AS rn
+      FROM monthly
+    ) WHERE rn <= 3
+    """,
+)
+def monthly_top_parts(spark, sf_dir):
+    """Trending report: top-3 parts by revenue per month. Aggregate first
+    (map-side partials shrink the fact table to month x part), then a
+    per-month rank over the already-small aggregate — the window never
+    sees raw lineitem rows. Rank on the rounded value so the cut is
+    engine-deterministic."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (li.df["l_shipdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (li.df["l_shipdate"] < F.lit("1998-01-01").cast("timestamp"))
+    ).df
+    monthly = (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("month").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        monthly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("month", "p_partkey", "revenue")
+    )
+
+
+@query(
+    "revenue_share_ratio",
+    """
+    WITH per AS (
+      SELECT r_name, n_name, sum(c_acctbal) AS bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           floor(bal * 100 + 0.5) / 100 AS bal,
+           floor(bal / sum(bal) OVER (PARTITION BY r_name) * 1000000 + 0.5)
+             / 1000000 AS share_in_region,
+           floor(bal / sum(bal) OVER () * 1000000 + 0.5) / 1000000
+             AS share_global
+    FROM per
+    """,
+)
+def revenue_share_ratio(spark, sf_dir):
+    """Ratio-to-report (percent-of-total contribution): each nation's
+    balance share within its region and globally, as window sums over the
+    25-row aggregate — the windows run on post-aggregation data, so the
+    single-partition global frame is a non-issue at any scale."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer").df
+    nation = table(spark, sf_dir, "nation").df
+    region = table(spark, sf_dir, "region").df
+    per = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+    )
+    in_region = Window.partitionBy("r_name")
+    return per.select(
+        "r_name",
+        "n_name",
+        fround(F.col("bal"), 2).alias("bal"),
+        fround(F.col("bal") / F.sum("bal").over(in_region), 6).alias("share_in_region"),
+        fround(
+            F.col("bal") / F.sum("bal").over(Window.partitionBy()), 6
+        ).alias("share_global"),
+    )
+
+
+@query(
+    "revenue_concentration_gini",
+    """
+    WITH per AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS i,
+             count(*) OVER () AS n, sum(spend) OVER () AS total
+      FROM per
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           floor((2.0 * sum(i * spend) / (max(n) * max(total))
+                  - (max(n) + 1.0) / max(n)) * 1000000 + 0.5) / 1000000 AS gini
+    FROM ranked
+    """,
+)
+def revenue_concentration_gini(spark, sf_dir):
+    """Revenue concentration (Gini coefficient over per-customer spend):
+    the inequality metric behind 'top-1% of customers' dashboards, from
+    the sorted-rank closed form — one aggregate, one global rank over the
+    per-customer rollup (range partitioner at scale), one scalar."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").df
+    per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend"), F.col("o_custkey"))
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        fround(
+            2.0 * F.sum(F.col("i") * F.col("spend")) / (F.count(F.lit(1)) * F.sum("spend"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -1,0 +1,96 @@
+"""Plan lint: every suite query's physical plan is screened for the two
+join shapes that destroy 100 TB runs — CartesianProduct and
+BroadcastNestedLoopJoin — plus Python row-at-a-time evaluation
+(BatchEvalPython). A new query that accidentally introduces one fails CI
+here, not on the cluster.
+
+Whitelist rationale:
+* knn_join — deliberate bounded cross join (small broadcast query side);
+  its scale path is knn_join_lsh.
+* scalar one-row cross joins (corpus stats, normalizers) compile to
+  BroadcastNestedLoopJoin with a 1-row build side — constant work. They
+  are recognized by the build side being a one-row aggregate, but Spark's
+  plan string doesn't expose cardinality, so queries known to use ONLY
+  the one-row pattern are listed explicitly.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose NLJ/cross is a deliberate bounded pattern (see module doc)
+NLJ_WHITELIST = {
+    "knn_join",           # bounded broadcast cross join by design
+    "cross_join_dims",    # the crossJoin operator's own oracle query
+    "similarity_topk",    # 1-row query-vector literal join
+    "ab_test_welch",      # 1-row x 1-row arm join
+    "temperature_sampling_shares",  # 1-row normalizer joins
+    "dedup_savings_report",         # 1-row totals join
+    "corpus_overlap_minhash",       # 1-row x 1-row signature join
+    "balanced_shard_manifest",      # 1-row total join
+    "histogram_equidepth",          # 1-row boundary-array join
+    "quantile_multi",               # 1-row percentile-array join
+    "sample_hash",                  # scalar threshold join
+    "mixture_sample",               # 1-row rate-table join
+    "q22_global_sales_opportunity", # 1-row average join
+    "q14_promo_revenue",            # single-aggregate ratio
+    "winsorize_clip",               # per-group bounds broadcast (tiny)
+    "join_semi_anti",               # fused 1-row semi-count x anti-count
+    "fill_drop_null",               # 1-row summary-count join
+    "decontaminate_bloom",          # fixed-size bloom array rides a 1-row cross
+    "data_quality_report",          # 1-row totals join (FK rule)
+}
+
+#: e2e queries that RUN streaming jobs / write files when invoked — their
+#: plan is the final read-back, not the interesting part; linting them
+#: would execute multi-batch pipelines for nothing
+SKIP = {
+    "stream_upsert_totals",
+    "stream_cdc_snapshot",
+    "partition_roundtrip",
+    "compact_roundtrip",
+    "dedup_incremental",
+    "similarity_ann_lsh",  # builds + probes a written index
+    "source_catalog",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from graphique_spark.suite import QUERIES
+    import graphique_spark.suite_llm  # noqa: F401
+    import graphique_spark.suite_streaming  # noqa: F401
+
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        spark.catalog.clearCache()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if "CartesianProduct" in plan and name not in NLJ_WHITELIST
+    ]
+    assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_no_unexpected_nested_loop_joins(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if "BroadcastNestedLoopJoin" in plan and name not in NLJ_WHITELIST
+    ]
+    assert not offenders, f"nested-loop join in: {offenders}"
+
+
+def test_no_python_row_udfs(plans):
+    # ArrowEvalPython (pandas_udf / mapInPandas) is fine; BatchEvalPython
+    # is the row-at-a-time path that must never appear
+    offenders = [name for name, plan in plans.items() if "BatchEvalPython" in plan]
+    assert not offenders, f"row-at-a-time Python eval in: {offenders}"

@@ -3208,3 +3208,109 @@ def image_channel_histograms(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df.where(F.col("doc_id") < 50)
     blobs = multimodal.attach_image_blobs(docs.select("doc_id"))
     return multimodal.channel_histograms(blobs, bins=16)
+
+
+@query(
+    "resample_interpolate",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+      FROM events WHERE user_id < 30 AND event_id % 3 = 0
+    ),
+    bounds AS (
+      SELECT user_id,
+             epoch_us(date_trunc('hour', min(to_timestamp(t / 1000000.0)))) AS lo,
+             max(t) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS gt
+      FROM bounds
+    ),
+    prev AS (
+      SELECT g.user_id, g.gt, max(o.t) AS pt, arg_max(o.value, o.t) AS pv
+      FROM grid g JOIN obs o ON g.user_id = o.user_id AND o.t <= g.gt
+      GROUP BY g.user_id, g.gt
+    ),
+    nxt AS (
+      SELECT g.user_id, g.gt, min(o.t) AS nt, arg_min(o.value, o.t) AS nv
+      FROM grid g JOIN obs o ON g.user_id = o.user_id AND o.t >= g.gt
+      GROUP BY g.user_id, g.gt
+    )
+    SELECT g.user_id, CAST(g.gt AS BIGINT) AS gt,
+           floor(CASE
+             WHEN p.pt IS NULL THEN n.nv
+             WHEN n.nt IS NULL THEN p.pv
+             WHEN n.nt = p.pt THEN p.pv
+             ELSE p.pv + (n.nv - p.pv) * (g.gt - p.pt) / CAST(n.nt - p.pt AS DOUBLE)
+           END * 1000000 + 0.5) / 1000000 AS v
+    FROM grid g LEFT JOIN prev p ON g.user_id = p.user_id AND g.gt = p.gt
+                LEFT JOIN nxt n ON g.user_id = n.user_id AND g.gt = n.gt
+    """,
+)
+def resample_interpolate(spark, sf_dir):
+    """Time-series resampling to a regular hourly grid with linear
+    interpolation between the surrounding sparse observations (the
+    sensor/metrics upsampling step): the grid is an in-row sequence
+    explode; the surrounding observations come from TWO as-of joins
+    (backward + forward) — per-key sorted merges, never the per-key
+    cross product a range join over (prev, next] would build. Edges
+    carry the nearest observation."""
+    from graphique_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").df.where(
+        (F.col("user_id") < 30) & (F.col("event_id") % 3 == 0)
+    )
+    obs = ev.select("user_id", F.unix_micros("ts").alias("t"), "value")
+    bounds = obs.groupBy("user_id").agg(
+        F.unix_micros(
+            F.date_trunc("hour", F.timestamp_micros(F.min("t")))
+        ).alias("lo"),
+        F.max("t").alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3600000000))).alias("gt"),
+    )
+    # the as-of payload excludes the right-side ON column, so each side
+    # carries a copy of its own timestamp for the interpolation arithmetic
+    prev = asof_join(
+        grid,
+        obs.select(
+            "user_id",
+            F.col("t").alias("__pon"),
+            F.col("t").alias("pt"),
+            F.col("value").alias("pv"),
+        ),
+        on="gt",
+        right_on="__pon",
+        by=["user_id"],
+        direction="backward",
+    ).select("user_id", "gt", "pt", "pv")
+    both = asof_join(
+        prev,
+        obs.select(
+            "user_id",
+            F.col("t").alias("__non"),
+            F.col("t").alias("nt"),
+            F.col("value").alias("nv"),
+        ),
+        on="gt",
+        right_on="__non",
+        by=["user_id"],
+        direction="forward",
+    )
+    v = (
+        F.when(F.col("pt").isNull(), F.col("nv"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("gt") - F.col("pt"))
+            / (F.col("nt") - F.col("pt")).cast("double")
+        )
+    )
+    return both.select(
+        "user_id", F.col("gt").cast("bigint").alias("gt"), fround(v, 6).alias("v")
+    )

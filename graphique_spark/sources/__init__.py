@@ -446,3 +446,75 @@ def compact_parquet(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def table_checksum(df: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Order-insensitive content checksum: per group (or globally), the
+    row count and the sum of each row's md5-derived 60-bit hash over ALL
+    columns. Commutative + associative, so it map-side combines, survives
+    any repartitioning, and any engine with md5 reproduces it — the
+    integrity primitive behind :func:`write_with_manifest`.
+
+    NULLs and field order are canonicalized (``concat_ws`` with a unit
+    separator and explicit casts), so the checksum is a function of the
+    DATA, not the physical layout."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm.dedup import hash60
+
+    cols = [c for c in df.columns if c not in by]
+    row_hash = hash60(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+    )
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    # DECIMAL(38) accumulator: 2^60-bounded row hashes summed over any
+    # realistic row count stay < 10^38, where an int64 sum overflows (and
+    # ANSI mode turns that overflow into a runtime error) beyond ~16k rows
+    return grouped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+def write_with_manifest(
+    df: DataFrame, dest: str, partition_by: str | None = None
+) -> None:
+    """Write parquet plus a ``_manifest`` parquet directory holding the
+    per-partition row count + content checksum — the integrity artifact a
+    100 TB pipeline checks before trusting an input (partial writes,
+    truncated copies, and silent row loss all shift the checksum).
+    Verify with :func:`verify_manifest`."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(dest)
+    manifest = table_checksum(df, [partition_by] if partition_by else [])
+    manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
+
+
+def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = None):
+    """Recompute counts + checksums of ``dest`` and diff against its
+    stored ``_manifest``. Returns a DataFrame of mismatching partitions
+    (empty == intact); each row carries both sides' numbers."""
+    from pyspark.sql import functions as F
+
+    stored = spark.read.parquet(f"{dest}/_manifest")
+    actual = table_checksum(
+        spark.read.parquet(dest), [partition_by] if partition_by else []
+    )
+    on = [partition_by] if partition_by else []
+    a = actual.select(
+        *on, F.col("n_rows").alias("n_actual"), F.col("checksum").alias("sum_actual")
+    )
+    s = stored.select(
+        *on, F.col("n_rows").alias("n_stored"), F.col("checksum").alias("sum_stored")
+    )
+    joined = a.join(s, on=on, how="full") if on else a.crossJoin(s)
+    return joined.where(
+        (F.col("n_actual") != F.col("n_stored"))
+        | (F.col("sum_actual") != F.col("sum_stored"))
+        | F.col("n_actual").isNull()
+        | F.col("n_stored").isNull()
+    )

@@ -3314,3 +3314,29 @@ def resample_interpolate(spark, sf_dir):
     return both.select(
         "user_id", F.col("gt").cast("bigint").alias("gt"), fround(v, 6).alias("v")
     )
+
+
+@query(
+    "table_checksum_audit",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(('0x' || substr(md5(
+             concat_ws(chr(31),
+               coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+               coalesce(text, chr(0)),
+               coalesce(lang, chr(0)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+             AS checksum
+    FROM documents GROUP BY source
+    """,
+)
+def table_checksum_audit(spark, sf_dir):
+    """Content checksum per source — the order-insensitive, engine-portable
+    integrity number `write_with_manifest` stores next to data: sum of
+    md5-derived 60-bit row hashes (DECIMAL accumulator; commutative, so it
+    map-side combines and survives any repartitioning). Any engine with
+    md5 reproduces it — which is exactly what this oracle does."""
+    from graphique_spark.sources import table_checksum
+
+    docs = table(spark, sf_dir, "documents").df
+    return table_checksum(docs, by=["source"])

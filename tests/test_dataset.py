@@ -500,3 +500,25 @@ def test_compact_parquet_splits_oversized_partitions(spark, tables, tmp_path):
     n_status = orders.select("o_orderstatus").distinct().count()
     assert stats["files_after"] > n_status
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tables, tmp_path):
+    import glob
+    import os
+
+    from graphique_spark.sources import verify_manifest, write_with_manifest
+
+    dest = str(tmp_path / "with_manifest")
+    orders = tables["orders"].df.withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    write_with_manifest(orders, dest, partition_by="bucket")
+    assert verify_manifest(spark, dest, partition_by="bucket").count() == 0
+    # silent data loss: drop one data file -> exactly that partition flags
+    victim = glob.glob(f"{dest}/bucket=2/*.parquet")[0]
+    os.remove(victim)
+    bad = verify_manifest(spark, dest, partition_by="bucket").collect()
+    assert [r["bucket"] for r in bad] == [2]
+    # the partition's only file is gone: actual side is NULL (no rows read)
+    assert bad[0]["n_actual"] is None or bad[0]["n_actual"] < bad[0]["n_stored"]
+    assert bad[0]["n_stored"] > 0

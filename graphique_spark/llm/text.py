@@ -741,7 +741,9 @@ def inverted_index(
     per-term aggregate share the term hash partitioning (one shuffle)."""
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, text, id_col)
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    tf = term_frequencies(ensure_parallelism(df), text, id_col)
     w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
     ranked = tf.withColumn("__rn", F.row_number().over(w))
     top = ranked.where(F.col("__rn") <= max_postings)
@@ -788,6 +790,9 @@ def term_drift(
     Scale shape: ONE scan (cohort membership is a pair of flags), one
     groupBy(term) with two conditional counts, one scalar re-aggregate for
     totals, heap top-k. The vocabulary shuffles once as (term, 2 longs)."""
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     tok = df.where(in_a | in_b).select(
         in_a.alias("__a"),
         in_b.alias("__b"),

@@ -3340,3 +3340,79 @@ def table_checksum_audit(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").df
     return table_checksum(docs, by=["source"])
+
+
+_QN_BOUNDS = "[" + ", ".join(f"{i / 20:.2f}" for i in range(21)) + "]"
+
+
+@query(
+    "quantile_normalize_scores",
+    f"""
+    WITH w AS ({{_QUALITY_CTE}}),
+    f AS (
+      SELECT doc_id, source,
+             floor(1.0 / (1.0 + exp(-((-3.0)
+               + 0.5 * ln(CAST(length(text) AS DOUBLE) + 1.0)
+               + 6.0 * (CASE WHEN tokens = 0 THEN 0.0
+                             ELSE CAST(stop_hits AS DOUBLE) / tokens END)
+               - 8.0 * (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)
+               - 0.3 * abs((CASE WHEN len(words) = 0 THEN 0.0
+                                 ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                                      / len(words) END) - 5.0))))
+               * 10000 + 0.5) AS q
+      FROM w
+    ),
+    b AS (SELECT quantile_cont(q, {_QN_BOUNDS}) AS bounds FROM f),
+    r AS (
+      SELECT doc_id, source, q,
+             percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+      FROM f
+    )
+    SELECT doc_id, source, CAST(q AS BIGINT) AS q,
+           floor((CASE WHEN pr >= 1.0 THEN bounds[21]
+                 ELSE bounds[CAST(floor(pr * 20) AS INT) + 1]
+                      + (pr * 20 - floor(pr * 20))
+                      * (bounds[CAST(floor(pr * 20) AS INT) + 2]
+                         - bounds[CAST(floor(pr * 20) AS INT) + 1]) END)
+                 * 1000000 + 0.5) / 1000000 AS q_norm
+    FROM r, b
+    """.replace("{_QUALITY_CTE}", _QUALITY_CTE),
+)
+def quantile_normalize_scores(spark, sf_dir):
+    """Cross-source score calibration (quantile normalization): each
+    document's quality score is replaced by the GLOBAL score at its
+    within-source percentile, so a harsh source and a lenient source
+    become comparable before a single threshold applies. One 21-point
+    global percentile row broadcasts; ranks are per-source windows;
+    the remap is in-row interpolation."""
+    from pyspark.sql import Window
+
+    docs = _spread(table(spark, sf_dir, "documents")).df
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(text.logistic_quality(F.col("text")) * 10000.0 + F.lit(0.5)).alias("q"),
+    )
+    bounds = scored.agg(
+        F.expr(f"percentile(q, array({', '.join(f'{i / 20:.2f}' for i in range(21))}))").alias(
+            "bounds"
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q"), F.col("doc_id"))
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    idx = F.floor(F.col("pr") * 20).cast("int")
+    frac = F.col("pr") * 20 - F.floor(F.col("pr") * 20)
+    interp = F.element_at(F.col("bounds"), idx + 1) + frac * (
+        F.element_at(F.col("bounds"), idx + 2) - F.element_at(F.col("bounds"), idx + 1)
+    )
+    q_norm = F.when(F.col("pr") >= 1.0, F.element_at(F.col("bounds"), 21)).otherwise(
+        interp
+    )
+    return ranked.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "source",
+        F.col("q").cast("bigint").alias("q"),
+        fround(q_norm, 6).alias("q_norm"),
+    )

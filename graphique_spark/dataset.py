@@ -525,3 +525,26 @@ class Dataset:
     def sql(self, query: str, alias: str = "self") -> "Dataset":
         self.df.createOrReplaceTempView(alias)
         return self._wrap(self.df.sparkSession.sql(query))
+
+    # -- data-engineering conveniences (beyond the reference surface) -----------------
+
+    def checksum(self, by: Sequence[str] = ()) -> "Dataset":
+        """Order-insensitive content checksum per group — see
+        ``sources.table_checksum`` (the manifest/integrity primitive)."""
+        from graphique_spark.sources import table_checksum
+
+        return self._wrap(table_checksum(self.df, by))
+
+    def validate(self, rules) -> "Dataset":
+        """Evaluate declarative data-quality rules — see
+        ``operators.quality.validate`` (one scan for row-local rules)."""
+        from graphique_spark.operators.quality import validate
+
+        return self._wrap(validate(self.df, rules))
+
+    def skew_report(self, keys: Sequence[str], top: int = 10) -> "Dataset":
+        """Key-distribution diagnostic before a join/agg on ``keys`` — see
+        ``operators.skew.skew_report``."""
+        from graphique_spark.operators.skew import skew_report
+
+        return self._wrap(skew_report(self.df, keys, top))

@@ -522,3 +522,15 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tables, tmp_path):
     # the partition's only file is gone: actual side is NULL (no rows read)
     assert bad[0]["n_actual"] is None or bad[0]["n_actual"] < bad[0]["n_stored"]
     assert bad[0]["n_stored"] > 0
+
+
+def test_dataset_convenience_wrappers(tables):
+    from graphique_spark.operators.quality import Rule
+
+    nation = tables["nation"]
+    cs = nation.checksum(by=["n_regionkey"]).df.collect()
+    assert len(cs) == 5 and all(r["n_rows"] == 5 for r in cs)
+    rep = nation.validate([Rule("key_nn", "not_null", column="n_nationkey")]).df.collect()
+    assert rep[0]["violations"] == 0 and rep[0]["passed"]
+    sk = nation.skew_report(["n_regionkey"], top=2).df.collect()
+    assert len(sk) == 2 and all(abs(r["skew_ratio"] - 1.0) < 1e-9 for r in sk)

@@ -255,3 +255,36 @@ def test_remove_duplicate_segments_idempotent(spark, texts):
     # invariant that must hold is containment: pass 2 never re-grows text
     for d, t2 in rows2.items():
         assert len(t2) <= len(rows1[d])
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=4, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.6, 0.8, 1.0]),
+)
+def test_containment_prefix_filter_exact(spark, texts, t):
+    """The inner-prefix candidate filter must lose NO qualifying pair vs
+    brute force — same exactness contract as the PPJoin property test."""
+    from graphique_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_in"], r["id_out"])
+        for r in dd.containment_pairs(df, n=3, min_containment=t).collect()
+    }
+
+    def grams(s):
+        ws = s.split()
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    want = set()
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i != j and len(grams(a) & grams(b)) / len(grams(a)) >= t:
+                want.add((i, j))
+    assert got == want

@@ -511,3 +511,30 @@ def cdc_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def windowed_distinct(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    lgk: int = 12,
+    streaming: bool = False,
+) -> DataFrame:
+    """Distinct-``key`` count per tumbling window via HLL sketches — the
+    streaming-legal form of windowed COUNT(DISTINCT) (exact distinct is
+    unsupported in streaming aggregations; a sketch is also what you want
+    in batch at 100 TB: mergeable partials, bounded state). Returns
+    (window_start, n_events, distinct_est). Identical logic batch/stream;
+    pass ``streaming=True`` on a readStream frame to attach the watermark.
+    Estimates are ±~2% at lgk=12 — asserted in tests, not oracles."""
+    if streaming:
+        df = df.withWatermark(ts, watermark)
+    out = df.groupBy(F.window(F.col(ts), duration).alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key), F.lit(lgk))
+        ).cast("long").alias("distinct_est"),
+    )
+    return out.select(F.col("win.start").alias("window_start"), "n_events", "distinct_est")

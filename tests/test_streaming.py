@@ -348,3 +348,43 @@ def test_cdc_sink_applies_log_across_batches(spark, tmp_path):
     assert got == expect
     import glob
     assert not glob.glob(str(tmp_path / "snap" / "cohort=3"))  # dead dir dropped
+
+
+def test_windowed_distinct_hll_accuracy_and_stream_parity(spark, tables, tmp_path):
+    from graphique_spark import streaming as st
+
+    events = tables["events"].df
+    batch = {
+        r["window_start"]: r
+        for r in st.windowed_distinct(events, key="user_id", duration="6 hours").collect()
+    }
+    exact = {
+        r["ws"]: r["d"]
+        for r in events.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .select(F.col("w.start").alias("ws"), "d")
+        .collect()
+    }
+    assert set(batch) == set(exact)
+    for ws, row in batch.items():
+        assert abs(row["distinct_est"] - exact[ws]) <= max(2, 0.05 * exact[ws])
+
+    # micro-batch parity: the same function on a readStream frame
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.parquet(src)
+    schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = st.windowed_distinct(stream, key="user_id", duration="6 hours", streaming=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wd_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["window_start"]: r["distinct_est"]
+        for r in spark.sql("SELECT * FROM wd_hll").collect()
+    }
+    assert streamed == {ws: r["distinct_est"] for ws, r in batch.items()}

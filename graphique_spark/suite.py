@@ -2517,3 +2517,53 @@ def revenue_concentration_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier, the view + scalar-max shape): quarterly
+    revenue per supplier, keep every supplier tied at the max — the scalar
+    subquery becomes a lazy one-row max cross-joined into the filter, the
+    supplier dimension broadcasts, and the revenue aggregate is computed
+    once (not once for the view and once for the max)."""
+    li = table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (li.df["l_shipdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (li.df["l_shipdate"] < F.lit("1997-04-01").cast("timestamp"))
+    ).df
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .persist()  # consumed twice: the max scalar and the filter probe
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = table(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
+    out = (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+    return out

@@ -3416,3 +3416,48 @@ def quantile_normalize_scores(spark, sf_dir):
         F.col("q").cast("bigint").alias("q"),
         fround(q_norm, 6).alias("q_norm"),
     )
+
+
+@query(
+    "pack_efficiency",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             sum(len(string_split_regex(trim(text), '\\s+')))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_first,
+             CAST((cum - 1) // 2048 AS BIGINT) AS bin_last
+      FROM c
+    )
+    SELECT CAST(count(DISTINCT bin_first) AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           floor(sum(n_tokens)
+                 / (CAST(max(bin_last) + 1 AS DOUBLE) * 2048) * 1000000 + 0.5)
+             / 1000000 AS fill_ratio
+    FROM placed
+    """,
+)
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report over `pack_sequences` (2048-token bins in
+    doc_id order): bins used, documents straddling a cut, and the fill
+    ratio — the loader-utilization number that decides whether the packing
+    recipe wastes compute. One rollup over the packing output."""
+    docs = table(spark, sf_dir, "documents").df
+    packed = text.pack_sequences(docs, capacity=2048)
+    return packed.agg(
+        F.count_distinct("bin_first").cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("bin_last") > F.col("bin_first")).cast("long"))
+        .cast("bigint")
+        .alias("n_straddlers"),
+        fround(
+            F.sum("n_tokens") / ((F.max("bin_last") + 1).cast("double") * 2048), 6
+        ).alias("fill_ratio"),
+    )

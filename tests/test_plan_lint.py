@@ -39,6 +39,10 @@ NLJ_WHITELIST = {
     "fill_drop_null",               # 1-row summary-count join
     "decontaminate_bloom",          # fixed-size bloom array rides a 1-row cross
     "data_quality_report",          # 1-row totals join (FK rule)
+    "quantile_normalize_scores",    # 1-row global-percentile-array join
+    "q15_top_supplier",             # 1-row scalar-max join
+    "resample_interpolate",         # per-user bounds ride 1-row-per-key sequences
+    "pack_efficiency",              # 1-row packing-rollup scalars
 }
 
 #: e2e queries that RUN streaming jobs / write files when invoked — their

@@ -3461,3 +3461,33 @@ def pack_efficiency(spark, sf_dir):
             F.sum("n_tokens") / ((F.max("bin_last") + 1).cast("double") * 2048), 6
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "lang_confusion_audit",
+    f"""
+    SELECT lang AS labeled, detected, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT doc_id, lang, {_langid_case()} AS detected FROM documents
+    ) GROUP BY labeled, detected
+    """,
+)
+def lang_confusion_audit(spark, sf_dir):
+    """Label-quality audit: confusion matrix between the corpus's stored
+    language label and the stopword-heuristic detector — the disagreement
+    cells are the mislabeled-metadata candidates a curation run reviews.
+    One map-side detection expression, one aggregate."""
+    docs = _spread(table(spark, sf_dir, "documents")).df
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled"),
+            text.language_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled", "detected")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from graphique_spark import streaming
 from graphique_spark.llm import dedup, multimodal, similarity, text
 from graphique_spark.suite import ORACLES, fround, query, table
 
@@ -3490,4 +3491,50 @@ def lang_confusion_audit(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
+    )
+
+
+@query(
+    "conversion_timing",
+    """
+    WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    firstconv AS (
+      SELECT c.user_id, c.event_id,
+             min(epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS lag_s
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id, c.event_id
+    )
+    SELECT user_id % 5 AS cohort, CAST(count(*) AS BIGINT) AS conversions,
+           floor(quantile_cont(lag_s, 0.5) * 10000 + 0.5) / 10000 AS p50_s,
+           floor(quantile_cont(lag_s, 0.9) * 10000 + 0.5) / 10000 AS p90_s
+    FROM firstconv GROUP BY cohort
+    """,
+)
+def conversion_timing(spark, sf_dir):
+    """Time-to-convert distribution: for each click, the lag to its FIRST
+    purchase within the hour (min over the interval-join matches), then
+    per-cohort p50/p90 — the latency half of funnel analysis. The interval
+    join is the watermark-bounded streaming shape run in batch."""
+    ev = table(spark, sf_dir, "events").df
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = streaming.interval_join(
+        clicks, purchases, keys=["user_id"], lower="0 seconds", upper="1 hour"
+    )
+    first = joined.groupBy("user_id", "event_id").agg(
+        (
+            F.min(F.unix_micros("r_ts") - F.unix_micros("ts")) / 1_000_000.0
+        ).alias("lag_s")
+    )
+    q = lambda p: fround(F.expr(f"percentile(lag_s, {p})"), 4)
+    return first.groupBy((F.col("user_id") % 5).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("conversions"),
+        q(0.5).alias("p50_s"),
+        q(0.9).alias("p90_s"),
     )

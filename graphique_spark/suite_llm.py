@@ -3538,3 +3538,94 @@ def conversion_timing(spark, sf_dir):
         q(0.5).alias("p50_s"),
         q(0.9).alias("p90_s"),
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*) OVER w AS n_win
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_flagged,
+           CAST(min(event_id) AS BIGINT) AS first_anomaly
+    FROM s
+    WHERE n_win >= 30 AND sigma > 0
+      AND abs(value - mu) > 3.5 * sigma
+    GROUP BY event_type
+    """,
+)
+def rolling_zscore_anomalies(spark, sf_dir):
+    """Streaming-style anomaly flags in batch: each value scored against
+    the TRAILING 100 observations of its own series (frame ends 1
+    PRECEDING, so a spike never masks itself), flagged beyond 3.5 sigma
+    once 30 observations warm the window. One partitioned sort, one
+    frame."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").df
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    return (
+        scored.where(
+            (F.col("n_win") >= 30)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3.5 * F.col("sigma"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+            F.min("event_id").cast("bigint").alias("first_anomaly"),
+        )
+    )
+
+
+@query(
+    "open_orders_backlog",
+    """
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders
+    ),
+    daily AS (SELECT day, sum(d) AS net FROM deltas GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def open_orders_backlog(spark, sf_dir):
+    """Concurrency counting (the interval-overlap-count pattern): each
+    order contributes +1 at start and -1 at its 30-day close; the daily
+    backlog is a running sum over the per-day NET deltas — O(days) window
+    rows after aggregation, never an interval self-join."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").df
+    opens = orders.select(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d"))
+    closes = orders.select(
+        F.date_add(F.to_date("o_orderdate"), 30).alias("day"), F.lit(-1).alias("d")
+    )
+    daily = opens.unionByName(closes).groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )

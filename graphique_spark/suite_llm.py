@@ -3629,3 +3629,34 @@ def open_orders_backlog(spark, sf_dir):
         F.col("day").cast("string").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@query(
+    "grouping_sets_report",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), '(all)') AS cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ((user_id % 4)), ())
+    """,
+)
+def grouping_sets_report(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-type totals, per-cohort totals, and the grand total from ONE scan
+    — Spark's Expand operator fans each row into its grouping sets before
+    the single aggregate; three separate GROUP BYs would scan three
+    times."""
+    ev = table(spark, sf_dir, "events").df
+    ev.createOrReplaceTempView("__gs_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(CAST(user_id % 4 AS STRING), '(all)') AS cohort,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(sum(value) * 100 + 0.5) / 100 AS total
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), ((user_id % 4)), ())
+        """
+    )

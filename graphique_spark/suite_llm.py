@@ -3660,3 +3660,117 @@ def grouping_sets_report(spark, sf_dir):
         GROUP BY GROUPING SETS ((event_type), ((user_id % 4)), ())
         """
     )
+
+
+@query(
+    "session_duration_stats",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id, ts
+      FROM ordered
+    ),
+    durations AS (
+      SELECT user_id, session_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS minutes,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           floor(quantile_cont(minutes, 0.5) * 10000 + 0.5) / 10000 AS p50_min,
+           floor(quantile_cont(minutes, 0.9) * 10000 + 0.5) / 10000 AS p90_min,
+           floor(avg(n_events) * 10000 + 0.5) / 10000 AS mean_events,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounce_sessions
+    FROM durations
+    """,
+)
+def session_duration_stats(spark, sf_dir):
+    """Session-quality rollup over gap-sessionization: duration
+    percentiles, mean depth, bounce count — the engagement numbers a
+    product dashboard reads. The sessionizer is the same lag/cumsum shape
+    the streaming session_window mirrors."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").df
+    lag_ts = F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(lag_ts) >= 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w))
+    durations = sessions.groupBy("user_id", "session_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60_000_000.0
+        ).alias("minutes"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    q = lambda p: fround(F.expr(f"percentile(minutes, {p})"), 4)
+    return durations.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        q(0.5).alias("p50_min"),
+        q(0.9).alias("p90_min"),
+        fround(F.avg("n_events"), 4).alias("mean_events"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("bigint").alias("bounce_sessions"),
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE pairs AS ({{_MINHASH_ORACLE}}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.7
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(min(component) AS BIGINT) AS first_cluster
+    FROM sizes GROUP BY sz
+    """.replace("{_MINHASH_ORACLE}", _MINHASH_ORACLE),
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution — the shape that distinguishes
+    a mirror problem (few giant clusters) from routine duplication (many
+    pairs): MinHash components rolled up to a size histogram."""
+    docs = table(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.7
+    )
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.min("component").cast("bigint").alias("first_cluster"),
+    )

@@ -404,9 +404,11 @@ def phash_near_dups(
     bands: int = 4,
     id_col: str = "doc_id",
     max_band_freq: int | None = None,
+    bits: int = 56,
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over dHash values,
-    EXACT w.r.t. ``max_hamming`` via pigeonhole banding: the 56 bits split
+    EXACT w.r.t. ``max_hamming`` via pigeonhole banding: the ``bits`` split
     into ``bands`` contiguous bands; two hashes within ``max_hamming``
     differing bits must agree on at least one whole band whenever
     ``max_hamming < bands``, so the band equi-join loses nothing
@@ -426,9 +428,9 @@ def phash_near_dups(
             f"exactness needs max_hamming < bands (got {max_hamming} >= {bands}): "
             "a pair could differ in every band and never collide"
         )
-    width_bits = 56 // bands
+    width_bits = bits // bands
     mask = (1 << width_bits) - 1
-    ids = hashes.select(F.col(id_col), "dhash")
+    ids = hashes.select(F.col(id_col), F.col(hash_col).alias("dhash"))
     distinct_h = ids.select("dhash").distinct()
     bandvals = F.array(
         *[

@@ -3774,3 +3774,39 @@ def dedup_cluster_sizes(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.min("component").cast("bigint").alias("first_cluster"),
     )
+
+
+@query(
+    "simhash_near_pairs",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    votes AS (
+      SELECT doc_id,
+      {_bit_votes}
+      FROM ex GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, CAST({_bit_sum} AS BIGINT) AS simhash FROM votes)
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(id_a) AS BIGINT) AS first_a
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    GROUP BY hamming
+    """,
+)
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs through the SAME pigeonhole Hamming-banding
+    operator the image dHash path uses (bits=16, bands=4, hamming<=3 —
+    provably no candidate loss): one operator, two modalities. The oracle
+    brute-forces all pairs."""
+    docs = table(spark, sf_dir, "documents").df
+    hashes = dedup.simhash_table(docs, bits=_BITS)
+    pairs = multimodal.phash_near_dups(
+        hashes, max_hamming=3, bands=4, bits=_BITS, hash_col="simhash"
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("id_a").cast("bigint").alias("first_a"),
+    )

@@ -3810,3 +3810,100 @@ def simhash_near_pairs(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.min("id_a").cast("bigint").alias("first_a"),
     )
+
+
+@query(
+    "pareto_abc_classes",
+    """
+    WITH per AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, spend,
+             sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(spend) OVER () AS total
+      FROM per
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
+           floor(sum(spend) * 100 + 0.5) / 100 AS revenue,
+           floor(sum(spend) / max(total) * 1000000 + 0.5) / 1000000 AS share
+    FROM (
+      SELECT spend, total,
+             CASE WHEN cum / total <= 0.8 THEN 'A'
+                  WHEN cum / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked
+    ) GROUP BY cls
+    """,
+)
+def pareto_abc_classes(spark, sf_dir):
+    """Pareto/ABC classification (the 80/15/5 revenue-concentration
+    report): customers ranked by spend, classed by cumulative share. The
+    rank runs over the per-customer rollup (range partitioner at scale),
+    never raw orders."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").df
+    per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    cum_w = (
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy()
+    ranked = per.select(
+        "spend",
+        F.sum("spend").over(cum_w).alias("cum"),
+        F.sum("spend").over(tot_w).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("cls", cls)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            fround(F.sum("spend"), 2).alias("revenue"),
+            fround(F.sum("spend") / F.max("total"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "sla_compliance",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS within_sla,
+           floor(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS sla_rate
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sla_compliance(spark, sf_dir):
+    """SLA compliance by priority (ship within 45 days of order): one
+    shuffle join, conditional counts inside the partial aggregate — the
+    operations-dashboard staple."""
+    orders = table(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_shipdate")
+    ok = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(ok.cast("long")).cast("bigint").alias("within_sla"),
+            fround(F.sum(ok.cast("long")) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "sla_rate"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

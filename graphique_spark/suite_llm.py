@@ -3907,3 +3907,125 @@ def sla_compliance(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "topn_with_others",
+    """
+    WITH per AS (
+      SELECT n_name, sum(c_acctbal) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    ranked AS (
+      SELECT n_name, bal,
+             row_number() OVER (ORDER BY bal DESC, n_name) AS rn
+      FROM per
+    )
+    SELECT CASE WHEN rn <= 5 THEN n_name ELSE '(others)' END AS nation,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           floor(sum(bal) * 100 + 0.5) / 100 AS bal
+    FROM ranked
+    GROUP BY CASE WHEN rn <= 5 THEN n_name ELSE '(others)' END
+    """,
+)
+def topn_with_others(spark, sf_dir):
+    """Top-N + '(others)' rollup — every dashboard's pie chart: rank over
+    the small aggregate, fold the tail into one bucket with a second tiny
+    aggregate. No raw-row windows."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer").df
+    nation = table(spark, sf_dir, "nation").df
+    per = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("bal").desc(), F.col("n_name")))
+    return (
+        per.withColumn("rn", rn)
+        .withColumn("nation", F.when(F.col("rn") <= 5, F.col("n_name")).otherwise("(others)"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+            fround(F.sum("bal"), 2).alias("bal"),
+        )
+    )
+
+
+@query(
+    "yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS y,
+             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+      FROM orders GROUP BY y
+    )
+    SELECT y, revenue,
+           floor(coalesce((revenue - lag(revenue) OVER (ORDER BY y))
+                          / lag(revenue) OVER (ORDER BY y), 0.0)
+                 * 1000000 + 0.5) / 1000000 AS yoy
+    FROM yearly
+    """,
+)
+def yoy_growth(spark, sf_dir):
+    """Year-over-year growth: lag over the 7-row yearly aggregate — the
+    window never touches raw orders."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").df
+    yearly = orders.groupBy(F.year("o_orderdate").alias("y")).agg(
+        fround(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    prev = F.lag("revenue").over(Window.orderBy("y"))
+    return yearly.select(
+        "y",
+        "revenue",
+        fround(
+            F.coalesce((F.col("revenue") - prev) / prev, F.lit(0.0)), 6
+        ).alias("yoy"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n,
+           floor(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: P(next event type |
+    current) per user journey — the Markov-chain summary behind
+    next-action prediction baselines. One per-user window for the lead,
+    one 25-cell aggregate, probabilities from a window over the
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").df
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    )
+    pairs = (
+        ev.select(F.col("event_type").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_total = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        fround(F.col("n") / F.sum("n").over(row_total).cast("double"), 6).alias("p"),
+    )

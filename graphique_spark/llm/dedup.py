@@ -1005,3 +1005,52 @@ def containment_pairs(
         .filter(F.col("containment") >= t)
         .select("id_in", "id_out", "containment")
     )
+
+
+def corpus_overlap_matrix(
+    df: DataFrame,
+    by: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Pairwise MinHash-overlap estimates between EVERY group of ``by`` —
+    the cross-source contamination matrix a dataset registry renders —
+    from ONE scan: per-doc permutation mins aggregate to one signature row
+    per group (min per group per permutation), and the group×group match
+    counting happens over that tiny table. A 20-source corpus costs one
+    pass + a 20×20 in-memory join, not 190 pairwise scans. Returns
+    (src_a, src_b, n_matches, jaccard_est) for src_a < src_b."""
+    sigs = _signatures(
+        df.select(F.col(by).alias("__grp"), F.col(id_col), F.col(text)),
+        text,
+        id_col,
+        k,
+        num_hashes,
+    )
+    flags = df.select(F.col(id_col).alias("id"), F.col(by).alias("__grp"))
+    per_doc = sigs.join(flags, on="id")
+    per_grp = per_doc.groupBy("__grp").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    a = per_grp.select(
+        F.col("__grp").alias("src_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = per_grp.select(
+        F.col("__grp").alias("src_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(num_hashes)
+    )
+    return (
+        a.join(b, a["src_a"] < b["src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            matches.alias("n_matches"),
+            (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+    )

@@ -4029,3 +4029,31 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         fround(F.col("n") / F.sum("n").over(row_total).cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    tagged AS (
+      SELECT d.source, ex.h FROM ex JOIN documents d ON ex.doc_id = d.doc_id
+    ),
+    sig AS (SELECT source, {_CORPUS_MINS} FROM tagged GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(32))}
+                  AS BIGINT) AS n_matches
+      FROM sig a JOIN sig b ON a.source < b.source
+    )
+    SELECT src_a, src_b, n_matches, n_matches / 32.0 AS jaccard_est
+    FROM pairs
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """The cross-source contamination matrix: pairwise shingle-set overlap
+    estimates between every source pair from ONE scan — per-source MinHash
+    signatures (a conditional-min aggregate) then a tiny signature
+    self-join; 20 sources never cost 190 scans. Deterministic md5
+    permutations make every cell oracle-checkable."""
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.corpus_overlap_matrix(docs, by="source", num_hashes=32)

@@ -4057,3 +4057,39 @@ def source_overlap_matrix(spark, sf_dir):
     permutations make every cell oracle-checkable."""
     docs = table(spark, sf_dir, "documents").df
     return dedup.corpus_overlap_matrix(docs, by="source", num_hashes=32)
+
+
+@query(
+    "new_vs_returning_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM daily d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+)
+def new_vs_returning_users(spark, sf_dir):
+    """Daily new-vs-returning split (the growth-accounting staple): first
+    activity per user is one aggregate; the classification join rides it
+    back (AQE broadcasts the user dimension when it fits)."""
+    ev = table(spark, sf_dir, "events").df
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    joined = daily.join(firsts, on="user_id")
+    return joined.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("long"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum((F.col("day") > F.col("first_day")).cast("long"))
+        .cast("bigint")
+        .alias("returning_users"),
+    )

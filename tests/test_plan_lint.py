@@ -43,6 +43,8 @@ NLJ_WHITELIST = {
     "q15_top_supplier",             # 1-row scalar-max join
     "resample_interpolate",         # per-user bounds ride 1-row-per-key sequences
     "pack_efficiency",              # 1-row packing-rollup scalars
+    "source_overlap_matrix",        # #groups-row signature self-join (non-equi
+                                    # by design: every pair of ~20 sources)
 }
 
 #: e2e queries that RUN streaming jobs / write files when invoked — their

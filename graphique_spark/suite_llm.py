@@ -4093,3 +4093,95 @@ def new_vs_returning_users(spark, sf_dir):
         .cast("bigint")
         .alias("returning_users"),
     )
+
+
+@query(
+    "corpus_novelty",
+    """
+    WITH grams AS (
+      SELECT doc_id, doc_id % 3 = 0 AS is_new,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+             ))) AS g
+      FROM documents
+    ),
+    base AS (SELECT DISTINCT g FROM grams WHERE NOT is_new),
+    scored AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS n_novel
+      FROM grams LEFT JOIN base b USING (g)
+      WHERE is_new GROUP BY doc_id
+    )
+    SELECT CAST(floor(n_novel * 10.0 / n_grams) AS BIGINT) AS novelty_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM scored GROUP BY novelty_decile
+    """,
+)
+def corpus_novelty(spark, sf_dir):
+    """Incremental-crawl novelty: what fraction of each NEW document's
+    3-grams was never seen in the base corpus — the per-doc version of the
+    registry's 'is this dump worth ingesting' question (drift is
+    corpus-level; this ranks documents). Both sides hash nothing here so
+    the SQL oracle stays exact; at scale the gram key becomes hash60 like
+    decontamination. Rolled into novelty deciles."""
+    docs = table(spark, sf_dir, "documents").df
+    is_new = F.col("doc_id") % 3 == 0
+    grams = docs.select(
+        "doc_id",
+        is_new.alias("is_new"),
+        F.explode(dedup.word_ngrams(F.col("text"), 3)).alias("g"),
+    )
+    base = grams.where(~F.col("is_new")).select("g").distinct()
+    scored = (
+        grams.where(F.col("is_new"))
+        .join(base.withColumn("__seen", F.lit(1)), on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
+        )
+    )
+    return scored.groupBy(
+        F.floor(F.col("n_novel") * 10.0 / F.col("n_grams"))
+        .cast("bigint")
+        .alias("novelty_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
+    "truncation_loss",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(t, 128)) AS BIGINT) AS tokens_kept,
+           CAST(sum(greatest(t - 128, 0)) AS BIGINT) AS tokens_lost,
+           floor(sum(greatest(t - 128, 0)) / CAST(sum(t) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS loss_frac
+    FROM (
+      SELECT source, len(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def truncation_loss(spark, sf_dir):
+    """Context-window truncation waste: tokens beyond a 128-token max per
+    document, rolled up per source — the number that decides between
+    truncating and chunking a source. Pure map-side arithmetic + one
+    aggregate."""
+    docs = table(spark, sf_dir, "documents").df
+    t = text.token_count(F.col("text"))
+    return docs.select("source", t.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.least(F.col("t"), F.lit(128))).cast("bigint").alias("tokens_kept"),
+        F.sum(F.greatest(F.col("t") - 128, F.lit(0))).cast("bigint").alias("tokens_lost"),
+        fround(
+            F.sum(F.greatest(F.col("t") - 128, F.lit(0)))
+            / F.sum("t").cast("double"),
+            6,
+        ).alias("loss_frac"),
+    )

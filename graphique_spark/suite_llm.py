@@ -4185,3 +4185,76 @@ def truncation_loss(spark, sf_dir):
             6,
         ).alias("loss_frac"),
     )
+
+
+@query(
+    "quality_length_correlation",
+    f"""
+    WITH w AS ({{_QUALITY_CTE}}),
+    f AS (
+      SELECT source, CAST(length(text) AS DOUBLE) AS len,
+             floor(1.0 / (1.0 + exp(-((-3.0)
+               + 0.5 * ln(CAST(length(text) AS DOUBLE) + 1.0)
+               + 6.0 * (CASE WHEN tokens = 0 THEN 0.0
+                             ELSE CAST(stop_hits AS DOUBLE) / tokens END)
+               - 8.0 * (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)
+               - 0.3 * abs((CASE WHEN len(words) = 0 THEN 0.0
+                                 ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                                      / len(words) END) - 5.0))))
+               * 10000 + 0.5) AS q
+      FROM w
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           floor(corr(q, len) * 1000000 + 0.5) / 1000000 AS quality_length_corr
+    FROM f GROUP BY source
+    """.replace("{_QUALITY_CTE}", _QUALITY_CTE),
+)
+def quality_length_correlation(spark, sf_dir):
+    """Does longer mean better, per source? Pearson correlation between
+    the quality score and document length inside each source — grouped
+    algebraic moments, one aggregate pass (a strong positive corr usually
+    means the quality model is just measuring length)."""
+    docs = _spread(table(spark, sf_dir, "documents")).df
+    q = F.floor(text.logistic_quality(F.col("text")) * 10000.0 + F.lit(0.5))
+    return (
+        docs.select("source", q.alias("q"), F.length("text").cast("double").alias("len"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fround(F.corr("q", "len"), 6).alias("quality_length_corr"),
+        )
+    )
+
+
+@query(
+    "hourly_seasonality",
+    """
+    WITH per AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) AS h, count(*) AS n FROM events GROUP BY h
+    ),
+    t AS (SELECT sum(n) AS total FROM per)
+    SELECT h, CAST(n AS BIGINT) AS n,
+           floor(n / (t.total / 24.0) * 1000000 + 0.5) / 1000000
+             AS seasonality_index
+    FROM per, t ORDER BY h
+    """,
+)
+def hourly_seasonality(spark, sf_dir):
+    """Diurnal seasonality index: each hour's event share relative to a
+    uniform clock (index 1.0 = flat) — the profile capacity planning and
+    anomaly baselines read. 24-row aggregate; the total rides as a lazy
+    scalar."""
+    ev = table(spark, sf_dir, "events").df
+    per = ev.groupBy(F.hour("ts").alias("h")).agg(F.count(F.lit(1)).alias("n"))
+    total = per.agg(F.sum("n").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "h",
+            F.col("n").cast("bigint").alias("n"),
+            fround(F.col("n") / (F.col("total") / 24.0), 6).alias("seasonality_index"),
+        )
+        .orderBy("h")
+    )

@@ -4258,3 +4258,73 @@ def hourly_seasonality(spark, sf_dir):
         )
         .orderBy("h")
     )
+
+
+@query(
+    "price_consistency_audit",
+    """
+    SELECT p_partkey, CAST(n AS BIGINT) AS n,
+           floor(cv * 1000000 + 0.5) / 1000000 AS cv
+    FROM (
+      SELECT l_partkey AS p_partkey, count(*) AS n,
+             stddev_samp(l_extendedprice / l_quantity)
+               / avg(l_extendedprice / l_quantity) AS cv
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+    ) ORDER BY cv DESC, p_partkey LIMIT 15
+    """,
+)
+def price_consistency_audit(spark, sf_dir):
+    """Pricing-consistency audit: parts whose unit price varies most
+    across line items (coefficient of variation over algebraic moments),
+    min support 20 — the catalog-anomaly sweep. One aggregate, heap
+    top-15 on the rounded CV."""
+    li = table(spark, sf_dir, "lineitem").df
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    per = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.stddev_samp(unit) / F.avg(unit)).alias("cv"),
+        )
+        .where(F.col("n") >= 20)
+    )
+    return (
+        per.select(
+            "p_partkey",
+            F.col("n").cast("bigint").alias("n"),
+            fround(F.col("cv"), 6).alias("cv"),
+        )
+        .orderBy(F.col("cv").desc(), "p_partkey")
+        .limit(15)
+    )
+
+
+@query(
+    "spend_lognormal_fit",
+    """
+    WITH per AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(avg(ln(spend)) * 1000000 + 0.5) / 1000000 AS mu_log,
+           floor(stddev_samp(ln(spend)) * 1000000 + 0.5) / 1000000 AS sigma_log,
+           floor(exp(avg(ln(spend))) * 100 + 0.5) / 100 AS geometric_mean,
+           floor(avg(spend) * 100 + 0.5) / 100 AS arithmetic_mean
+    FROM per WHERE spend > 0
+    """,
+)
+def spend_lognormal_fit(spark, sf_dir):
+    """Log-normal fit of per-customer spend (mu/sigma of ln, geometric vs
+    arithmetic mean) — the two parameters a simulator or an anomaly
+    threshold needs for a heavy-tailed metric; the geo/arith gap is the
+    skewness tell. Algebraic moments only."""
+    orders = table(spark, sf_dir, "orders").df
+    per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    ln = F.log("spend")
+    return per.where(F.col("spend") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fround(F.avg(ln), 6).alias("mu_log"),
+        fround(F.stddev_samp(ln), 6).alias("sigma_log"),
+        fround(F.exp(F.avg(ln)), 2).alias("geometric_mean"),
+        fround(F.avg("spend"), 2).alias("arithmetic_mean"),
+    )

@@ -45,6 +45,7 @@ NLJ_WHITELIST = {
     "pack_efficiency",              # 1-row packing-rollup scalars
     "source_overlap_matrix",        # #groups-row signature self-join (non-equi
                                     # by design: every pair of ~20 sources)
+    "hourly_seasonality",           # 1-row total join
 }
 
 #: e2e queries that RUN streaming jobs / write files when invoked — their

@@ -4328,3 +4328,74 @@ def spend_lognormal_fit(spark, sf_dir):
         fround(F.exp(F.avg(ln)), 2).alias("geometric_mean"),
         fround(F.avg("spend"), 2).alias("arithmetic_mean"),
     )
+
+
+@query(
+    "order_size_distribution",
+    """
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(avg(order_value) * 100 + 0.5) / 100 AS avg_value
+    FROM (
+      SELECT l_orderkey, count(*) AS n_lines, sum(l_extendedprice) AS order_value
+      FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY n_lines
+    """,
+)
+def order_size_distribution(spark, sf_dir):
+    """Order-size histogram (lines per order x average value): the
+    double-aggregation shape — per-order rollup, then a distribution over
+    the rollup. The second aggregate sees orders, never line items."""
+    li = table(spark, sf_dir, "lineitem").df
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_extendedprice").alias("order_value"),
+    )
+    return per.groupBy(F.col("n_lines").cast("bigint").alias("n_lines")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        fround(F.avg("order_value"), 2).alias("avg_value"),
+    )
+
+
+@query(
+    "repurchase_interval",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP))
+               - lag(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap_us
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+           floor(quantile_cont(gap_us / 86400000000.0, 0.5) * 10000 + 0.5) / 10000
+             AS p50_days,
+           floor(quantile_cont(gap_us / 86400000000.0, 0.9) * 10000 + 0.5) / 10000
+             AS p90_days,
+           floor(avg(gap_us / 86400000000.0) * 10000 + 0.5) / 10000 AS mean_days
+    FROM seq WHERE gap_us IS NOT NULL
+    """,
+)
+def repurchase_interval(spark, sf_dir):
+    """Repurchase-cadence distribution: per-customer gaps between
+    consecutive orders (one partitioned lag window), then interval
+    percentiles — the lifecycle number behind churn thresholds and
+    replenishment forecasts."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").df
+    ts = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    gap = ts - F.lag(ts).over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    seq = orders.select((gap / 86_400_000_000.0).alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    q = lambda p: fround(F.expr(f"percentile(gap_days, {p})"), 4)
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        q(0.5).alias("p50_days"),
+        q(0.9).alias("p90_days"),
+        fround(F.avg("gap_days"), 4).alias("mean_days"),
+    )

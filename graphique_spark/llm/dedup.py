@@ -128,6 +128,7 @@ def _signatures(
     id_col: str,
     k: int,
     num_hashes: int,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, hs, m0..m{n-1}): distinct hashed-shingle set + the MinHash
     values as SEPARATE columns. Keeping the minhashes as per-column
@@ -149,9 +150,10 @@ def _signatures(
         ).alias(f"m{i}")
         for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
     ]
-    return df.select(F.col(id_col).alias("id"), hashed.alias("hs")).select(
-        "id", "hs", *mins
-    )
+    extra = list(carry or [])
+    return df.select(
+        F.col(id_col).alias("id"), *extra, hashed.alias("hs")
+    ).select("id", *extra, "hs", *mins)
 
 
 def _band_key_array(num_hashes: int, bands: int) -> Column:
@@ -500,7 +502,10 @@ def connected_components(
     ``method="auto"`` (default) first tries the bounded small-graph fast
     path (driver union-find over a ``graphique.cc.smallGraphEdges``-capped
     edge collect — the broadcast-join-threshold analogue), falling back to
-    ``"label"`` when the graph exceeds the cap.
+    ``"label"`` when the graph exceeds the cap, and escalating from label
+    to ``"star"`` after ``graphique.cc.labelEscalateRounds`` (default 8)
+    non-converged rounds — so auto is safe unattended on deep-chain graphs
+    instead of spinning ``max_iterations`` label rounds and raising.
 
     Two distributed algorithms behind the same interface:
 
@@ -563,6 +568,18 @@ def connected_components(
             ).schema
             return edges.sparkSession.createDataFrame(labels, schema=schema)
         method = "label"
+        # Auto mode must be safe UNATTENDED on adversarial graphs: label
+        # propagation needs diameter rounds, so a deep chain (mirror-heavy
+        # crawls produce them) would exhaust max_iterations and raise. Cap
+        # the label rounds and escalate to the O(log n) star algorithm
+        # instead of failing — the common shallow near-dup graph still
+        # converges in its first few cheap label rounds and never pays the
+        # star constant.
+        escalate_after = int(
+            edges.sparkSession.conf.get("graphique.cc.labelEscalateRounds", "8")
+        )
+    else:
+        escalate_after = None
     if method == "star":
         return _star_components(edges, max_iterations, materialize)
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
@@ -570,7 +587,7 @@ def connected_components(
     )
     if not labels.limit(1).count():
         return labels
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["v"])
             .groupBy("a")
@@ -588,6 +605,11 @@ def connected_components(
         labels = merged.select("v", "component")
         if not changed:
             return labels
+        if escalate_after is not None and rnd + 1 >= escalate_after:
+            # still not converged after the auto-mode label budget: the
+            # graph is deeper than a typical near-dup graph — switch to
+            # large/small-star, whose round count is O(log n) not diameter
+            return _star_components(edges, max_iterations, materialize)
     # rounds = diameter for label propagation: exhausting the budget means
     # unconverged labels, which would silently mislabel deep chains.
     raise RuntimeError(
@@ -1022,15 +1044,18 @@ def corpus_overlap_matrix(
     counting happens over that tiny table. A 20-source corpus costs one
     pass + a 20×20 in-memory join, not 190 pairwise scans. Returns
     (src_a, src_b, n_matches, jaccard_est) for src_a < src_b."""
-    sigs = _signatures(
+    # the group label rides THROUGH the signature projection (carry=) —
+    # re-attaching it afterwards by joining on id silently fans out and
+    # cross-contaminates signatures whenever doc_id values repeat across
+    # groups (per-source tables often reuse per-source ids)
+    per_doc = _signatures(
         df.select(F.col(by).alias("__grp"), F.col(id_col), F.col(text)),
         text,
         id_col,
         k,
         num_hashes,
+        carry=["__grp"],
     )
-    flags = df.select(F.col(id_col).alias("id"), F.col(by).alias("__grp"))
-    per_doc = sigs.join(flags, on="id")
     per_grp = per_doc.groupBy("__grp").agg(
         *[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)]
     )

@@ -241,20 +241,33 @@ def decode_image_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_images(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    skip_invalid: bool = False,
 ) -> DataFrame:
     """Decode image blobs (PPM/BMP native; JPEG/PNG via Pillow when
     present — see :func:`decode_image_blob`) to metadata + real
     pixel-statistic features via ``mapInPandas`` (Arrow-batched; one Python
     roundtrip per batch, not per row). Features:
-    [mean_r, mean_g, mean_b, min, max] scaled to [0, 1]."""
+    [mean_r, mean_g, mean_b, min, max] scaled to [0, 1].
+
+    ``skip_invalid=True`` drops undecodable blobs instead of failing the
+    job — at 100 TB one truncated crawl image must not kill the stage; the
+    dropped count is the input count minus the output count (both cheap),
+    and the survivors' values are identical to the strict mode's."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob)
-                width, height, pixels = decode_image_blob(blob)
+                try:
+                    width, height, pixels = decode_image_blob(blob)
+                except ValueError:
+                    if skip_invalid:
+                        continue
+                    raise
                 means = pixels.reshape(-1, 3).mean(axis=0) / 255.0
                 features = [*means, pixels.min() / 255.0, pixels.max() / 255.0]
                 rows.append((doc_id, len(blob), width, height, 3, features))

@@ -224,6 +224,60 @@ def knn_join(
     )
 
 
+def ivf_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Batch IVF ANN join: the approximate counterpart of :func:`knn_join`
+    for a trained centroid table (:func:`fit_centroids`). Corpus rows get
+    their nearest-centroid cell as a pure map-side expression over the
+    centroid literals; each query explodes into its ``nprobe`` closest
+    cells the same way; the two sides then meet on an EQUI-join on the
+    cell, so scored pairs are ~|corpus| * nprobe / n_cells instead of the
+    exact join's |corpus| * |queries| — the difference between linear and
+    quadratic when the query set is itself large. The query side broadcasts
+    (queries * nprobe rows); the corpus never shuffles.
+    Returns (query_id, vec_id, cosine) with rank <= k per query."""
+    cells = []
+    for cid, cvec in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        cells.append(
+            F.struct(
+                cosine_similarity(F.col(vec_col), cv).alias("s"),
+                F.lit(int(cid)).alias("c"),
+            )
+        )
+    nearest = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
+    # per-query probe list: rank every centroid by similarity, keep nprobe
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(F.array(*cells))), 1, int(nprobe)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(probe_arr, lambda s: s["c"])).alias("__cell"),
+    )
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), nearest.alias("__cell")
+    )
+    scored = assigned.join(F.broadcast(q), on="__cell").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

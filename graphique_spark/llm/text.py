@@ -619,6 +619,70 @@ def unigram_lm_scores(df, text: str = "text", id_col: str = "doc_id"):
     )
 
 
+def bigram_lm_scores(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+):
+    """Interpolated bigram LM perplexity (Jelinek-Mercer smoothing, the
+    KenLM-style backoff CCNet filtering actually uses): per bigram position
+    ``p(w|prev) = lam * c(prev,w)/c(prev) + (1-lam) * p_uni(w)`` with the
+    add-one-smoothed unigram as the backoff, trained on the corpus itself.
+    Each document scores its mean bigram negative-log-likelihood. Captures
+    local fluency the unigram model (:func:`unigram_lm_scores`) can't:
+    shuffled common words score well under unigrams but terribly here.
+    Returns (id, n_bigrams, nll); docs with fewer than 2 tokens drop out.
+
+    Scale shape: bigrams come out of one map-side ``slice``+``arrays_zip``
+    over the token array (no positional self-join); the model is three
+    map-side-combinable count aggregates (bigram, context, unigram) over
+    slim string rows; scoring is three equi-joins on the bigram stream left
+    unhinted because web-scale vocabularies can exceed executor memory
+    (AQE broadcasts when they fit). Only the two unigram-model scalars
+    (T, V) touch the driver."""
+    from graphique_spark.llm.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0)
+        ).alias("__t"),
+    )
+    uni = toks.select(F.explode("__t").alias("w"))
+    vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total, vsize = vocab.agg(F.sum("cu"), F.count(F.lit(1))).first()
+    bi = (
+        toks.where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, F.size("__t") - 1).alias("prev"),
+                    F.slice("__t", 2, F.size("__t") - 1).alias("w"),
+                )
+            ).alias("__z"),
+        )
+        .select(F.col(id_col), F.col("__z.prev").alias("prev"), F.col("__z.w").alias("w"))
+    )
+    c2 = bi.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    p_uni = (F.col("cu") + 1.0) / F.lit(float(total + vsize))
+    p = F.lit(float(lam)) * (F.col("c2") / F.col("c1")) + F.lit(1.0 - lam) * p_uni
+    return (
+        bi.join(c2, on=["prev", "w"])
+        .join(c1, on="prev")
+        .join(vocab, on="w")
+        .withColumn("__lp", F.log(p))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__lp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+
+
 def assign_split(col, weights: tuple[float, ...] = (0.98, 0.01, 0.01),
                  names: tuple[str, ...] = ("train", "val", "test")):
     """Deterministic train/val/test assignment from a row id: the id's

@@ -55,6 +55,14 @@ def apply_cdc(
             *[F.col(f"_st.{c}").alias(c) for c in payload],
         )
     )
-    untouched = base.join(latest.select(*keys), on=keys, how="anti")
+    # null-safe key equality: a plain on=keys anti-join never matches null
+    # key values, so ops against null-keyed rows would silently not apply.
+    # EqualNullSafe is still a hash-joinable equi-key (no NLJ risk).
+    touched_keys = latest.select(*keys)
+    cond = None
+    for k in keys:
+        term = base[k].eqNullSafe(touched_keys[k])
+        cond = term if cond is None else cond & term
+    untouched = base.join(touched_keys, on=cond, how="anti")
     upserts = latest.where(F.col("_op") != DELETE).select(*base.columns)
     return untouched.unionByName(upserts)

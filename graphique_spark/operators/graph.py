@@ -70,6 +70,13 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # materializes e + nodes; contrib reuses cached e
+    if n == 0:
+        # empty edge frame: no nodes to rank (base would divide by zero);
+        # limit(0) keeps the node column's type from the input edges
+        empty = nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        for cached in (e, contrib_edges, nodes):
+            cached.unpersist()
+        return empty
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", "has_out", F.lit(1.0 / n).alias("rank"))

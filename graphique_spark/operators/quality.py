@@ -72,6 +72,12 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     (rule, kind, violations, checked, passed) — one row per rule, ordered
     as given. Row-local rules share a single scan."""
     spark = df.sparkSession
+    if not rules:
+        return spark.createDataFrame(
+            [],
+            "rule string, kind string, violations bigint, "
+            "checked bigint, passed boolean",
+        )
     local = [r for r in rules if r.kind not in ("unique", "foreign_key")]
     reports: list[DataFrame] = []
     if local:

@@ -93,6 +93,15 @@ def skew_report(
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     total, n_keys = counts.agg(F.sum("n"), F.count(F.lit(1))).first()
     heavy = top_k(counts, ["-n", *keys], top, ())
+    if not n_keys:
+        # no rows -> no keys: return the empty report with the full schema
+        # instead of float(None) blowing up below
+        return heavy.select(
+            *keys,
+            "n",
+            F.lit(0.0).alias("share"),
+            F.lit(0.0).alias("skew_ratio"),
+        )
     mean = float(total) / float(n_keys)
     return heavy.select(
         *keys,

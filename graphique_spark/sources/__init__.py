@@ -490,7 +490,12 @@ def write_with_manifest(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(dest)
-    manifest = table_checksum(df, [partition_by] if partition_by else [])
+    # checksum the BYTES WRITTEN, not the input plan: re-executing df for
+    # the manifest would describe a second run of the plan, which diverges
+    # from the files on disk if the plan is nondeterministic or a source
+    # changed between the two jobs — defeating verify_manifest
+    written = df.sparkSession.read.parquet(dest)
+    manifest = table_checksum(written, [partition_by] if partition_by else [])
     manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
 
 

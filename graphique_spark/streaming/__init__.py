@@ -461,17 +461,50 @@ def cdc_sink(
             "its old row in an untouched partition)"
         )
 
+    def partition_dirname(spark, value) -> str:
+        """Directory name Spark's dynamic-partition writer creates for
+        ``part=value``: the value is rendered by a SQL cast-to-string in
+        the session timezone, nulls become the Hive default-partition
+        sentinel, and both name and value go through Spark's own
+        ``ExternalCatalogUtils.escapePathName`` — a raw Python
+        f"{part}={value}" mismatches for special characters, nulls, and
+        date/timestamp formatting, silently stranding deleted rows."""
+        utils = (
+            spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils
+        )
+        if value is None:
+            escaped = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            escaped = utils.escapePathName(value)
+        return f"{utils.escapePathName(part)}={escaped}"
+
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            touched = [r[0] for r in batch.select(part).distinct().collect()]
+            # collect partition values as Spark-rendered STRINGS (the cast
+            # matches what the partitioned write puts in the path), keyed
+            # alongside the raw value for the isin() pushdown below
+            touched_rows = (
+                batch.select(
+                    F.col(part).alias("__raw"),
+                    F.col(part).cast("string").alias("__str"),
+                )
+                .distinct()
+                .collect()
+            )
+            touched = [r["__raw"] for r in touched_rows]
             if not touched:
                 return
             payload = [c for c in batch.columns if c not in (seq_col, op_col)]
             existing = read_parquet_if_exists(spark, dest)
             if existing is not None:
-                base = existing.where(F.col(part).isin(touched)).select(payload)
+                # isin([None]) is never true — null partitions need isNull
+                cond = F.col(part).isin([v for v in touched if v is not None])
+                if any(v is None for v in touched):
+                    cond = cond | F.col(part).isNull()
+                base = existing.where(cond).select(payload)
             else:
                 base = batch.select(payload).limit(0)
             # materialize before overwriting dest: the merged plan reads
@@ -488,14 +521,22 @@ def cdc_sink(
                 .parquet(dest)
             )
             # partitions whose every row was deleted never appear in the
-            # dynamic-overwrite output — drop their directories explicitly
-            survivors = {r[0] for r in merged.select(part).distinct().collect()}
-            dead = [p for p in touched if p not in survivors]
+            # dynamic-overwrite output — drop their directories explicitly,
+            # matching on the Spark-rendered string form (None survives the
+            # cast as None on both sides, so null partitions compare too)
+            survivors = {
+                r[0]
+                for r in merged.select(F.col(part).cast("string"))
+                .distinct()
+                .collect()
+            }
+            dead = [r["__str"] for r in touched_rows if r["__str"] not in survivors]
             if dead and existing is not None:
                 jvm = spark.sparkContext._jvm
                 conf = spark.sparkContext._jsc.hadoopConfiguration()
                 for p in dead:
-                    path = jvm.org.apache.hadoop.fs.Path(f"{dest}/{part}={p}")
+                    dirname = partition_dirname(spark, p)
+                    path = jvm.org.apache.hadoop.fs.Path(f"{dest}/{dirname}")
                     fs = path.getFileSystem(conf)
                     fs.delete(path, True)
         finally:

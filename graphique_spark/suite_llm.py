@@ -4399,3 +4399,99 @@ def repurchase_interval(spark, sf_dir):
         q(0.9).alias("p90_days"),
         fround(F.avg("gap_days"), 4).alias("mean_days"),
     )
+
+
+# --- round 6: interpolated bigram LM + trained-centroid IVF ------------------
+
+
+@query(
+    "lm_bigram_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS cu
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    model AS (SELECT sum(cu) AS total, count(*) AS v FROM vocab),
+    bi AS (
+      SELECT doc_id, z[1] AS prev, z[2] AS w
+      FROM (SELECT doc_id, unnest(list_zip(t[1:-2], t[2:])) AS z
+            FROM toks WHERE len(t) >= 2)
+    ),
+    c2 AS (SELECT prev, w, count(*) AS c2 FROM bi GROUP BY prev, w),
+    c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+    nll AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             -sum(ln(0.7 * (c2.c2 / c1.c1)
+                     + 0.3 * ((vocab.cu + 1.0) / (model.total + model.v))))
+               / count(*) AS nll
+      FROM bi JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+              JOIN vocab ON bi.w = vocab.w, model
+      GROUP BY doc_id
+    )
+    SELECT CAST(floor(nll * 10 + 0.5) / 10 AS DOUBLE) AS nll_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM nll GROUP BY nll_bucket
+    """,
+)
+def lm_bigram_perplexity(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram LM (lambda=0.7, add-one unigram
+    backoff) trained on the corpus itself — the KenLM-style local-fluency
+    signal `lm_perplexity`'s unigram model can't see (shuffled common
+    words score well under unigrams but terribly here). Per-doc mean
+    bigram NLL rolled into 0.1-nat buckets. Bigrams are one map-side
+    slice+zip over the token array (no positional self-join); the model
+    is three map-side-combinable count aggregates."""
+    docs = table(spark, sf_dir, "documents").df
+    scores = text.bigram_lm_scores(docs, lam=0.7)
+    return (
+        scores.withColumn("nll_bucket", fround(F.col("nll"), 1))
+        .groupBy("nll_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+@query("similarity_ivf_trained")
+def similarity_ivf_trained(spark, sf_dir):
+    """End-to-end trained-centroid IVF: Spark ML KMeans centroids
+    (fit_centroids, fixed seed) -> batch IVF probe (ivf_knn_join: corpus
+    cells assigned map-side, queries exploded to their nprobe cells, one
+    cell EQUI-join instead of the exact kNN's corpus x queries product) ->
+    recall@3 against the exact knn_join ground truth. One audit row:
+    (n_queries, n_truth, n_hits, mean_recall, min_recall). No SQL oracle —
+    KMeans isn't expressible in DuckDB; correctness is the rows-only
+    driver check plus the pytest recall floor (tests/test_llm.py)."""
+    emb = table(spark, sf_dir, "embeddings").df
+    qs = emb.filter(F.col("vec_id") < 8)
+    cents = similarity.fit_centroids(emb, 16, max_iter=20, seed=0)
+    truth = similarity.knn_join(emb, qs, k=3)
+    approx = similarity.ivf_knn_join(emb, qs, cents, k=3, nprobe=8)
+    hits = truth.join(approx, on=["query_id", "vec_id"], how="left_semi")
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("n_truth").cast("bigint").alias("n_truth"),
+        fround(F.sum(F.col("recall") * F.col("n_truth")), 0).cast("bigint").alias("n_hits"),
+        fround(F.avg("recall"), 4).alias("mean_recall"),
+        fround(F.min("recall"), 4).alias("min_recall"),
+    )

@@ -524,6 +524,22 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tables, tmp_path):
     assert bad[0]["n_stored"] > 0
 
 
+def test_manifest_describes_written_bytes_not_input_plan(spark, tmp_path):
+    # the manifest must checksum what landed on disk: a nondeterministic
+    # plan re-executed for the manifest would describe a DIFFERENT run
+    # than the files written, so verify would flag intact data
+    from graphique_spark.sources import verify_manifest, write_with_manifest
+
+    dest = str(tmp_path / "nondet")
+    df = (
+        spark.range(1000)
+        .withColumn("r", F.rand())  # nondeterministic per execution
+        .withColumn("bucket", (F.col("id") % 3).cast("int"))
+    )
+    write_with_manifest(df, dest, partition_by="bucket")
+    assert verify_manifest(spark, dest, partition_by="bucket").count() == 0
+
+
 def test_dataset_convenience_wrappers(tables):
     from graphique_spark.operators.quality import Rule
 

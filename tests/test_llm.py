@@ -143,6 +143,29 @@ def test_multimodal_malformed_blob_raises(spark):
         multimodal.decode_ppm(b"P6\n4 4\n255\nxx")
 
 
+def test_decode_images_corrupt_blobs_skip_and_count(spark):
+    # a 100 TB crawl always contains truncated/garbage blobs: strict mode
+    # must fail loudly, skip_invalid must drop EXACTLY the bad rows and
+    # leave the survivors' decoded values untouched
+    good = [(d, multimodal.ppm_bytes(d, 8, 8)) for d in range(8)]
+    bad = [(100, b"P6\n4 4\n255\nxx"), (101, b"\x00garbage")]  # truncated + wrong magic
+    df = spark.createDataFrame(good + bad, "doc_id long, blob binary")
+    with pytest.raises(Exception, match="PPM|magic"):
+        multimodal.decode_images(df).collect()
+    out = {r["doc_id"]: r for r in multimodal.decode_images(df, skip_invalid=True).collect()}
+    assert sorted(out) == list(range(8))  # exactly the corrupt two dropped
+    clean = {
+        r["doc_id"]: r
+        for r in multimodal.decode_images(
+            spark.createDataFrame(good, "doc_id long, blob binary")
+        ).collect()
+    }
+    for d in out:
+        assert out[d]["features"] == clean[d]["features"]
+    # dropped count audit: input count minus output count
+    assert df.count() - len(out) == 2
+
+
 def test_frame_sampling_real_container(tables):
     docs = tables["documents"].df.limit(5).select("doc_id")
     blobs = multimodal.attach_video_blobs(docs, n_frames=6)
@@ -318,6 +341,33 @@ def test_star_components_chain_round_count(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iterations=8, method="label").collect()
+
+
+def test_auto_mode_escalates_to_star_on_deep_chains(spark):
+    # auto must be scale-safe UNATTENDED: over the small-graph cap, label
+    # propagation gets a bounded round budget, then the O(log n) star path
+    # takes over — a deep chain with max_iterations far below its diameter
+    # must still resolve instead of raising "did not converge"
+    edges = [(300 + i, 300 + i + 1) for i in range(64)]  # diameter 64
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    spark.conf.set("graphique.cc.smallGraphEdges", "4")  # force past union-find
+    spark.conf.set("graphique.cc.labelEscalateRounds", "3")
+    try:
+        out = {
+            r["v"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, max_iterations=12, method="auto"
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("graphique.cc.smallGraphEdges")
+        spark.conf.unset("graphique.cc.labelEscalateRounds")
+    assert out == {300 + i: 300 for i in range(65)}
+    # explicit method="label" keeps the raise-on-divergence contract
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=12, method="label").collect()
 
 
 def test_prefix_jaccard_reliable_checkpoint(spark, tmp_path):
@@ -841,6 +891,38 @@ def test_unigram_lm_rare_tokens_score_higher_nll(spark):
     assert out[1] == pytest.approx(out[2])
 
 
+def test_bigram_lm_catches_shuffled_word_order(spark):
+    # the discriminative property unigrams can't have: both docs use the
+    # SAME common vocabulary, so unigram NLL ties, but the shuffled doc's
+    # bigrams are rare -> bigram NLL separates them
+    fluent = "the cat sat on the mat " * 5
+    shuffled = "mat the on sat the cat " * 5
+    corpus = [(i, fluent) for i in range(9)] + [(9, shuffled)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    uni = {r["doc_id"]: r["nll"] for r in text.unigram_lm_scores(df).collect()}
+    assert uni[9] == pytest.approx(uni[0])  # unigram model is blind to order
+    bi = {r["doc_id"]: r["nll"] for r in text.bigram_lm_scores(df).collect()}
+    assert bi[9] > bi[0] + 0.5  # bigram model separates cleanly
+    # fewer-than-2-token docs drop out instead of emitting NaN
+    tiny = spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string")
+    assert text.bigram_lm_scores(tiny).count() == 0
+
+
+def test_ivf_knn_join_recall_and_full_probe_exactness(tables):
+    emb = tables["embeddings"].df
+    qs = emb.filter(F.col("vec_id") < 8)
+    truth = similarity.knn_join(emb, qs, k=3)
+    cents = similarity.fit_centroids(emb, 16, max_iter=20, seed=0)
+    approx = similarity.ivf_knn_join(emb, qs, cents, k=3, nprobe=8)
+    n_hit = truth.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    assert n_hit / truth.count() >= 0.9  # recall@3 probing half the cells
+    # probing EVERY cell must reproduce the exact join bit-for-bit
+    full = similarity.ivf_knn_join(emb, qs, cents, k=3, nprobe=16)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert t == f
+
+
 def test_assign_split_deterministic_and_proportional(spark):
     df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
     split = df.withColumn("s", text.assign_split(F.col("doc_id"), (0.8, 0.1, 0.1)))
@@ -959,6 +1041,32 @@ def test_corpus_overlap_single_pass_matches_two_frame(spark):
     one = dedup.corpus_overlap_single_pass(docs, a_pred, b_pred).first()
     assert one["n_matches"] == two["n_matches"]
     assert one["jaccard_est"] == two["jaccard_est"]
+
+
+def test_corpus_overlap_matrix_ids_repeat_across_groups(spark):
+    # per-source tables often reuse per-source doc ids; the group label
+    # must ride through the signature computation, not re-join on id (a
+    # fan-out there cross-contaminates both groups' signatures). Same
+    # doc_id range in all three sources: matrix must equal the pairwise
+    # two-frame estimates computed on cleanly separated frames.
+    def rows(src, phrase):
+        return [(i, f"{phrase} passage number {i} about topic", src) for i in range(10)]
+
+    df = spark.createDataFrame(
+        rows("a", "alpha wolf") + rows("b", "alpha wolf") + rows("c", "gamma ray"),
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_matches"], r["jaccard_est"])
+        for r in dedup.corpus_overlap_matrix(df, by="source").collect()
+    }
+    for pair in [("a", "b"), ("a", "c"), ("b", "c")]:
+        two = dedup.corpus_overlap(
+            df.where(F.col("source") == pair[0]),
+            df.where(F.col("source") == pair[1]),
+        ).first()
+        assert got[pair] == (two["n_matches"], two["jaccard_est"])
+    assert got[("a", "b")][1] > got[("a", "c")][1]  # identical > disjoint
 
 
 def test_containment_pairs_asymmetric(spark):

@@ -621,6 +621,30 @@ def test_validate_rules_catch_planted_violations(spark):
     assert all(r["checked"] == 4 for r in out.values())
 
 
+def test_empty_input_edge_cases(spark):
+    # empty inputs return empty, fully-typed frames instead of crashing
+    # (ZeroDivisionError / float(None) / IndexError)
+    from graphique_spark.operators.graph import pagerank
+    from graphique_spark.operators.quality import validate
+    from graphique_spark.operators.skew import skew_report
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    pr = pagerank(no_edges)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["node", "rank"]
+
+    no_rows = spark.createDataFrame([], "id long, k string")
+    rep = skew_report(no_rows, ["k"])
+    assert rep.count() == 0
+    assert [f.name for f in rep.schema.fields] == ["k", "n", "share", "skew_ratio"]
+
+    empty_rules = validate(spark.createDataFrame([(1,)], "id long"), [])
+    assert empty_rules.count() == 0
+    assert [f.name for f in empty_rules.schema.fields] == [
+        "rule", "kind", "violations", "checked", "passed",
+    ]
+
+
 def test_blocked_fuzzy_pairs_finds_typos_within_block(spark):
     from graphique_spark.operators.entity import blocked_fuzzy_pairs
 

@@ -46,6 +46,9 @@ NLJ_WHITELIST = {
     "source_overlap_matrix",        # #groups-row signature self-join (non-equi
                                     # by design: every pair of ~20 sources)
     "hourly_seasonality",           # 1-row total join
+    "similarity_ivf_trained",       # ground-truth side reuses knn_join's
+                                    # bounded 8-row broadcast cross; the
+                                    # IVF side under audit is an equi-join
 }
 
 #: e2e queries that RUN streaming jobs / write files when invoked — their

@@ -350,6 +350,51 @@ def test_cdc_sink_applies_log_across_batches(spark, tmp_path):
     assert not glob.glob(str(tmp_path / "snap" / "cohort=3"))  # dead dir dropped
 
 
+def test_cdc_sink_drops_dead_partitions_with_escaped_and_null_values(spark, tmp_path):
+    # partition values Spark escapes in directory names (':' -> %3A) and
+    # nulls (__HIVE_DEFAULT_PARTITION__): a raw f"{part}={value}" path
+    # misses the real directory and deleted rows resurrect on re-read
+    import glob as _glob
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "cdc_src")
+    schema = "region string, k long, v double, seq int, op string"
+    rows_b0 = [
+        ("a:b", 1, 1.0, 1, "insert"),
+        ("a:b", 2, 2.0, 1, "insert"),
+        ("ok", 3, 3.0, 1, "insert"),
+        (None, 4, 4.0, 1, "insert"),
+    ]
+    rows_b1 = [
+        ("a:b", 1, None, 2, "delete"),
+        ("a:b", 2, None, 2, "delete"),
+        (None, 4, None, 2, "delete"),
+    ]
+    for rows in [rows_b0, rows_b1]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.cdc_sink(
+        stream,
+        dest=str(tmp_path / "snap"),
+        keys=["region", "k"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_col="region",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = [
+        (r["region"], r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    ]
+    assert got == [("ok", 3, 3.0)]
+    assert not _glob.glob(str(tmp_path / "snap" / "region=a%3Ab"))
+    assert not _glob.glob(str(tmp_path / "snap" / "region=__HIVE_DEFAULT_PARTITION__"))
+    assert _glob.glob(str(tmp_path / "snap" / "region=ok"))
+
+
 def test_windowed_distinct_hll_accuracy_and_stream_parity(spark, tables, tmp_path):
     from graphique_spark import streaming as st
 

@@ -235,6 +235,43 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n_ab"))
         )
 
+    def skew_salted(mult):
+        # adversarial skew: ONE hot key owns ~20% of all rows (l_orderkey
+        # % 5 == 0), the rest spread over ~1000 keys. The salted two-phase
+        # agg must hold near-linear scaling at 16x because the hot key's
+        # partials spread over 32 reducers; a plain groupBy would serialize
+        # 20% of the data through one task.
+        from graphique_spark.operators.skew import two_phase_agg
+
+        li = multiplied(spark, "lineitem", mult).select(
+            F.when(F.col("l_orderkey") % 5 == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("l_orderkey") % 997).cast("string")))
+            .alias("k"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        return two_phase_agg(
+            li, ["k"], sums=["l_extendedprice", "l_quantity"], counts="n", salts=32
+        )
+
+    def skew_join_aqe(mult):
+        # skewed JOIN under AQE: the hot fact key meets a small dim; AQE's
+        # skew-split plus the broadcast threshold keep task p99 bounded
+        li = multiplied(spark, "lineitem", mult).select(
+            F.when(F.col("l_orderkey") % 5 == 0, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 997)
+            .alias("k"),
+            "l_extendedprice",
+        )
+        dim = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 1.1).alias("rate")
+        )
+        return (
+            li.join(dim, on="k")
+            .groupBy("k")
+            .agg(F.sum(F.col("l_extendedprice") * F.col("rate")).alias("v"))
+        )
+
     def containment(mult):
         from graphique_spark.llm import dedup
 
@@ -271,6 +308,8 @@ def main() -> None:
         "hll_sketch": hll,
         "star_cc_chain": star_cc_chain,
         "interval_join": interval_join,
+        "skew_salted": skew_salted,
+        "skew_join_aqe": skew_join_aqe,
     }
     only = sys.argv[2:]
     if only:

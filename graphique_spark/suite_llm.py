@@ -4470,7 +4470,7 @@ def similarity_ivf_trained(spark, sf_dir):
     driver check plus the pytest recall floor (tests/test_llm.py)."""
     emb = table(spark, sf_dir, "embeddings").df
     qs = emb.filter(F.col("vec_id") < 8)
-    cents = similarity.fit_centroids(emb, 16, max_iter=20, seed=0)
+    cents = similarity.fit_centroids(emb, 16, max_iter=8, seed=0)
     truth = similarity.knn_join(emb, qs, k=3)
     approx = similarity.ivf_knn_join(emb, qs, cents, k=3, nprobe=8)
     hits = truth.join(approx, on=["query_id", "vec_id"], how="left_semi")

@@ -912,7 +912,7 @@ def test_ivf_knn_join_recall_and_full_probe_exactness(tables):
     emb = tables["embeddings"].df
     qs = emb.filter(F.col("vec_id") < 8)
     truth = similarity.knn_join(emb, qs, k=3)
-    cents = similarity.fit_centroids(emb, 16, max_iter=20, seed=0)
+    cents = similarity.fit_centroids(emb, 16, max_iter=8, seed=0)
     approx = similarity.ivf_knn_join(emb, qs, cents, k=3, nprobe=8)
     n_hit = truth.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
     assert n_hit / truth.count() >= 0.9  # recall@3 probing half the cells

@@ -401,9 +401,25 @@ def compact_parquet(
         import re
         from collections import defaultdict
 
+        # Directory fragments are Hive-ESCAPED (':' -> %3A, null ->
+        # __HIVE_DEFAULT_PARTITION__) while the DataFrame carries raw
+        # values — matching f"{k}={v}" against the path would silently
+        # miss special-character and null partitions, so those would
+        # never split. Normalize both sides to an internal
+        # unit-separator key over UNescaped values with an explicit
+        # null sentinel (the key is map-internal, never a path).
+        from urllib.parse import unquote
+
+        NULL_SENTINEL = "\x00null"
+
+        def dir_value(v: str) -> str:
+            return NULL_SENTINEL if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+
         per_part: dict[tuple, int] = defaultdict(int)
         for path, size in files:
-            part = tuple(re.findall(r"/([^/=]+)=([^/]*)", path))
+            part = tuple(
+                (k, dir_value(v)) for k, v in re.findall(r"/([^/=]+)=([^/]*)", path)
+            )
             per_part[part] += size
         splits = {
             part: max(1, math.ceil(size / target_file_bytes))
@@ -420,19 +436,23 @@ def compact_parquet(
                     x
                     for part, n in splits.items()
                     for x in (
-                        F.lit("/".join(f"{k}={v}" for k, v in part)),
+                        F.lit("\x1f".join(f"{k}\x1f{v}" for k, v in part)),
                         F.lit(n),
                     )
                 ]
             )
             part_str = F.concat_ws(
-                "/",
+                "\x1f",
                 *[
-                    F.concat_ws("=", F.lit(k), F.col(k).cast("string"))
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(k),
+                        F.coalesce(F.col(k).cast("string"), F.lit(NULL_SENTINEL)),
+                    )
                     for k in partition_keys
                 ],
             )
-            salt = (F.rand(42) * split_map[part_str]).cast("int")
+            salt = (F.rand(42) * F.coalesce(split_map[part_str], F.lit(1))).cast("int")
             # explicit partition count: without it AQE coalesces the tiny
             # shuffle back to one task per dir and the split is lost
             total = sum(splits.values())

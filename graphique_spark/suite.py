@@ -2567,3 +2567,75 @@ def q15_top_supplier(spark, sf_dir):
         .orderBy("s_suppkey")
     )
     return out
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH fli AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT n.n_name, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM fli l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM fli l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM fli l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY n.n_name, s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to the
+    testdata schema: no receipt/commit dates, so "late" is shipping more
+    than 60 days after the order date. The reference planner shape is the
+    double correlated EXISTS / NOT EXISTS self-join on lineitem; the
+    Spark-first plan rewrites both into ONE map-side-combinable per-order
+    aggregate — distinct suppliers and distinct LATE suppliers per order —
+    then a candidate row qualifies iff it is late, the order has >= 2
+    suppliers, and exactly one supplier (necessarily this row's) was late.
+    One lineitem shuffle total instead of two self-joins; supplier and
+    nation broadcast; top-100 is a TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .df.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    fli = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60).cast("timestamp")
+        ).alias("late"),
+    )
+    stats = fli.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("__nl"),
+    )
+    cand = fli.where(F.col("late")).join(
+        stats.where((F.col("__ns") >= 2) & (F.col("__nl") == 1)), on="l_orderkey"
+    )
+    supp = table(spark, sf_dir, "supplier").df.select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = table(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    return (
+        cand.join(F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

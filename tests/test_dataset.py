@@ -502,6 +502,35 @@ def test_compact_parquet_splits_oversized_partitions(spark, tables, tmp_path):
     assert spark.read.parquet(dest).count() == orders.count()
 
 
+def test_compact_parquet_splits_escaped_and_null_partitions(spark, tmp_path):
+    # partition dirs are Hive-escaped (':' -> %3A) and nulls become
+    # __HIVE_DEFAULT_PARTITION__; the split sizing must match them against
+    # raw column values or special-char/null partitions silently never split
+    import glob as _glob
+
+    from graphique_spark.sources import compact_parquet
+
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a:b"))
+        .when(F.col("id") % 3 == 1, F.lit(None))
+        .otherwise(F.lit("ok"))
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    src = str(tmp_path / "src")
+    df.repartition(4).write.partitionBy("k").parquet(src)
+    dest = str(tmp_path / "dest")
+    compact_parquet(
+        spark, src, dest, target_file_bytes=8 << 10, partition_keys=["k"]
+    )
+    for d in ["k=a%3Ab", "k=__HIVE_DEFAULT_PARTITION__", "k=ok"]:
+        n = len(_glob.glob(str(tmp_path / "dest" / d / "*.parquet")))
+        assert n > 1, f"{d}: expected a multi-file split, got {n}"
+    # content survives the round trip (null partition included)
+    assert spark.read.parquet(dest).count() == 4000
+    assert spark.read.parquet(dest).where(F.col("k").isNull()).count() > 1000
+
+
 def test_manifest_roundtrip_and_tamper_detection(spark, tables, tmp_path):
     import glob
     import os

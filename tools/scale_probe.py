@@ -206,6 +206,11 @@ def main() -> None:
 
         return t.unigram_lm_scores(multiplied(spark, "documents", mult))
 
+    def lm_bigram(mult):
+        from graphique_spark.llm import text as t
+
+        return t.bigram_lm_scores(multiplied(spark, "documents", mult))
+
     def pagerank_probe(mult):
         from graphique_spark.operators.graph import pagerank
 
@@ -291,6 +296,7 @@ def main() -> None:
         "inverted_index": inverted,
         "bm25": bm25,
         "lm_nll": lm_nll,
+        "lm_bigram": lm_bigram,
         "pagerank": pagerank_probe,
         "image_dhash": dhash,
         "substring_dedup": substring,

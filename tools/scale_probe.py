@@ -29,6 +29,33 @@ def multiplied(spark, name: str, times: int):
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def multiplied_docs_distinct(spark, times: int):
+    """``times`` copies of documents with DISTINCT content per copy: each
+    copy Caesar-rotates the alphabet, so cross-copy shingle sets are
+    disjoint and the true near-dup pair count grows LINEARLY with the
+    multiplier — the real "corpus grew with new content" regime. Plain
+    duplication (``multiplied``) makes every doc a dup of every copy, so
+    pair OUTPUT itself is quadratic in the multiplier and any dedup probe
+    measures output size, not operator scaling."""
+    import string
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    letters = string.ascii_lowercase
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = []
+    for c in range(times):
+        rot = letters[c % 26:] + letters[: c % 26]
+        copies.append(
+            base.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                F.translate(F.col("text"), letters, rot).alias("text"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
 def main() -> None:
     times = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
@@ -82,22 +109,19 @@ def main() -> None:
     def minhash(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied(spark, "documents", mult).withColumn(
-            "doc_id",  # disambiguate duplicated ids so pair counts stay sane
-            F.col("doc_id") + F.monotonically_increasing_id() * 0,
-        )
+        docs = multiplied_docs_distinct(spark, mult)
         return dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.5)
 
     def ngram(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied(spark, "documents", mult)
+        docs = multiplied_docs_distinct(spark, mult)
         return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.7)
 
     def components(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied(spark, "documents", mult)
+        docs = multiplied_docs_distinct(spark, mult)
         pairs = dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.7)
         # explicit method: the probe measures the DISTRIBUTED path, not the
         # small-graph union-find fast path the auto default would take

@@ -80,6 +80,15 @@ HIGHLIGHTS = {
         "cohort membership as flags: one scan, one vocabulary shuffle "
         "with two conditional counts, heap top-k"
     ),
+    "q21_suppliers_kept_waiting": (
+        "EXISTS / NOT EXISTS self-joins rewritten into one per-order "
+        "distinct-supplier aggregate; supplier and nation broadcast; "
+        "top-100 is TakeOrderedAndProject"
+    ),
+    "lm_bigram_perplexity": (
+        "bigrams via map-side slice+arrays_zip (no positional self-join); "
+        "three map-side-combinable count aggregates; slim equi-joins"
+    ),
 }
 
 

@@ -19,6 +19,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
+    """Session conf for the RocksDB state store — the bounded-memory store
+    a 100 TB streaming job needs (the default HDFS-backed provider keeps
+    every key in executor heap; RocksDB spills to local disk and, with
+    changelog checkpointing, uploads per-batch deltas instead of full
+    snapshots). Apply before starting queries::
+
+        for k, v in rocksdb_state_conf().items(): spark.conf.set(k, v)
+
+    Verified working against this Spark build in
+    tests/test_streaming.py (batch/stream parity under the provider)."""
+    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf
+
+
 def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
     """Read a parquet root, returning ``None`` ONLY when the path is
     genuinely missing (first batch of an incremental sink). Any other read

@@ -350,6 +350,49 @@ def test_cdc_sink_applies_log_across_batches(spark, tmp_path):
     assert not glob.glob(str(tmp_path / "snap" / "cohort=3"))  # dead dir dropped
 
 
+def test_rocksdb_state_store_parity(spark, tables, tmp_path):
+    # the bounded-memory state store a real cluster runs: the same
+    # windowed aggregation must produce identical results under the
+    # RocksDB provider (proves the claim in the module docstring against
+    # THIS Spark build, not just on paper)
+    from graphique_spark import streaming as st
+
+    events = tables["events"].df
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in st.tumbling_counts(
+            events, duration="6 hours", by=["event_type"]
+        ).collect()
+    }
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.parquet(src)
+    schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    for k, v in st.rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out = st.tumbling_counts(
+            stream, duration="6 hours", by=["event_type"], streaming=True
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rocks_parity")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM rocks_parity").collect()
+        }
+    finally:
+        for k in st.rocksdb_state_conf():
+            spark.conf.unset(k)
+    assert streamed == batch
+
+
 def test_cdc_sink_drops_dead_partitions_with_escaped_and_null_values(spark, tmp_path):
     # partition values Spark escapes in directory names (':' -> %3A) and
     # nulls (__HIVE_DEFAULT_PARTITION__): a raw f"{part}={value}" path

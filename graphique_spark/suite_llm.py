@@ -4495,3 +4495,52 @@ def similarity_ivf_trained(spark, sf_dir):
         fround(F.avg("recall"), 4).alias("mean_recall"),
         fround(F.min("recall"), 4).alias("min_recall"),
     )
+
+
+@query(
+    "json_variant_shred",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def json_variant_shred(spark, sf_dir):
+    """Semi-structured round trip through Spark 4 VARIANT: each document
+    is serialized to an open JSON envelope (id + nested meta object),
+    parsed back with parse_json, and the analysis columns are SHREDDED
+    out via typed JSONPath access (functions/variant.py) before a normal
+    group-aggregate. The oracle computes the same rollup straight from
+    the parquet columns, so a hash match proves the JSON -> VARIANT ->
+    typed-path pipeline is lossless. Plan: map-side codegen projection
+    (no Python, no shuffle) feeding one partial-agg exchange."""
+    from graphique_spark.functions import variant as V
+
+    docs = table(spark, sf_dir, "documents").df
+    js = docs.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.struct(F.col("source"), F.col("lang"), F.col("n_chars")).alias(
+                    "meta"
+                ),
+            )
+        ).alias("envelope")
+    )
+    shredded = V.shred_variant(
+        js.select(V.to_variant("envelope").alias("v")),
+        "v",
+        {
+            "source": ("$.meta.source", "string"),
+            "lang": ("$.meta.lang", "string"),
+            "n_chars": ("$.meta.n_chars", "bigint"),
+        },
+    )
+    return shredded.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum((F.col("n_chars") > 300).cast("int")).cast("bigint").alias("n_long"),
+    )

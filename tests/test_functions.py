@@ -131,3 +131,44 @@ def test_group_sample_k_deterministic_and_bounded(spark, tables):
     sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lang, n in per.items():
         assert n == min(3, sizes[lang])
+
+
+def test_variant_shred_nested_paths_and_dirty_values(spark):
+    from graphique_spark.functions import variant as V
+
+    rows = [
+        (1, '{"meta": {"tags": ["a", "b"], "score": 1.5}, "src": "web"}'),
+        (2, '{"meta": {"tags": [], "score": "oops"}, "src": "pdf"}'),  # uncastable
+        (3, '{"src": "api"}'),  # missing meta entirely
+    ]
+    df = spark.createDataFrame(rows, "id long, js string")
+    out = {
+        r["id"]: r
+        for r in V.shred_variant(
+            df.select("id", V.to_variant("js").alias("v")),
+            "v",
+            {
+                "src": ("$.src", "string"),
+                "score": ("$.meta.score", "double"),
+                "first_tag": ("$.meta.tags[0]", "string"),
+                "n_tags": ("$.meta.tags", "array<string>"),
+            },
+        ).collect()
+    }
+    assert out[1]["src"] == "web" and out[1]["score"] == 1.5
+    assert out[1]["first_tag"] == "a" and out[1]["n_tags"] == ["a", "b"]
+    # dirty values and missing paths become null, not job failures
+    assert out[2]["score"] is None and out[2]["first_tag"] is None
+    assert out[3]["score"] is None and out[3]["n_tags"] is None
+    # the variant column is dropped unless keep=True (open documents must
+    # not ride through downstream shuffles by accident)
+    cols = V.shred_variant(
+        df.select("id", V.to_variant("js").alias("v")), "v", {"src": ("$.src", "string")}
+    ).columns
+    assert cols == ["id", "src"]
+    # strict mode raises on the uncastable value
+    import pytest as _pytest
+
+    strict = df.select(V.variant_field(V.to_variant("js"), "$.meta.score", "double", strict=True))
+    with _pytest.raises(Exception):
+        strict.collect()

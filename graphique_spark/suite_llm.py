@@ -4544,3 +4544,117 @@ def json_variant_shred(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum((F.col("n_chars") > 300).cast("int")).cast("bigint").alias("n_long"),
     )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{{2,}}')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE term IN ('spark', 'hash', 'window', 'batch')
+      GROUP BY doc_id, term
+    ),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm_scored AS (
+      SELECT tf.doc_id,
+             floor(sum(ln(1.0 + (stats.n - docfreq.df + 0.5) / (docfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl)))
+               * 1000000 + 0.5) / 1000000 AS score
+      FROM tf JOIN docfreq USING (term) JOIN doclen USING (doc_id), stats
+      GROUP BY tf.doc_id
+    ),
+    bm_cand AS (SELECT doc_id, score FROM bm_scored
+                ORDER BY score DESC, doc_id LIMIT 100),
+    bm_rank AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM bm_cand),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    emb_scored AS (
+      SELECT e.vec_id AS doc_id,
+             floor({_cos_frag("e.v", "qv")} * 1000000 + 0.5) / 1000000 AS cosine
+      FROM e, q
+    ),
+    emb_cand AS (SELECT doc_id, cosine FROM emb_scored
+                 ORDER BY cosine DESC, doc_id LIMIT 100),
+    emb_rank AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+                 FROM emb_cand),
+    fused AS (
+      SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + b.r), 0.0) + coalesce(1.0 / (60 + v.r), 0.0)
+               AS rrf
+      FROM (SELECT * FROM bm_rank WHERE r <= 50) b
+      FULL JOIN (SELECT * FROM emb_rank WHERE r <= 50) v USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           floor(rrf * 1000000000 + 0.5) / 1000000000 AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    the standard lexical+vector combiner behind every RAG stack): BM25
+    top-50 and embedding-cosine top-50 are each ranked deterministically
+    (score rounded to 6 decimals, doc_id tie-break), fused with
+    1/(60+rank) weights through a full outer join on doc_id, top-15 out.
+    Both legs are bounded (<= 50 rows each) so the fuse join and the rank
+    windows cost nothing at any corpus size; the expensive parts are the
+    same BM25/topk plans already audited for scale."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").df
+    emb = table(spark, sf_dir, "embeddings").df
+
+    bm = text.bm25_topk(docs, ["spark", "hash", "window", "batch"], k=100)
+    bm = bm.select("doc_id", fround(F.col("score"), 6).alias("score"))
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm_rank = (
+        bm.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(100)
+        .withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= 50)
+        .select("doc_id", "r")
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cos = similarity.brute_force_topk(emb, qvec, k=100)
+    cos = cos.select(
+        F.col("vec_id").alias("doc_id"), fround(F.col("cosine"), 6).alias("cosine")
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    emb_rank = (
+        cos.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(100)
+        .withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") <= 50)
+        .select("doc_id", "r")
+    )
+
+    fused = (
+        bm_rank.withColumnRenamed("r", "rb")
+        .join(emb_rank.withColumnRenamed("r", "rv"), on="doc_id", how="full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.col("rb") + 60), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("rv") + 60), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            fround(F.col("rrf"), 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(15)
+    )

@@ -162,6 +162,9 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _hash_sampled_centroids(df, num_centroids, vec_col, id_col)
+    if not centroids:
+        # empty corpus samples zero centroids: typed empty result
+        return df.select(F.col(id_col), F.lit(0.0).alias("cosine")).limit(0)
     # probe choice on the driver: left-to-right fold == Spark's aggregate HOF
     def _py_cos(a, b):
         num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -315,7 +318,15 @@ def _bucketed_pairs(
 
         n = df.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
-    planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
+    first = df.select(vec_col).first()
+    if first is None:
+        # empty corpus: no dimension to project; typed empty pair frame
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    planes = [_hyperplane(p, len(first[0])) for p in range(num_planes)]
     from graphique_spark.llm.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)

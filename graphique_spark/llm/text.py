@@ -569,6 +569,9 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
         *[F.sum((F.col(f"__tf{i}") > 0).cast("long")) for i in range(len(terms))],
     ).first()
     n_docs, avgdl, dfs = stats[0], stats[1], stats[2:]
+    if not n_docs:
+        # empty corpus: typed empty result instead of float(None) below
+        return per_doc.select(id_col, F.lit(0.0).alias("score")).limit(0)
     norm_tail = k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
     score = None
     for i in range(len(terms)):
@@ -607,6 +610,13 @@ def unigram_lm_scores(df, text: str = "text", id_col: str = "doc_id"):
     )
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total, vsize = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
+    if not vsize:
+        # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
+        return terms.select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0.0).alias("nll"),
+        ).limit(0)
     logp = F.log((F.col("c") + 1.0) / F.lit(float(total + vsize)))
     return (
         terms.join(vocab, on="term")
@@ -653,6 +663,13 @@ def bigram_lm_scores(
     uni = toks.select(F.explode("__t").alias("w"))
     vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     total, vsize = vocab.agg(F.sum("cu"), F.count(F.lit(1))).first()
+    if not vsize:
+        # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
+        return toks.select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(0.0).alias("nll"),
+        ).limit(0)
     bi = (
         toks.where(F.size("__t") >= 2)
         .select(

@@ -923,6 +923,31 @@ def test_ivf_knn_join_recall_and_full_probe_exactness(tables):
     assert t == f
 
 
+def test_empty_corpus_edge_cases(spark):
+    # plan-build scalar aggregates (corpus stats, vocabulary size, sampled
+    # centroids, vector dim) must short-circuit empty inputs into typed
+    # empty frames, not crash on None arithmetic — the same bug class as
+    # pagerank/skew_report (round-5 ADVICE), swept across the llm surface
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    uni = text.unigram_lm_scores(empty_docs)
+    assert uni.count() == 0
+    assert [f.name for f in uni.schema.fields] == ["doc_id", "n_tokens", "nll"]
+    bi = text.bigram_lm_scores(empty_docs)
+    assert bi.count() == 0
+    assert [f.name for f in bi.schema.fields] == ["doc_id", "n_bigrams", "nll"]
+    bm = text.bm25_topk(empty_docs, ["spark"], k=5)
+    assert bm.count() == 0
+    assert [f.name for f in bm.schema.fields] == ["doc_id", "score"]
+    nd = similarity.embedding_near_dups(empty_emb)
+    assert nd.count() == 0
+    assert [f.name for f in nd.schema.fields] == ["id_a", "id_b", "cosine"]
+    ivf = similarity.ivf_topk(empty_emb, [0.0] * 4, k=5)
+    assert ivf.count() == 0
+    assert [f.name for f in ivf.schema.fields] == ["vec_id", "cosine"]
+
+
 def test_assign_split_deterministic_and_proportional(spark):
     df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
     split = df.withColumn("s", text.assign_split(F.col("doc_id"), (0.8, 0.1, 0.1)))

@@ -43,30 +43,33 @@ def pagerank(
     # and contribution weights all derive from it, and without the persist
     # the (possibly expensive) upstream edge pipeline re-runs per lineage
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     n_parts = min(spark.sparkContext.defaultParallelism, 64)
+    # node set AND the static dangling flag (no out-edges) in ONE shuffle:
+    # explode each edge into (src, has_out=true) + (dst, false) and take
+    # max(has_out) per node. The union-distinct + degree-join version cost
+    # three shuffles and a join for the same frame; the groupBy also
+    # leaves nodes hash-partitioned by node, which every iteration's
+    # nodes⋈inflow join reuses without an exchange.
+    nodes = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(True).alias("h")),
+                    F.struct(F.col("dst").alias("node"), F.lit(False).alias("h")),
+                )
+            ).alias("s")
+        )
+        .select("s.node", F.col("s.h").alias("h"))
+        .groupBy("node")
+        .agg(F.max("h").alias("has_out"))
+        .persist()
+    )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution weight per edge, co-located by src for every iteration
     contrib_edges = (
         e.join(outdeg, on="src")
         .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
         .repartition(n_parts, "src")
-        .persist()
-    )
-    # dangling membership (no out-edges) is static — flag it ONCE so no
-    # iteration ever re-joins ranks against the degree table
-    nodes = (
-        nodes.join(
-            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
-            on="node",
-            how="left",
-        )
-        .select("node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("has_out"))
-        .repartition(n_parts, "node")
         .persist()
     )
     n = nodes.count()  # materializes e + nodes; contrib reuses cached e

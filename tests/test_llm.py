@@ -1108,3 +1108,65 @@ def test_containment_pairs_asymmetric(spark):
     assert out[(2, 1)] == pytest.approx(1.0)  # excerpt contained in big
     assert (1, 2) not in out  # big is NOT contained in the excerpt
     assert all(3 not in p for p in out)
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    # the declarative runner: quality gate -> PII redaction -> exact dedup
+    # -> near dedup -> decontamination -> split -> shard export, with an
+    # audited drop count per step
+    from graphique_spark.pipeline import run_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):  # clean docs with genuinely distinct vocabularies
+        tail = " ".join(f"term{i * 97 + j} data{i * 31 + j}" for j in range(10))
+        rows.append((i, f"the research area {i} covers {tail} in practice"))
+    rows.append((100, base))
+    rows.append((101, base))  # exact dup of 100
+    rows.append((102, base + " tonight"))  # near dup of 100
+    rows.append((103, "x"))  # fails quality gate (too short, no stopwords)
+    rows.append((104, "contact me at alice@example.com for the document review process today"))
+    rows.append((105, "leaked eval question: what color is the sky on mars at noon exactly"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    config = {
+        "text": "text",
+        "id": "doc_id",
+        "steps": [
+            {"op": "quality_filter", "min_score": 0.4},
+            {"op": "pii_redact"},
+            {"op": "exact_dedup"},
+            {"op": "near_dedup", "min_jaccard": 0.7},
+            {
+                "op": "decontaminate",
+                "eval_texts": ["what color is the sky on mars at noon exactly"],
+                "n": 8,
+            },
+            {"op": "split", "weights": [0.8, 0.1, 0.1]},
+        ],
+        "output": {"dest": str(tmp_path / "shards"), "n_shards": 4},
+    }
+    curated, audit = run_pipeline(spark, df, config)
+    by_op = {a["op"]: a for a in audit}
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    assert 103 not in ids and by_op["quality_filter"]["dropped"] >= 1
+    assert by_op["exact_dedup"]["dropped"] == 1  # 101 dies, 100 survives it
+    assert 101 not in ids
+    # near dedup then keeps the LONGEST member of the 100/102 component
+    assert by_op["near_dedup"]["dropped"] == 1
+    assert 102 in ids and 100 not in ids
+    assert 105 not in ids and by_op["decontaminate"]["dropped"] == 1
+    # PII was redacted in place
+    red = curated.where(F.col("doc_id") == 104).first()["text"]
+    assert "alice@example.com" not in red
+    # audit is monotone and consistent
+    for a in audit:
+        assert a["rows_out"] == a["rows_in"] - a["dropped"]
+    # split column present with sane values; shards on disk hold everything
+    assert set(r["split"] for r in curated.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    written = spark.read.parquet(str(tmp_path / "shards"))
+    assert written.count() == curated.count()
+    assert written.select("shard").distinct().count() <= 4

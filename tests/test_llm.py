@@ -1170,3 +1170,44 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     written = spark.read.parquet(str(tmp_path / "shards"))
     assert written.count() == curated.count()
     assert written.select("shard").distinct().count() <= 4
+
+
+def test_quality_classifier_separates_reference_from_gibberish(spark):
+    from graphique_spark.llm import quality_model as qm
+
+    import random as _random
+
+    rng = _random.Random(7)
+    stop = "the of and to in is was for on with as at by it".split()
+    content = "research model data spark shuffle partition quality corpus token text".split()
+    def sentence(i):
+        words = [rng.choice(stop) if j % 3 == 0 else rng.choice(content)
+                 for j in range(20)]
+        return f"doc {i}: " + " ".join(words)
+    def gibberish(i):
+        return " ".join("".join(rng.choice("qxzjkvw") for _ in range(rng.randint(2, 11)))
+                        for _ in range(18))
+
+    good = spark.createDataFrame([(i, sentence(i)) for i in range(60)], "doc_id long, text string")
+    bad = spark.createDataFrame([(1000 + i, gibberish(i)) for i in range(60)], "doc_id long, text string")
+    model = qm.train_quality_classifier(good.limit(40), bad.limit(40), num_features=1 << 12, max_iter=10)
+
+    # held-out docs (never trained on) must separate cleanly
+    held = good.where(F.col("doc_id") >= 40).unionByName(bad.where(F.col("doc_id") >= 1040))
+    scores = {r["doc_id"]: r["p_good"] for r in qm.score_quality(model, held).collect()}
+    good_scores = [v for k, v in scores.items() if k < 1000]
+    bad_scores = [v for k, v in scores.items() if k >= 1000]
+    assert min(good_scores) > max(bad_scores)  # perfect separation on this fixture
+    # AUC = 1.0 given full separation; check means too for slack reporting
+    assert sum(good_scores) / len(good_scores) > 0.8
+    assert sum(bad_scores) / len(bad_scores) < 0.2
+
+    # self-training bootstrap: extremes of the heuristic produce usable labels
+    corpus = good.unionByName(bad)
+    g2, b2 = qm.self_training_labels(corpus, lo=0.3, hi=0.7)
+    assert g2.count() > 0 and b2.count() > 0
+    m2 = qm.train_quality_classifier(g2, b2, num_features=1 << 12, max_iter=10)
+    s2 = {r["doc_id"]: r["p_good"] for r in qm.score_quality(m2, held).collect()}
+    g2s = [v for k, v in s2.items() if k < 1000]
+    b2s = [v for k, v in s2.items() if k >= 1000]
+    assert sum(g2s) / len(g2s) > sum(b2s) / len(b2s) + 0.5

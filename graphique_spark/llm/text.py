@@ -291,6 +291,9 @@ def mixture_sample(df, weights: dict[str, float], by: str = "source", id_col: st
     missing = set(counts) - set(weights)
     if missing:
         raise ValueError(f"no target weight for sources {sorted(missing)}")
+    if not counts:
+        # empty corpus: nothing to resample (min() below would raise)
+        return df.withColumn("__threshold", F.lit(0)).limit(0)
     wsum = float(sum(weights.values()))
     shares = {s: w / wsum for s, w in weights.items() if s in counts}
     # largest feasible total: N = min over sources of count_s / share_s
@@ -888,6 +891,16 @@ def term_drift(
     total_a, total_b, vocab = counts.agg(
         F.sum("ca"), F.sum("cb"), F.count(F.lit(1))
     ).first()
+    if not vocab:
+        # empty cohorts: typed empty drift report (None+int would crash)
+        return counts.select(
+            "term",
+            F.lit(0).cast("bigint").alias("ca"),
+            F.lit(0).cast("bigint").alias("cb"),
+            F.lit(0.0).alias("p_a"),
+            F.lit(0.0).alias("p_b"),
+            F.lit(0.0).alias("kl_term"),
+        ).limit(0)
     pa = (F.col("ca") + 1.0) / F.lit(float(total_a + vocab))
     pb = (F.col("cb") + 1.0) / F.lit(float(total_b + vocab))
     from graphique_spark.operators.topk import top_k
@@ -941,9 +954,10 @@ def balanced_shards(df, n_shards: int, weight, id_col: str = "doc_id"):
     map-side arithmetic."""
     from graphique_spark.operators.sequence import partitioned_cumsum
 
+    w = F.col(weight) if isinstance(weight, str) else weight
     keyed = df.withColumn("__order", F.md5(F.col(id_col).cast("string")))
     cum = partitioned_cumsum(
-        keyed, F.col(weight).cast("double"), ["__order", id_col], "cum_weight"
+        keyed, w.cast("double"), ["__order", id_col], "cum_weight"
     )
     total = cum.agg(F.max("cum_weight").alias("__t"))
     return (

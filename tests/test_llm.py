@@ -948,6 +948,26 @@ def test_empty_corpus_edge_cases(spark):
     assert [f.name for f in ivf.schema.fields] == ["vec_id", "cosine"]
 
 
+def test_empty_corpus_sampling_and_drift(spark):
+    # second sweep of the plan-build-scalar class: sampling/drift helpers
+    empty_src = spark.createDataFrame([], "doc_id long, source string")
+    out = text.mixture_sample(empty_src, {"a": 1.0})
+    assert out.count() == 0 and "__threshold" in out.columns
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    drift = text.term_drift(empty_docs, F.lit(True), F.lit(False))
+    assert drift.count() == 0
+    assert [f.name for f in drift.schema.fields] == [
+        "term", "ca", "cb", "p_a", "p_b", "kl_term",
+    ]
+    empty_w = spark.createDataFrame([], "doc_id long, n long")
+    assert text.balanced_shards(empty_w, 2, "n").count() == 0
+    # weight accepts a Column as well as a name
+    one = text.balanced_shards(
+        spark.createDataFrame([(1, 5)], "doc_id long, n long"), 2, F.col("n")
+    )
+    assert one.count() == 1
+
+
 def test_assign_split_deterministic_and_proportional(spark):
     df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
     split = df.withColumn("s", text.assign_split(F.col("doc_id"), (0.8, 0.1, 0.1)))

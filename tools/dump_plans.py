@@ -89,6 +89,14 @@ HIGHLIGHTS = {
         "bigrams via map-side slice+arrays_zip (no positional self-join); "
         "three map-side-combinable count aggregates; slim equi-joins"
     ),
+    "json_variant_shred": (
+        "JSON -> VARIANT -> typed path shredding is one map-side codegen "
+        "projection (no Python, no shuffle) feeding a partial agg"
+    ),
+    "retrieval_hybrid_rrf": (
+        "both retrieval legs bounded to <=50 rows before the fuse join; "
+        "the only at-scale cost is the audited BM25/top-k plans"
+    ),
 }
 
 

@@ -132,6 +132,21 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
     if op == "name":
         return F.col(arg)
     if op in ("value", "date", "datetime", "duration"):
+        from graphique_spark.service.scalars import MonthDayDuration
+
+        if isinstance(arg, MonthDayDuration):
+            # months have no fixed length, so month-bearing ISO durations
+            # (P1Y2M...) can't be a timedelta literal — build a calendar
+            # interval, which Spark's date/timestamp arithmetic accepts
+            return F.make_interval(
+                F.lit(0),
+                F.lit(arg.months),
+                F.lit(0),
+                F.lit(arg.days),
+                F.lit(0),
+                F.lit(0),
+                F.lit(arg.seconds + arg.microseconds / 1_000_000),
+            )
         return F.lit(arg)  # typed leaves arrive pre-parsed by their scalar
     if op == "inv":
         return ~compile_expression(arg)

@@ -9,8 +9,10 @@ GraphQL ``Int`` is 32-bit, so ``LongType`` gets a custom ``BigInt``;
 from __future__ import annotations
 
 import base64
+import dataclasses
 import datetime as dt
 import decimal
+import re
 from typing import Any
 
 from graphql import (
@@ -108,29 +110,88 @@ JSON = GraphQLScalarType(
 )
 
 
-def _duration_isoformat(value: Any) -> str:
-    if isinstance(value, dt.timedelta):
-        days, seconds, micros = value.days, value.seconds, value.microseconds
+@dataclasses.dataclass(frozen=True)
+class MonthDayDuration:
+    """Calendar duration with a year-month component — the analogue of the
+    reference's ``pa.MonthDayNano`` (scalars.py:31): months can't fold
+    into a ``timedelta`` (a month has no fixed length), so ``P1Y1M...``
+    forms parse to this and compile to Spark ``make_interval``."""
+
+    months: int = 0
+    days: int = 0
+    seconds: int = 0
+    microseconds: int = 0
+
+
+def _daytime_parts(days: int, seconds: int, micros: int) -> str:
+    """Minimized ISO day-time rendering (isodate-compatible): only nonzero
+    components, hours/minutes split out of seconds, fraction trimmed."""
+    out = f"{days}D" if days else ""
+    h, rem = divmod(seconds, 3600)
+    m, s = divmod(rem, 60)
+    t = ""
+    if h:
+        t += f"{h}H"
+    if m:
+        t += f"{m}M"
+    if s or micros:
         frac = f".{micros:06d}".rstrip("0") if micros else ""
-        return f"P{days}DT{seconds}{frac}S"
+        t += f"{s}{frac}S"
+    if t:
+        out += "T" + t
+    return out
+
+
+def _duration_isoformat(value: Any) -> str:
+    """ISO-8601 rendering matching the reference's isodate behavior
+    (reference tests/test_core.py:16-31): zero timedelta -> ``P0D``;
+    month-bearing durations keep an explicit months field even at zero
+    (``P0M0D``), mirroring reference scalars.py:42."""
+    if isinstance(value, MonthDayDuration):
+        body = ""
+        if value.months:
+            body += f"{value.months}M"
+        body += _daytime_parts(value.days, value.seconds, value.microseconds)
+        if not body:
+            body = "0D"
+        rendered = "P" + body
+        return rendered if value.months else rendered.replace("P", "P0M", 1)
+    if isinstance(value, dt.timedelta):
+        if value < dt.timedelta(0):
+            return "-" + _duration_isoformat(-value)
+        body = _daytime_parts(value.days, value.seconds, value.microseconds)
+        return "P" + (body or "0D")
     return str(value)
 
 
-def parse_duration(text: str) -> dt.timedelta:
-    """Parse a (day-time) ISO-8601 duration: PnDTnHnMn.nS."""
-    import re
+_ISO_DURATION = re.compile(
+    r"(?P<sign>-)?P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?"
+)
 
-    m = re.fullmatch(
-        r"P(?:(?P<d>-?\d+)D)?(?:T(?:(?P<h>-?\d+)H)?(?:(?P<m>-?\d+)M)?(?:(?P<s>-?\d+(?:\.\d+)?)S)?)?",
-        text,
-    )
-    if not m:
+
+def parse_duration(text: str) -> "dt.timedelta | MonthDayDuration":
+    """Parse a full ISO-8601 duration. Pure day-time forms (no Y/M before
+    the T) return a ``timedelta``; forms with year/month components —
+    even zero ones like ``P0MT`` — return :class:`MonthDayDuration` with
+    years folded into months, matching reference scalars.py:25-31 (its
+    ``isodate``+``MonthDayNano`` behavior). ``T1H`` (no P) and ``P1H``
+    (time unit outside T) are invalid."""
+    m = _ISO_DURATION.fullmatch(text)
+    if not m or not any(m.group(g) for g in ("y", "mo", "w", "d", "h", "mi", "s")):
         raise ValueError(f"invalid ISO duration: {text!r}")
-    return dt.timedelta(
-        days=int(m["d"] or 0),
-        hours=int(m["h"] or 0),
-        minutes=int(m["m"] or 0),
-        seconds=float(m["s"] or 0),
+    sign = -1 if m["sign"] else 1
+    days = int(m["w"] or 0) * 7 + int(m["d"] or 0)
+    secs = float(m["s"] or 0)
+    whole = int(secs)
+    micros = round((secs - whole) * 1_000_000)
+    seconds = int(m["h"] or 0) * 3600 + int(m["mi"] or 0) * 60 + whole
+    date_part = text.partition("T")[0]
+    if set(date_part).isdisjoint("YM"):
+        return sign * dt.timedelta(days=days, seconds=seconds, microseconds=micros)
+    months = int(m["y"] or 0) * 12 + int(m["mo"] or 0)
+    return MonthDayDuration(
+        sign * months, sign * days, sign * seconds, sign * micros
     )
 
 

@@ -225,6 +225,52 @@ def test_typed_scalar_leaves(service, oracle):
     assert data["orders"]["shifted"]["row"]["o_orderkey"] is not None
 
 
+def test_duration_scalar_reference_parity(service, oracle):
+    # the reference's duration scalar cases verbatim
+    # (reference tests/test_core.py:16-31): year-month components fold
+    # to months and keep an explicit 0M; day-time stays a timedelta
+    from graphique_spark.service.scalars import _duration_isoformat, parse_duration
+
+    cases = {
+        "P1Y1M1DT1H1M1.1S": "P13M1DT1H1M1.1S",
+        "P1M1DT1H1M1.1S": "P1M1DT1H1M1.1S",
+        "P1DT1H1M1.1S": "P1DT1H1M1.1S",
+        "PT1H1M1.1S": "PT1H1M1.1S",
+        "PT1M1.1S": "PT1M1.1S",
+        "PT1.1S": "PT1.1S",
+        "PT1S": "PT1S",
+        "P0D": "P0D",
+        "PT0S": "P0D",
+        "P0MT": "P0M0D",
+        "P0YT": "P0M0D",
+    }
+    for src, want in cases.items():
+        assert _duration_isoformat(parse_duration(src)) == want, src
+    for bad in ("T1H", "P1H", "P", "PT"):
+        with pytest.raises(ValueError):
+            parse_duration(bad)
+
+    # month-bearing duration in an expression: +1 month via make_interval
+    data = service.execute(
+        """{ orders {
+          filtered: filter(where: {eq: [{name: "o_orderkey"}, {value: 1}]}) {
+            shifted: project(columns: [{alias: "due",
+                expr: {add: [{name: "o_orderdate"}, {duration: "P1M1D"}]}}]) {
+              due: column(name: "due") { values } } } } }"""
+    )
+    [[src_date]] = oracle.execute(
+        "SELECT o_orderdate FROM orders WHERE o_orderkey = 1"
+    ).fetchall()
+    [got] = data["orders"]["filtered"]["shifted"]["due"]["values"]
+    import datetime as _dt
+
+    base = src_date if isinstance(src_date, _dt.datetime) else _dt.datetime.combine(src_date, _dt.time())
+    month = base.month % 12 + 1
+    year = base.year + (base.month == 12)
+    expect = base.replace(year=year, month=month) + _dt.timedelta(days=1)
+    assert str(got).startswith(expect.isoformat()[:10])
+
+
 def test_zero_based_rank_and_partial(service):
     data = service.execute(
         """{ nation { project(columns: [{alias: "r", expr: {call: {func: "row_number",

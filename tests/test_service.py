@@ -583,3 +583,49 @@ def test_time_scalar_surfacing(spark):
     from graphique_spark.service.scalars import Time
 
     assert Time.parse_value("12:34:56.789123") == dt.time(12, 34, 56, 789123)
+
+
+def test_alltypes_serialization_parity(spark):
+    # the reference's alltypes fixture behaviors (reference
+    # tests/test_models.py:57-84): decimals serialize as STRINGS, sample
+    # std/var over a single non-null value is null (not 0), mode ignores
+    # nulls, quantile returns a float list, fillNull accepts one literal
+    # for int and float columns alike
+    import datetime as _dt
+    from decimal import Decimal as D
+
+    from graphique_spark.dataset import Dataset
+    from graphique_spark.service import GraphQLService
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, 0.0, D("0"), _dt.datetime(1970, 1, 1), _dt.date(1970, 1, 1), "zero"),
+            (None, None, None, None, None, None, None),
+        ],
+        "int32 int, int64 long, float64 double, dec decimal(10,0), ts timestamp, d date, s string",
+    )
+    svc = GraphQLService(Dataset(df))
+    data = svc.execute("{ columns { dec { values } } }")
+    assert data["columns"]["dec"]["values"] == ["0", None]
+    for name in ("int32", "int64", "float64"):
+        stats = svc.execute(
+            f"{{ columns {{ {name} {{ mean std var mode quantile(q: [0.5]) }} }} }}"
+        )["columns"][name]
+        assert stats["mean"] == 0.0
+        assert stats["std"] is None and stats["var"] is None
+        assert stats["mode"] == 0
+        assert stats["quantile"] == [0.0]
+    filled = svc.execute(
+        """{ fillNull(subset: ["int32", "float64"], value: 1)
+             { columns { int32 { values } float64 { values } } } }"""
+    )["fillNull"]["columns"]
+    assert filled["int32"]["values"] == [0, 1]
+    assert filled["float64"]["values"] == [0.0, 1.0]
+    # temporal reflection: year over timestamp AND date, null-preserving
+    for name in ("ts", "d"):
+        years = svc.execute(
+            f"""{{ project(columns: [{{alias: "y",
+                 expr: {{call: {{func: "year", args: [{{name: "{name}"}}]}}}}}}])
+                 {{ y: column(name: "y") {{ values }} }} }}"""
+        )["project"]["y"]["values"]
+        assert years == [1970, None]

@@ -29,7 +29,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from graphique_spark.functions import FUNCTIONS
-from graphique_spark.service.scalars import JSON, Date, Datetime, Duration
+from graphique_spark.service.scalars import (
+    JSON,
+    Base64,
+    Date,
+    Datetime,
+    Duration,
+    Time,
+)
 
 _BINARY = {
     "eq": lambda a, b: a == b,
@@ -59,6 +66,10 @@ def _expr_fields():
         "date": GraphQLInputField(Date),
         "datetime": GraphQLInputField(Datetime),
         "duration": GraphQLInputField(Duration, description="ISO-8601, e.g. P1DT2H"),
+        "base64": GraphQLInputField(
+            Base64, description="binary literal, base64-encoded"
+        ),
+        "time": GraphQLInputField(Time, description="ISO-8601 time of day"),
         "inv": GraphQLInputField(EXPRESSION),
         "coalesce": GraphQLInputField(expr_list),
         "ifelse": GraphQLInputField(expr_list, description="[cond, then, else]"),
@@ -131,7 +142,7 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
     [(op, arg)] = given.items()
     if op == "name":
         return F.col(arg)
-    if op in ("value", "date", "datetime", "duration"):
+    if op in ("value", "date", "datetime", "duration", "base64", "time"):
         from graphique_spark.service.scalars import MonthDayDuration
 
         if isinstance(arg, MonthDayDuration):

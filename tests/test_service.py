@@ -629,3 +629,30 @@ def test_alltypes_serialization_parity(spark):
                  {{ y: column(name: "y") {{ values }} }} }}"""
         )["project"]["y"]["values"]
         assert years == [1970, None]
+
+
+def test_typed_base64_and_time_literals(spark):
+    # reference tests/test_models.py:197-200: a base64 SCALAR decodes to
+    # bytes before entering the expression (a raw string literal would
+    # cast to its utf8 bytes instead)
+    from graphique_spark import Dataset
+    from graphique_spark.service import GraphQLService
+
+    df = spark.createDataFrame([(1, bytearray(b"")), (2, None)], "id long, bytes binary")
+    svc = GraphQLService(Dataset(df))
+    data = svc.execute(
+        """{ project(columns: [{alias: "bytes",
+            expr: {coalesce: [{name: "bytes"}, {base64: "Xw=="}]}}]) {
+          columns { bytes { values } } } }"""
+    )
+    assert data["project"]["columns"]["bytes"]["values"] == ["", "Xw=="]
+
+    tdf = spark.createDataFrame([(1, "09:30:00"), (2, "15:59:00")], "id long, t string")
+    tsvc = GraphQLService(
+        Dataset(tdf.selectExpr("id", "CAST(t AS TIME) AS t"))
+    )
+    data = tsvc.execute(
+        """{ filter(where: {ge: [{name: "t"}, {time: "12:00:00"}]}) {
+          columns { id { values } } } }"""
+    )
+    assert data["filter"]["columns"]["id"]["values"] == [2]

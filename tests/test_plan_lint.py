@@ -67,6 +67,7 @@ SKIP = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    from graphique_spark.plans import plan_string
     from graphique_spark.suite import QUERIES
     import graphique_spark.suite_llm  # noqa: F401
     import graphique_spark.suite_streaming  # noqa: F401
@@ -75,8 +76,7 @@ def plans(spark):
     for name, fn in QUERIES.items():
         if name in SKIP:
             continue
-        df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = plan_string(fn(spark, SF_DIR))
         spark.catalog.clearCache()
     return out
 
@@ -104,3 +104,34 @@ def test_no_python_row_udfs(plans):
     # is the row-at-a-time path that must never appear
     offenders = [name for name, plan in plans.items() if "BatchEvalPython" in plan]
     assert not offenders, f"row-at-a-time Python eval in: {offenders}"
+
+
+def test_plans_api_reports_and_asserts(spark, tables):
+    # the lint's engine as a public API: analyze() summarizes, and
+    # assert_scalable() raises exactly on the scale-killer shapes
+    from pyspark.sql import functions as F
+
+    from graphique_spark import plans
+
+    nation = tables["nation"].df
+    orders = tables["orders"].df
+    # an inequality-only join condition degrades to a nested loop -> flagged
+    bad = orders.join(F.broadcast(nation), orders["o_custkey"] > nation["n_nationkey"])
+    import pytest as _pytest
+
+    with _pytest.raises(plans.PlanWarningError, match="NestedLoop|Cartesian"):
+        plans.assert_scalable(bad)
+    report = plans.assert_scalable(bad, allow_nested_loop=True)
+    assert report.broadcast_nested_loop_joins >= 1
+
+    agg = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    report = plans.assert_scalable(agg)
+    assert report.exchanges >= 1 and report.scans == 1
+    assert not report.scale_killers
+    with _pytest.raises(plans.PlanWarningError, match="exchanges"):
+        plans.assert_scalable(agg, max_exchanges=0)
+
+    # pushdown is visible in the report
+    filt = orders.where(F.col("o_orderkey") == 7).select("o_orderkey")
+    rep = plans.analyze(filt)
+    assert any("o_orderkey" in p for p in rep.pushed_filters)

@@ -4658,3 +4658,51 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(15)
     )
+
+
+@query(
+    "approx_groupby_ci",
+    """
+    WITH sampled AS (
+      SELECT l_returnflag, l_quantity
+      FROM lineitem
+      WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < 100000
+    )
+    SELECT l_returnflag,
+           floor((count(*) / 0.1) * 10000 + 0.5) / 10000 AS est_rows,
+           floor((1.96 * sqrt(count(*) * 0.9) / 0.1) * 10000 + 0.5) / 10000
+             AS ci_rows,
+           floor((sum(l_quantity) / 0.1) * 10000 + 0.5) / 10000
+             AS est_l_quantity,
+           floor((1.96 * sqrt(0.9 * sum(l_quantity * l_quantity)) / 0.1)
+             * 10000 + 0.5) / 10000 AS ci_l_quantity
+    FROM sampled GROUP BY l_returnflag
+    """,
+)
+def approx_groupby_ci(spark, sf_dir):
+    """Approximate query processing: group-by estimates with CLT error
+    bars from a DETERMINISTIC 10% md5-hash sample (operators/approx.py) —
+    the interactive-BI answer at 100 TB, where a fixed materialized
+    sample answers every exploratory question at a tenth of the scan.
+    Horvitz-Thompson scaling; the sample predicate is replay-stable and
+    engine-portable, so DuckDB reproduces the estimates bit-for-bit.
+    Pytest separately asserts the estimates bracket the TRUE totals
+    within their intervals."""
+    from graphique_spark.operators.approx import approx_group_agg
+
+    li = table(spark, sf_dir, "lineitem").df
+    key = F.concat_ws(
+        "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    out = approx_group_agg(
+        li, ["l_returnflag"], key, sums=["l_quantity"], fraction=0.1
+    )
+    return out.select(
+        "l_returnflag",
+        fround(F.col("est_rows"), 4).alias("est_rows"),
+        fround(F.col("ci_rows"), 4).alias("ci_rows"),
+        fround(F.col("est_l_quantity"), 4).alias("est_l_quantity"),
+        fround(F.col("ci_l_quantity"), 4).alias("ci_l_quantity"),
+    )

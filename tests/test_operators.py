@@ -665,3 +665,35 @@ def test_blocked_fuzzy_pairs_finds_typos_within_block(spark):
         ).collect()
     }
     assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_approx_group_agg_brackets_truth(tables):
+    # the statistical contract: HT estimates from the 10% hash sample
+    # land within their own z=1.96 intervals of the TRUE per-group totals
+    # (deterministic sample -> deterministic estimates; the margin is not
+    # a flaky bound, it is checked once against fixed data)
+    from graphique_spark.operators.approx import approx_group_agg
+
+    li = tables["lineitem"].df
+    key = F.concat_ws(
+        "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    est = {
+        r["l_returnflag"]: r
+        for r in approx_group_agg(
+            li, ["l_returnflag"], key, sums=["l_quantity"], fraction=0.1
+        ).collect()
+    }
+    truth = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for flag, t in truth.items():
+        e = est[flag]
+        assert abs(e["est_rows"] - t["n"]) <= e["ci_rows"], flag
+        assert abs(e["est_l_quantity"] - float(t["q"])) <= e["ci_l_quantity"], flag
+        # error bars are meaningful: well under 20% of the estimate
+        assert e["ci_rows"] < 0.2 * e["est_rows"]

@@ -20,6 +20,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(col: Column) -> Column:
@@ -246,6 +247,19 @@ def ivf_knn_join(
     quadratic when the query set is itself large. The query side broadcasts
     (queries * nprobe rows); the corpus never shuffles.
     Returns (query_id, vec_id, cosine) with rank <= k per query."""
+    if not centroids:
+        # no cells -> no candidate pairs: typed empty result, matching
+        # the ivf_topk empty-centroid contract
+        return queries.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[id_col].dataType),
+                    T.StructField(id_col, corpus.schema[id_col].dataType),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
     cells = []
     for cid, cvec in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cvec])

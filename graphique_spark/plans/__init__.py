@@ -86,7 +86,12 @@ def analyze(df: DataFrame) -> PlanReport:
         if m.group(1)
     )
     return PlanReport(
-        exchanges=len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        # every shuffle exchange regardless of partitioning scheme (hash,
+        # range, SinglePartition, RoundRobin from repartition(n)/rebalance)
+        # — only Broadcast/Reused exchanges are not shuffles
+        exchanges=len(
+            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \w*[Pp]artition", plan)
+        ),
         broadcasts=plan.count("BroadcastExchange"),
         # one pattern: "FileScan parquet" CONTAINS "Scan parquet", so two
         # separate counts would double-count every file scan

@@ -148,6 +148,17 @@ def _duration_isoformat(value: Any) -> str:
     month-bearing durations keep an explicit months field even at zero
     (``P0M0D``), mirroring reference scalars.py:42."""
     if isinstance(value, MonthDayDuration):
+        parts = (value.months, value.days, value.seconds, value.microseconds)
+        if min(parts) < 0:
+            # parse_duration only builds uniform-signed values; a leading
+            # "-" applies to every component, so negate-all round-trips.
+            if max(parts) > 0:
+                raise ValueError(
+                    f"mixed-sign duration is not ISO-8601 representable: {value!r}"
+                )
+            return "-" + _duration_isoformat(
+                MonthDayDuration(*(-p for p in parts))
+            )
         body = ""
         if value.months:
             body += f"{value.months}M"

@@ -413,12 +413,24 @@ def compact_parquet(
         NULL_SENTINEL = "\x00null"
 
         def dir_value(v: str) -> str:
+            # the writer sends null AND '' to __HIVE_DEFAULT_PARTITION__
+            # (getPartitionPathString), so both map to the sentinel
             return NULL_SENTINEL if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+
+        # anchor k=v parsing BELOW src: an ancestor directory named e.g.
+        # ds=2024 would otherwise inject a phantom pair into every key,
+        # the split_map lookup would never match, and no partition would
+        # ever split (silently)
+        jroot = spark._jvm.org.apache.hadoop.fs.Path(src)
+        jfs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+        root_prefix = jfs.makeQualified(jroot).toString().rstrip("/") + "/"
 
         per_part: dict[tuple, int] = defaultdict(int)
         for path, size in files:
+            rel = path[len(root_prefix):] if path.startswith(root_prefix) else path
+            dirs = rel.rpartition("/")[0]  # drop the filename segment
             part = tuple(
-                (k, dir_value(v)) for k, v in re.findall(r"/([^/=]+)=([^/]*)", path)
+                (k, dir_value(v)) for k, v in re.findall(r"([^/=]+)=([^/]*)", dirs)
             )
             per_part[part] += size
         splits = {
@@ -447,7 +459,12 @@ def compact_parquet(
                     F.concat_ws(
                         "\x1f",
                         F.lit(k),
-                        F.coalesce(F.col(k).cast("string"), F.lit(NULL_SENTINEL)),
+                        # nullif folds '' into the null sentinel to mirror
+                        # the writer (null and '' share one directory)
+                        F.coalesce(
+                            F.nullif(F.col(k).cast("string"), F.lit("")),
+                            F.lit(NULL_SENTINEL),
+                        ),
                     )
                     for k in partition_keys
                 ],
@@ -514,7 +531,10 @@ def write_with_manifest(
     # the manifest would describe a second run of the plan, which diverges
     # from the files on disk if the plan is nondeterministic or a source
     # changed between the two jobs — defeating verify_manifest
-    written = df.sparkSession.read.parquet(dest)
+    # explicit schema: an empty partitioned write emits only _SUCCESS, and
+    # schema inference over zero files raises — the input schema is by
+    # definition the schema of the (zero) bytes written
+    written = df.sparkSession.read.schema(df.schema).parquet(dest)
     manifest = table_checksum(written, [partition_by] if partition_by else [])
     manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
 
@@ -526,9 +546,16 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
     from pyspark.sql import functions as F
 
     stored = spark.read.parquet(f"{dest}/_manifest")
-    actual = table_checksum(
-        spark.read.parquet(dest), [partition_by] if partition_by else []
-    )
+    try:
+        actual = table_checksum(
+            spark.read.parquet(dest), [partition_by] if partition_by else []
+        )
+    except Exception:
+        # zero data files (underscore paths are hidden from the read):
+        # schema inference raises. The checksum of nothing is the typed
+        # empty frame — any stored partition then reports n_actual=null,
+        # which is exactly the "files are gone" mismatch.
+        actual = spark.createDataFrame([], stored.schema)
     on = [partition_by] if partition_by else []
     a = actual.select(
         *on, F.col("n_rows").alias("n_actual"), F.col("checksum").alias("sum_actual")

@@ -497,7 +497,9 @@ def cdc_sink(
             spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils
         )
-        if value is None:
+        if value is None or value == "":
+            # getPartitionPathString sends null AND '' to the default
+            # partition directory
             escaped = "__HIVE_DEFAULT_PARTITION__"
         else:
             escaped = utils.escapePathName(value)
@@ -505,6 +507,14 @@ def cdc_sink(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        from pyspark.sql import types as _T
+
+        if isinstance(batch.schema[part].dataType, _T.StringType):
+            # a partitioned write stores '' as __HIVE_DEFAULT_PARTITION__,
+            # which reads back as NULL — '' cannot round-trip through the
+            # layout, so normalize it to null up front or a later
+            # delete/update keyed on '' never matches its stored row
+            batch = batch.withColumn(part, F.nullif(F.col(part), F.lit("")))
         batch = batch.persist()
         try:
             # collect partition values as Spark-rendered STRINGS (the cast
@@ -521,6 +531,13 @@ def cdc_sink(
             touched = [r["__raw"] for r in touched_rows]
             if not touched:
                 return
+            # null and '' share ONE directory (__HIVE_DEFAULT_PARTITION__):
+            # touching either must pull BOTH into the rewrite, or the
+            # dynamic overwrite of that directory wipes the other
+            # claimant's rows
+            if any(v is None or v == "" for v in touched):
+                touched = [v for v in touched if v is not None and v != ""]
+                touched += [None, ""]
             payload = [c for c in batch.columns if c not in (seq_col, op_col)]
             existing = read_parquet_if_exists(spark, dest)
             if existing is not None:
@@ -556,10 +573,13 @@ def cdc_sink(
             }
             dead = [r["__str"] for r in touched_rows if r["__str"] not in survivors]
             if dead and existing is not None:
+                # null and '' map to the SAME directory; only delete a
+                # directory no survivor value still claims
+                survivor_dirs = {partition_dirname(spark, s) for s in survivors}
+                dead_dirs = {partition_dirname(spark, p) for p in dead}
                 jvm = spark.sparkContext._jvm
                 conf = spark.sparkContext._jsc.hadoopConfiguration()
-                for p in dead:
-                    dirname = partition_dirname(spark, p)
+                for dirname in sorted(dead_dirs - survivor_dirs):
                     path = jvm.org.apache.hadoop.fs.Path(f"{dest}/{dirname}")
                     fs = path.getFileSystem(conf)
                     fs.delete(path, True)

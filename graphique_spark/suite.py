@@ -2615,9 +2615,10 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     fli = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         "l_orderkey",
         "l_suppkey",
+        # timestamp + interval preserves time-of-day, matching the oracle's
+        # o_orderdate + INTERVAL 60 DAY (date_add would truncate to midnight)
         (
-            F.col("l_shipdate")
-            > F.date_add(F.col("o_orderdate").cast("date"), 60).cast("timestamp")
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
     stats = fli.groupBy("l_orderkey").agg(

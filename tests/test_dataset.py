@@ -579,3 +579,41 @@ def test_dataset_convenience_wrappers(tables):
     assert rep[0]["violations"] == 0 and rep[0]["passed"]
     sk = nation.skew_report(["n_regionkey"], top=2).df.collect()
     assert len(sk) == 2 and all(abs(r["skew_ratio"] - 1.0) < 1e-9 for r in sk)
+
+
+def test_compact_parquet_splits_under_kv_named_ancestor_dir(spark, tmp_path):
+    # an ancestor directory of src that itself looks like a partition
+    # (ds=2024) must not inject phantom pairs into the split-map keys —
+    # that mismatch made every lookup miss and no partition ever split
+    import glob as _glob
+
+    from graphique_spark.sources import compact_parquet
+
+    root = tmp_path / "lake" / "ds=2024-08-14" / "table"
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("int").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    df.repartition(4).write.partitionBy("k").parquet(str(root))
+    dest = str(tmp_path / "dest")
+    compact_parquet(
+        spark, str(root), dest, target_file_bytes=8 << 10, partition_keys=["k"]
+    )
+    for d in ["k=0", "k=1"]:
+        n = len(_glob.glob(str(tmp_path / "dest" / d / "*.parquet")))
+        assert n > 1, f"{d}: expected a multi-file split, got {n}"
+    assert spark.read.parquet(dest).count() == 4000
+
+
+def test_write_with_manifest_empty_partitioned_frame(spark, tmp_path):
+    # a legitimately-empty incremental batch: the partitioned write emits
+    # zero data files, so the read-back for checksumming cannot infer a
+    # schema — the manifest must come from the input schema instead
+    from graphique_spark.sources import verify_manifest, write_with_manifest
+
+    dest = str(tmp_path / "empty_part")
+    df = spark.range(0).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    write_with_manifest(df, dest, partition_by="bucket")
+    assert verify_manifest(spark, dest, partition_by="bucket").count() == 0

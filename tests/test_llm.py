@@ -1231,3 +1231,12 @@ def test_quality_classifier_separates_reference_from_gibberish(spark):
     g2s = [v for k, v in s2.items() if k < 1000]
     b2s = [v for k, v in s2.items() if k >= 1000]
     assert sum(g2s) / len(g2s) > sum(b2s) / len(b2s) + 0.5
+
+
+def test_ivf_knn_join_empty_centroids_returns_typed_empty(tables):
+    from graphique_spark.llm.similarity import ivf_knn_join
+
+    emb = tables["embeddings"].df
+    out = ivf_knn_join(emb, emb.limit(3), centroids=[], k=2)
+    assert out.columns == ["query_id", "vec_id", "cosine"]
+    assert out.count() == 0

@@ -135,3 +135,13 @@ def test_plans_api_reports_and_asserts(spark, tables):
     filt = orders.where(F.col("o_orderkey") == 7).select("o_orderkey")
     rep = plans.analyze(filt)
     assert any("o_orderkey" in p for p in rep.pushed_filters)
+
+
+def test_plans_counts_roundrobin_exchanges(spark, tables):
+    # repartition(n) emits Exchange RoundRobinPartitioning — a real
+    # shuffle that the exchange count (and max_exchanges gates built on
+    # it) must see
+    from graphique_spark import plans
+
+    rr = tables["orders"].df.repartition(8)
+    assert plans.analyze(rr).exchanges == 1

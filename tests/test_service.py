@@ -656,3 +656,24 @@ def test_typed_base64_and_time_literals(spark):
           columns { id { values } } } }"""
     )
     assert data["filter"]["columns"]["id"]["values"] == [2]
+
+
+def test_negative_duration_serialize_roundtrips():
+    # uniform-negative month-bearing durations must serialize to the
+    # leading-sign ISO form their own parser accepts (per-component
+    # negatives like 'P-1M-2DT-3H' are invalid ISO-8601)
+    from graphique_spark.service.scalars import (
+        MonthDayDuration,
+        _duration_isoformat,
+        parse_duration,
+    )
+
+    for text in ["-P1M2DT3H", "-P0M1D", "-P1Y2M3DT4H5M6.5S", "-P0MT0.25S"]:
+        value = parse_duration(text)
+        rendered = _duration_isoformat(value)
+        assert rendered.startswith("-P")
+        assert parse_duration(rendered) == value
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed-sign"):
+        _duration_isoformat(MonthDayDuration(months=1, days=-2))

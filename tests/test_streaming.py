@@ -476,3 +476,61 @@ def test_windowed_distinct_hll_accuracy_and_stream_parity(spark, tables, tmp_pat
         for r in spark.sql("SELECT * FROM wd_hll").collect()
     }
     assert streamed == {ws: r["distinct_est"] for ws, r in batch.items()}
+
+
+def test_cdc_sink_empty_string_partition_shares_default_dir(spark, tmp_path):
+    # Spark's writer sends '' AND null to __HIVE_DEFAULT_PARTITION__: the
+    # dead-dir delete must (a) find the dir for a dead '' value and (b)
+    # NOT delete it while the other claimant (null) still has rows
+    import glob as _glob
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "cdc_src")
+    schema = "region string, k long, v double, seq int, op string"
+    batches = [
+        [("", 1, 1.0, 1, "insert"), (None, 2, 2.0, 1, "insert"),
+         ("ok", 3, 3.0, 1, "insert")],
+        [("", 1, None, 2, "delete")],   # '' dies, null still claims the dir
+        [(None, 2, None, 3, "delete")],  # now the default dir is truly dead
+    ]
+    dflt = str(tmp_path / "snap" / "region=__HIVE_DEFAULT_PARTITION__")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = st.cdc_sink(
+            stream,
+            dest=str(tmp_path / "snap"),
+            keys=["region", "k"],
+            checkpoint=str(tmp_path / "ckpt"),
+            partition_col="region",
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run_batch(batches[0])
+    assert _glob.glob(dflt + "/*.parquet")
+    run_batch(batches[1])
+    # null's row must survive in the shared directory
+    assert _glob.glob(dflt + "/*.parquet"), "shared dir deleted under a survivor"
+    got = {
+        (r["region"], r["k"])
+        for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    }
+    assert got == {(None, 2), ("ok", 3)}
+    run_batch(batches[2])
+    assert not _glob.glob(dflt), "dead '' / null partition dir must be deleted"
+    got = {
+        (r["region"], r["k"])
+        for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    }
+    assert got == {("ok", 3)}

@@ -971,3 +971,65 @@ def balanced_shards(df, n_shards: int, weight, id_col: str = "doc_id"):
         )
         .drop("__order", "__t")
     )
+
+
+def dsir_log_weights(
+    raw,
+    target_pred: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+):
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    score every raw document by how target-like its hashed bag-of-words
+    is. Tokens fold into a FIXED space of ``buckets`` md5-hash buckets;
+    the target and raw bucket distributions are add-one smoothed, and a
+    document's log importance weight is the sum over its tokens of
+    ``ln(p_target(bucket) / p_raw(bucket))``. High weight = resample into
+    the training mix; ``target_pred`` is a boolean column marking the
+    in-domain exemplar docs (they stay members of raw, as in the paper).
+    Returns (id, n_tokens, log_weight).
+
+    Scale shape: the model is two ``buckets``-wide count aggregates —
+    CONSTANT size regardless of corpus bytes — so the log-ratio table is
+    an explicitly-safe broadcast; scoring is one explode, one broadcast
+    equi-join, one per-doc sum (map-side combined). Only the two corpus
+    totals touch the driver."""
+    from graphique_spark.llm.dedup import ensure_parallelism, hash60
+
+    raw = ensure_parallelism(raw)
+    tok = raw.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
+        ).alias("term"),
+    ).select(
+        id_col, "__tgt", F.pmod(hash60(F.col("term")), F.lit(buckets)).alias("b")
+    )
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
+    )
+    n_raw, n_tgt = counts.agg(F.sum("c_raw"), F.sum("c_tgt")).first()
+    if not n_raw:
+        return raw.select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0.0).alias("log_weight"),
+        ).limit(0)
+    ratio = counts.select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / F.lit(float(n_tgt + buckets)))
+            - F.log((F.col("c_raw") + 1.0) / F.lit(float(n_raw + buckets)))
+        ).alias("__lr"),
+    )
+    return (
+        tok.join(F.broadcast(ratio), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr").alias("log_weight"),
+        )
+    )

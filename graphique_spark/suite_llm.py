@@ -4706,3 +4706,124 @@ def approx_groupby_ci(spark, sf_dir):
         fround(F.col("est_l_quantity"), 4).alias("est_l_quantity"),
         fround(F.col("ci_l_quantity"), 4).alias("ci_l_quantity"),
     )
+
+
+@query(
+    "dsir_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM (SELECT doc_id,
+                   (lang = 'en' AND source IN ('src0', 'src1', 'src2')) AS tgt,
+                   unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS t
+            FROM documents)
+    ),
+    counts AS (
+      SELECT b, count(*) AS c_raw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt FROM counts),
+    ratio AS (
+      SELECT b, ln((c_tgt + 1.0) / (nt + 1024)) - ln((c_raw + 1.0) / (nr + 1024)) AS lr
+      FROM counts, tot
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(lr) AS w
+      FROM tok JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(w * 10 + 0.5) / 10 AS w_bucket
+    FROM (SELECT * FROM scored
+          ORDER BY floor(w * 10 + 0.5) / 10 DESC, doc_id LIMIT 25)
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    rank the crawl by target-likeness under hashed bag-of-words importance
+    weights — the standard recipe for tilting a 100 TB crawl toward a
+    trusted domain without training a model. Target exemplars here:
+    English docs from three trusted sources. The model is two 1024-bucket
+    count aggregates (CONSTANT size at any corpus scale), the log-ratio
+    table broadcasts, and scoring is one explode + broadcast join +
+    per-doc sum; top-25 over-fetches on the 0.1-nat-rounded weight with a
+    doc_id tiebreak so the cut is engine-deterministic."""
+    from graphique_spark.operators.topk import top_k
+
+    docs = table(spark, sf_dir, "documents").df
+    tgt = (F.col("lang") == "en") & F.col("source").isin("src0", "src1", "src2")
+    scores = text.dsir_log_weights(docs, tgt, buckets=1024)
+    ranked = scores.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        fround(F.col("log_weight"), 1).alias("w_bucket"),
+    )
+    return top_k(ranked, ["-w_bucket", "doc_id"], 25, ())
+
+
+@query(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.7
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.v
+    ),
+    comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+    canon AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    ),
+    split AS (
+      SELECT doc_id, grp,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.8 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM canon
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+    FROM split GROUP BY split
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: assign the split from the
+    near-dup COMPONENT's canonical id, not the doc id, so two near-copies
+    can never straddle train and test (the classic eval-contamination
+    failure a doc-hash split silently commits at crawl scale). Pipeline:
+    MinHash banding -> connected components -> canonical group id
+    (singletons are their own group) -> deterministic md5 split on the
+    group. By construction every member of a component lands in the same
+    split; the oracle replays the full pair graph through a recursive CTE
+    and re-derives the same split totals."""
+    docs = table(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.7
+    )
+    comps = dedup.connected_components(pairs)
+    canon = docs.select("doc_id").join(
+        comps.withColumnRenamed("v", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("grp")
+    )
+    return (
+        canon.withColumn(
+            "split", text.assign_split(F.col("grp"), (0.8, 0.1, 0.1))
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        )
+    )

@@ -1240,3 +1240,32 @@ def test_ivf_knn_join_empty_centroids_returns_typed_empty(tables):
     out = ivf_knn_join(emb, emb.limit(3), centroids=[], k=2)
     assert out.columns == ["query_id", "vec_id", "cosine"]
     assert out.count() == 0
+
+
+def test_dsir_log_weights_prefers_target_like_docs(spark):
+    from graphique_spark.llm.text import dsir_log_weights
+
+    target = ["quantum entanglement theorem proof lattice"] * 6
+    noise = ["buy cheap pills now click here winner"] * 6
+    rows = [(i, t, True) for i, t in enumerate(target)]
+    rows += [(100 + i, t, False) for i, t in enumerate(noise)]
+    # held-out probes: one target-like, one noise-like, neither an exemplar
+    rows += [(500, "entanglement lattice theorem", False),
+             (501, "cheap pills winner", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, F.col("tgt"), buckets=256).collect()
+    }
+    assert out[500] > 0 > out[501]
+    # weights are per-token sums: every exemplar outweighs every noise doc
+    assert min(out[i] for i in range(6)) > max(out[100 + i] for i in range(6))
+
+
+def test_dsir_log_weights_empty_corpus(spark):
+    from graphique_spark.llm.text import dsir_log_weights
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = dsir_log_weights(df, F.lit(False))
+    assert out.columns == ["doc_id", "n_tokens", "log_weight"]
+    assert out.count() == 0

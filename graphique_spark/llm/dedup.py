@@ -113,7 +113,12 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
 
 
 def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
-    """Hash each band of the signature: array of ``bands`` md5 keys."""
+    """Hash each band of the signature: array of ``bands`` md5 keys.
+
+    ``bands * rows`` must not exceed the signature length: ``F.get`` past
+    the end yields NULL, which ``concat_ws`` silently DROPS — band keys
+    quietly built from fewer values than requested collide far more
+    often."""
     return F.array(
         *[
             F.md5(F.concat_ws("|", *[F.get(signature, b * rows + r) for r in range(rows)]))
@@ -157,6 +162,12 @@ def _signatures(
 
 
 def _band_key_array(num_hashes: int, bands: int) -> Column:
+    if num_hashes % bands:
+        # 16 hashes / 5 bands would silently use only 15 values: the user
+        # pays for num_hashes permutations but gets fewer bits of LSH
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     rows = num_hashes // bands
     return F.array(
         *[
@@ -704,15 +715,32 @@ def canonical_pick(
     Scale shape: components are slim (member, component) rows; one
     ``max_by`` aggregate over the bounded component key and one join back
     — both shuffles carry two longs + the priority, never documents."""
+    from pyspark.sql import types as T
+
     pr = priority if priority is not None else F.col("n_chars")
     joined = components.join(
         attrs, components["v"] == attrs[id_col]
     ).select(components["v"].alias("member"), "component", pr.alias("__pr"))
-    keep = joined.groupBy("component").agg(
-        F.max_by(
-            F.col("member"), F.struct(F.col("__pr"), (-F.col("member")).alias("nid"))
-        ).alias("keep_id")
-    )
+    if isinstance(components.schema["v"].dataType, T.NumericType):
+        # single O(1)-state aggregate: max_by on (priority, -member) makes
+        # the smallest member win ties
+        keep = joined.groupBy("component").agg(
+            F.max_by(
+                F.col("member"),
+                F.struct(F.col("__pr"), (-F.col("member")).alias("nid")),
+            ).alias("keep_id")
+        )
+    else:
+        # string ids can't be negated (UnaryMinus casts to double -> NULL,
+        # making the tie-break nondeterministic): two O(1)-state aggregates
+        # — max priority per component, then min member among the ties
+        best = joined.groupBy("component").agg(F.max("__pr").alias("__best"))
+        keep = (
+            joined.join(best, "component")
+            .where(F.col("__pr").eqNullSafe(F.col("__best")))
+            .groupBy("component")
+            .agg(F.min("member").alias("keep_id"))
+        )
     return joined.join(keep, "component").select(
         F.col("member").alias(id_col),
         "component",

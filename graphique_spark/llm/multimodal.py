@@ -349,8 +349,15 @@ def decode_audio(
                     if w.getsampwidth() != 2:
                         raise ValueError("only 16-bit PCM supported")
                     sr = w.getframerate()
+                    n_ch = w.getnchannels()
                     frames = w.readframes(w.getnframes())
                 samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                if n_ch > 1:
+                    # frames interleave channels: downmix to mono, or the
+                    # duration doubles and zero-crossings compare samples
+                    # from DIFFERENT channels
+                    samples = samples[: len(samples) - len(samples) % n_ch]
+                    samples = samples.reshape(-1, n_ch).mean(axis=1)
                 n = len(samples)
                 rms = float(np.sqrt((samples**2).mean()) / 32768.0) if n else 0.0
                 mean_abs = float(np.abs(samples).mean() / 32768.0) if n else 0.0
@@ -519,8 +526,14 @@ def audio_frame_features(
                 with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
                     if w.getsampwidth() != 2:
                         raise ValueError("only 16-bit PCM supported")
+                    n_ch = w.getnchannels()
                     frames = w.readframes(w.getnframes())
                 samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                if n_ch > 1:
+                    # de-interleave: frame windows over raw stereo data mix
+                    # L/R samples into one "frame"
+                    samples = samples[: len(samples) - len(samples) % n_ch]
+                    samples = samples.reshape(-1, n_ch).mean(axis=1)
                 n_frames = len(samples) // frame_samples
                 if not n_frames:
                     continue

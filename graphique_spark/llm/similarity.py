@@ -136,7 +136,9 @@ def _hash_sampled_centroids(
         .limit(num)
         .collect()
     )  # tiny: num rows, collected once at plan-build
-    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+    # cid stays the raw id value: it is only an opaque cell label
+    # (int() would crash on string vector ids, which hash60 supports)
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
 
 
 def ivf_topk(
@@ -181,7 +183,7 @@ def ivf_topk(
     for cid, cvec in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
         sim = cosine_similarity(F.col(vec_col), cv)
-        cells.append(F.struct(sim.alias("s"), F.lit(int(cid)).alias("c")))
+        cells.append(F.struct(sim.alias("s"), F.lit(cid).alias("c")))
     cell = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
     q = F.array(*[F.lit(float(v)) for v in query])
     qsim = cosine_similarity(F.col(vec_col), q)
@@ -266,7 +268,7 @@ def ivf_knn_join(
         cells.append(
             F.struct(
                 cosine_similarity(F.col(vec_col), cv).alias("s"),
-                F.lit(int(cid)).alias("c"),
+                F.lit(cid).alias("c"),
             )
         )
     nearest = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
@@ -530,9 +532,12 @@ def lsh_ann_topk(
     query_bucket = (
         df.sparkSession.range(1).select(lsh_bucket(q, planes).alias("b")).first()["b"]
     )
-    probe_buckets = [
-        b for b in range(1 << num_planes) if bin(b ^ query_bucket).count("1") <= probe_radius
-    ]
+    # O(planes^radius) probe set via XOR masks — enumerating all
+    # 2^planes buckets is driver-side exponential work at realistic
+    # plane counts (24 planes = a 16M-iteration loop for planes+1 hits)
+    probe_buckets = sorted(
+        query_bucket ^ m for m in _probe_masks(num_planes, probe_radius)
+    )
     sim = cosine_similarity(F.col(vec_col), q)
     return (
         df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
@@ -566,7 +571,7 @@ def assign_clusters(
     for cid, cvec in centroids:
         lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
         cos = cosine_similarity(F.col(vec_col), lit_vec)
-        cands.append(F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid")))
+        cands.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
     return df.withColumn("cluster", best["cid"]).withColumn(
         "cos_to_centroid", best["cos"]

@@ -56,11 +56,15 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    return F.length(F.regexp_replace(col, r"[^.!?,;:]", "")) / F.length(col)
+    # try_divide: NULL (not an ANSI-mode error) for empty text
+    return F.try_divide(
+        F.length(F.regexp_replace(col, r"[^.!?,;:]", "")), F.length(col)
+    )
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    return _hits(col, STOPWORDS[lang]) / token_count(col)
+    # try_divide: NULL (not an ANSI-mode error) for zero-token text
+    return F.try_divide(_hits(col, STOPWORDS[lang]), token_count(col))
 
 
 def mean_word_length(col: Column) -> Column:
@@ -74,7 +78,10 @@ def quality_score(col: Column) -> Column:
     punctuation moderation — the usual cheap pre-filters before expensive
     model-based scoring."""
     length_ok = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
-    stop = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    # zero-token text makes stopword_ratio NULL (x/0), and F.least SKIPS
+    # nulls — without the coalesce an empty doc would take the full 1.0
+    # stopword credit instead of 0
+    stop = F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 5.0, F.lit(1.0))
     wlen = mean_word_length(col)
     wlen_ok = F.when((wlen >= 3) & (wlen <= 8), 1.0).otherwise(0.5)
     punct_ok = F.when(punct_ratio(col) < 0.1, 1.0).otherwise(0.5)
@@ -295,11 +302,16 @@ def mixture_sample(df, weights: dict[str, float], by: str = "source", id_col: st
         # empty corpus: nothing to resample (min() below would raise)
         return df.withColumn("__threshold", F.lit(0)).limit(0)
     wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("at least one target weight must be positive")
     shares = {s: w / wsum for s, w in weights.items() if s in counts}
-    # largest feasible total: N = min over sources of count_s / share_s
-    n_total = min(counts[s] / shares[s] for s in counts)
+    # weight 0 means "exclude this source" — it contributes nothing to the
+    # feasible-total bound (its threshold is simply 0, not a div-by-zero)
+    feasible = [counts[s] / shares[s] for s in counts if shares[s] > 0]
+    n_total = min(feasible) if feasible else 0.0
     thresholds = {
-        s: int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000) for s in counts
+        s: int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000)
+        for s in counts
     }
     thr = F.element_at(
         F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv]), F.col(by)
@@ -378,6 +390,10 @@ def contaminated_docs_bloom(
         benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("g"))
         .select(hash60(F.col("g")).alias("h"))
         .distinct()
+        # consumed twice (bloom build + exact verify join) — without the
+        # lineage cut the whole benchmark re-shingles for the second pass,
+        # doubling the benchmark-side cost this function exists to avoid
+        .localCheckpoint(eager=False)
     )
     bitmap = build_bloom(bench_grams, "h", m_bits, k)
     spark = corpus.sparkSession
@@ -481,6 +497,11 @@ def word_entropy(df, text: str = "text", id_col: str = "doc_id"):
     words = df.select(
         F.col(id_col).alias(id_col),
         F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("w"),
+    ).where(
+        # split('') yields [''] — an empty doc would otherwise count one
+        # "word" and score entropy 0 (most-templated); no-word docs drop
+        # out instead (same contract as the bigram LM's short-doc dropout)
+        F.col("w") != ""
     )
     wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
     wc = wc.withColumn("total", F.sum("c").over(Window.partitionBy(id_col)))
@@ -552,6 +573,12 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     from graphique_spark.operators.topk import top_k
 
     terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # empty query (e.g. all terms filtered upstream): typed empty
+        # result before paying the tokenize/aggregate jobs
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
     df = ensure_parallelism(df)
     tok = df.select(
         F.col(id_col),

@@ -1136,7 +1136,8 @@ def sketch_distinct(spark, sf_dir):
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ),
-    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w
+           WHERE word <> '' GROUP BY doc_id, word),
     t AS (SELECT doc_id, sum(c) AS total FROM wc GROUP BY doc_id)
     SELECT doc_id,
            CAST(max(total) AS BIGINT) AS n_words,

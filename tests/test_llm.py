@@ -1269,3 +1269,96 @@ def test_dsir_log_weights_empty_corpus(spark):
     out = dsir_log_weights(df, F.lit(False))
     assert out.columns == ["doc_id", "n_tokens", "log_weight"]
     assert out.count() == 0
+
+
+def test_quality_score_empty_text_gets_no_stopword_credit(spark):
+    # stopword_ratio is NULL for zero-token text and F.least skips NULLs:
+    # an empty doc must score 0.25 (0 length + 0 stop + 0.5 + 0.5)/4,
+    # not 0.5 with full stopword credit
+    from graphique_spark.llm.text import quality_score
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("the of and a in to is",)], "text string"
+    )
+    vals = [r[0] for r in df.select(quality_score(F.col("text"))).collect()]
+    assert vals[0] == 0.25
+    assert vals[1] < 0.4  # whitespace-only: zero stopword credit
+    assert vals[2] > 0.5
+
+
+def test_mixture_sample_zero_weight_excludes_source(spark):
+    from graphique_spark.llm.text import mixture_sample
+
+    rows = [(i, "web") for i in range(50)] + [(100 + i, "spam") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"web": 1.0, "spam": 0.0})
+    assert out.where(F.col("source") == "spam").count() == 0
+    assert out.where(F.col("source") == "web").count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, {"web": 0.0, "spam": 0.0})
+
+
+def test_bm25_empty_query_returns_typed_empty(tables):
+    from graphique_spark.llm.text import bm25_topk
+
+    out = bm25_topk(tables["documents"].df, [])
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
+
+
+def test_canonical_pick_string_ids_deterministic(spark):
+    from graphique_spark.llm.dedup import canonical_pick
+
+    comps = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-a", "doc-a"), ("doc-c", "doc-a")],
+        "v string, component string",
+    )
+    attrs = spark.createDataFrame(
+        [("doc-a", 10), ("doc-b", 10), ("doc-c", 5)], "doc_id string, n_chars long"
+    )
+    out = canonical_pick(comps, attrs).collect()
+    # equal priority tie (doc-a vs doc-b at 10): smallest id must win
+    assert all(r["keep_id"] == "doc-a" for r in out)
+
+
+def test_lsh_band_divisibility_validated(tables):
+    from graphique_spark.llm import dedup
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_candidates(tables["documents"].df, num_hashes=16, bands=5)
+
+
+def test_word_entropy_empty_doc_drops_out(spark):
+    from graphique_spark.llm.text import word_entropy
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert set(out) == {3}
+    assert out[3]["n_words"] == 3 and out[3]["n_unique_words"] == 2
+
+
+def test_decode_audio_stereo_downmixes(spark):
+    import io as _io
+    import struct
+    import wave as _wave
+
+    from graphique_spark.llm.multimodal import decode_audio
+
+    sr, n = 8000, 800
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        # L channel: +1000, R channel: -1000 -> mono downmix is silence
+        w.writeframes(struct.pack("<%dh" % (2 * n), *([1000, -1000] * n)))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    row = decode_audio(df).collect()[0]
+    assert row["n_samples"] == n
+    assert abs(row["duration"] - n / sr) < 1e-9
+    assert row["rms"] == 0.0  # interleaved L/R would read rms ~1000/32768

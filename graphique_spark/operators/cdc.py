@@ -64,5 +64,9 @@ def apply_cdc(
         term = base[k].eqNullSafe(touched_keys[k])
         cond = term if cond is None else cond & term
     untouched = base.join(touched_keys, on=cond, how="anti")
-    upserts = latest.where(F.col("_op") != DELETE).select(*base.columns)
+    # only an explicit 'delete' removes the row: `!= DELETE` would be NULL
+    # for a null op, silently dropping the row (the anti-join above
+    # already removed its base version) — a malformed log row must not be
+    # indistinguishable from an intentional delete
+    upserts = latest.where(~F.col("_op").eqNullSafe(DELETE)).select(*base.columns)
     return untouched.unionByName(upserts)

@@ -62,14 +62,24 @@ def snapshot_diff(
         .groupBy(*keys)
         .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("_fp")))).alias("_new"))
     )
-    joined = o.join(n, on=keys, how="full_outer")
+    # null-safe key match: a plain on= join never matches NULL keys, so an
+    # identical null-keyed row would surface as both 'added' AND 'removed'
+    n = n.select(*[F.col(k).alias(f"__n_{k}") for k in keys], "_new")
+    cond = None
+    for k in keys:
+        c = o[k].eqNullSafe(n[f"__n_{k}"])
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_old").isNull(), F.lit("added"))
         .when(F.col("_new").isNull(), F.lit("removed"))
         .when(F.col("_old") != F.col("_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.select(*keys, change.alias("change"))
+    out = joined.select(
+        *[F.coalesce(o[k], F.col(f"__n_{k}")).alias(k) for k in keys],
+        change.alias("change"),
+    )
     if not include_unchanged:
         out = out.where(F.col("change") != "unchanged")
     return out

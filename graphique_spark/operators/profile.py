@@ -24,7 +24,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+_NUMERIC_EXACT = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _is_numeric(kind: str) -> bool:
+    # exact names + decimal(p,s): a prefix test would also catch
+    # 'interval day to second' (startswith 'int') and send intervals
+    # down the numeric-scaling path
+    return kind in _NUMERIC_EXACT or kind.startswith("decimal")
 
 PROFILE_SCHEMA = (
     "column string, dtype string, n_rows bigint, n_nulls bigint, "
@@ -33,8 +40,17 @@ PROFILE_SCHEMA = (
 )
 
 
+#: saturation bound for the 1e6 scaling: the largest double safely below
+#: Long.MaxValue (an unclamped cast would raise under ANSI mode — or
+#: silently clamp without it — for extrema beyond ~9.2e12)
+_SCALE_CAP = 9.223372036854774e18
+
+
 def _scaled(col):
-    return F.floor(col.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+    v = F.floor(col.cast("double") * 1000000.0 + F.lit(0.5))
+    return F.least(F.greatest(v, F.lit(-_SCALE_CAP)), F.lit(_SCALE_CAP)).cast(
+        "long"
+    )
 
 
 def profile(df: DataFrame, columns: Sequence[str] | None = None, exact: bool = True) -> DataFrame:
@@ -58,7 +74,7 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None, exact: bool = T
             distinct_aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
         else:
             aggs.append(F.approx_count_distinct(F.col(c)).alias(f"nd_{c}"))
-        if kind.startswith(_NUMERIC):
+        if _is_numeric(kind):
             aggs.append(_scaled(F.min(c)).alias(f"mn_{c}"))
             aggs.append(_scaled(F.max(c)).alias(f"mx_{c}"))
         else:
@@ -71,7 +87,7 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None, exact: bool = T
     out = []
     for c in cols:
         kind = dtypes[c]
-        numeric = kind.startswith(_NUMERIC)
+        numeric = _is_numeric(kind)
         out.append(
             (
                 c,

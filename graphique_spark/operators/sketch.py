@@ -38,6 +38,14 @@ def hll_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     return merged.withColumn("estimate", F.hll_sketch_estimate("sketch"))
 
 
+def _q_label(p: float) -> str:
+    """Column label for quantile ``p``: q50, q29 (no float-truncation to
+    q28), q99_9 (distinct from q99 — int(p*100) collides for p >= 0.99x,
+    silently overwriting one estimate with another)."""
+    text = f"{p * 100:.6f}".rstrip("0").rstrip(".")
+    return "q" + text.replace(".", "_")
+
+
 def kll_quantiles(
     df: DataFrame,
     col: str,
@@ -56,7 +64,7 @@ def kll_quantiles(
     out = grouped.agg(agg)
     for p in q:
         out = out.withColumn(
-            f"q{int(p * 100)}",
+            _q_label(p),
             F.kll_sketch_get_quantile_double("sketch", F.lit(float(p))),
         )
     return out
@@ -70,7 +78,7 @@ def kll_merge_quantiles(
     out = grouped.agg(F.kll_merge_agg_double("sketch").alias("sketch"))
     for p in q:
         out = out.withColumn(
-            f"q{int(p * 100)}",
+            _q_label(p),
             F.kll_sketch_get_quantile_double("sketch", F.lit(float(p))),
         )
     return out

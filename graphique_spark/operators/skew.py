@@ -43,8 +43,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big`` has skewed key values: spread each key over
     ``salts`` sub-keys. ``small`` is replicated ``salts`` times (keep it the
-    genuinely smaller side)."""
+    genuinely smaller side). Only join types that preserve at most the
+    big side's rows are legal: under right/full/right-preserving joins
+    every unmatched small-side REPLICA would null-extend, fabricating up
+    to ``salts``-1 spurious rows per small row."""
     keys = list(keys)
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti",
+    ):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salt replicas "
+            "of the small side would surface as fabricated null-extended "
+            "rows in a right/full join"
+        )
     b = big.withColumn(_SALT, _det_salt(big, salts))
     s = small.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     out = b.join(s, on=keys + [_SALT], how=how)

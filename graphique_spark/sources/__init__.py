@@ -339,6 +339,11 @@ def write_zordered(
     ).first()
     mins = [stats[f"__lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"__hi{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        # empty frame or an all-null z-column: no stats to normalize by —
+        # write unclustered instead of float(None) crashing
+        df.write.mode(mode).parquet(dest)
+        return
     z = zorder_value(cols, mins, maxs, bits)
     out = df.repartitionByRange(
         partitions or df.sparkSession.sparkContext.defaultParallelism, z
@@ -472,9 +477,9 @@ def compact_parquet(
             salt = (F.rand(42) * F.coalesce(split_map[part_str], F.lit(1))).cast("int")
             # explicit partition count: without it AQE coalesces the tiny
             # shuffle back to one task per dir and the split is lost
-            total = sum(splits.values())
+            n_out = sum(splits.values())
             out = df.withColumn("_salt", salt).repartition(
-                total, *partition_keys, "_salt"
+                n_out, *partition_keys, "_salt"
             ).drop("_salt")
         out.write.partitionBy(*partition_keys).mode(mode).parquet(dest)
     after = _list_files(spark, dest)
@@ -561,9 +566,24 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
         *on, F.col("n_rows").alias("n_actual"), F.col("checksum").alias("sum_actual")
     )
     s = stored.select(
-        *on, F.col("n_rows").alias("n_stored"), F.col("checksum").alias("sum_stored")
+        *[F.col(k).alias(f"__s_{k}") for k in on],
+        F.col("n_rows").alias("n_stored"),
+        F.col("checksum").alias("sum_stored"),
     )
-    joined = a.join(s, on=on, how="full") if on else a.crossJoin(s)
+    if on:
+        # null-safe: the __HIVE_DEFAULT_PARTITION__ row has a NULL key on
+        # both sides, and a plain on= join would split it into two
+        # "mismatching" rows for perfectly intact data
+        cond = None
+        for k in on:
+            c = a[k].eqNullSafe(s[f"__s_{k}"])
+            cond = c if cond is None else cond & c
+        joined = a.join(s, cond, "full").select(
+            *[F.coalesce(a[k], s[f"__s_{k}"]).alias(k) for k in on],
+            "n_actual", "sum_actual", "n_stored", "sum_stored",
+        )
+    else:
+        joined = a.crossJoin(s)
     return joined.where(
         (F.col("n_actual") != F.col("n_stored"))
         | (F.col("sum_actual") != F.col("sum_stored"))

@@ -194,7 +194,12 @@ def stateful_user_totals(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{key} long, events_total long, value_total double, batches long"
+    # derive the key's type from the frame — hardcoding `long` makes the
+    # Arrow conversion throw on the first micro-batch for string user ids
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, events_total long, value_total double, batches long"
+    )
     state_schema = "total long, vsum double, batches long"
 
     def update(keys, pdf_iter, state):
@@ -411,13 +416,35 @@ def upsert_sink(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        from pyspark.sql import types as _T
+
+        if isinstance(batch.schema[part].dataType, _T.StringType):
+            # '' cannot round-trip a partitioned layout (the writer stores
+            # it as __HIVE_DEFAULT_PARTITION__, which reads back as null)
+            batch = batch.withColumn(part, F.nullif(F.col(part), F.lit("")))
         batch = batch.persist()
         try:
             existing = read_parquet_if_exists(spark, dest)
             if existing is not None:
-                touched = batch.select(part).distinct()
-                affected = existing.join(F.broadcast(touched), on=part, how="semi")
-                keep = affected.join(batch.select(*keys), on=keys, how="anti")
+                # null-safe joins throughout: a plain on= join never
+                # matches NULL, which would (a) exclude the stored
+                # null-partition rows from `keep` so the dynamic overwrite
+                # of __HIVE_DEFAULT_PARTITION__ drops them, and (b) let a
+                # null-keyed row survive its own update, duplicating keys
+                touched = batch.select(F.col(part).alias("__tp")).distinct()
+                affected = existing.join(
+                    F.broadcast(touched),
+                    existing[part].eqNullSafe(touched["__tp"]),
+                    "semi",
+                )
+                bkeys = batch.select(
+                    *[F.col(k).alias(f"__bk_{k}") for k in keys]
+                ).distinct()
+                anti_cond = None
+                for k in keys:
+                    c = affected[k].eqNullSafe(bkeys[f"__bk_{k}"])
+                    anti_cond = c if anti_cond is None else anti_cond & c
+                keep = affected.join(bkeys, anti_cond, "anti")
                 merged = keep.unionByName(batch)
             else:
                 merged = batch

@@ -617,3 +617,42 @@ def test_write_with_manifest_empty_partitioned_frame(spark, tmp_path):
     )
     write_with_manifest(df, dest, partition_by="bucket")
     assert verify_manifest(spark, dest, partition_by="bucket").count() == 0
+
+
+def test_verify_manifest_null_partition_intact(spark, tmp_path):
+    from graphique_spark.sources import verify_manifest, write_with_manifest
+
+    dest = str(tmp_path / "nullpart")
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None)], "id long, k string"
+    )
+    write_with_manifest(df, dest, partition_by="k")
+    # the __HIVE_DEFAULT_PARTITION__ row must match itself null-safely,
+    # not split into a phantom added+removed mismatch pair
+    assert verify_manifest(spark, dest, partition_by="k").count() == 0
+
+
+def test_compact_parquet_reports_bytes_not_partition_count(spark, tmp_path):
+    from graphique_spark.sources import compact_parquet
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("int").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    src = str(tmp_path / "src")
+    df.repartition(4).write.partitionBy("k").parquet(src)
+    stats = compact_parquet(
+        spark, src, str(tmp_path / "dest"), target_file_bytes=8 << 10,
+        partition_keys=["k"],
+    )
+    # regression: 'bytes' was shadowed by the output partition count
+    assert stats["bytes"] > 100_000
+
+
+def test_write_zordered_empty_frame(spark, tmp_path):
+    from graphique_spark.sources import write_zordered
+
+    df = spark.range(0).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    dest = str(tmp_path / "zempty")
+    write_zordered(df, dest, ["x", "y"])
+    assert spark.read.parquet(dest).count() == 0

@@ -697,3 +697,66 @@ def test_approx_group_agg_brackets_truth(tables):
         assert abs(e["est_l_quantity"] - float(t["q"])) <= e["ci_l_quantity"], flag
         # error bars are meaningful: well under 20% of the estimate
         assert e["ci_rows"] < 0.2 * e["est_rows"]
+
+
+def test_snapshot_diff_null_keys_match(spark):
+    from graphique_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "old")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "new")], "k int, v string"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # the untouched null-keyed row must NOT surface as added+removed
+    assert got == {1: "changed"}
+
+
+def test_apply_cdc_null_op_is_upsert_not_delete(spark):
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    log = spark.createDataFrame(
+        [(1, "b", 2, None)], "k int, v string, seq int, op string"
+    )
+    out = apply_cdc(base, log, keys=["k"]).collect()
+    # a malformed (null-op) log row must not silently delete the row
+    assert [(r["k"], r["v"]) for r in out] == [(1, "b")]
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    from graphique_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, b string")
+    small = spark.createDataFrame([(1, "y")], "k int, s string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, ["k"], how="full")
+    assert salted_join(big, small, ["k"], how="left").count() == 1
+
+
+def test_profile_saturates_huge_extrema_and_skips_intervals(spark):
+    from graphique_spark.operators.profile import _SCALE_CAP, profile
+
+    df = spark.createDataFrame([(10**18,), (-(10**18),)], "huge long")
+    [row] = profile(df).collect()
+    # 1e18 * 1e6 overflows long: must saturate, not raise (ANSI) or wrap
+    assert row["min_num_scaled"] == -int(_SCALE_CAP)
+    assert row["max_num_scaled"] == int(_SCALE_CAP)
+    iv = spark.sql("SELECT INTERVAL '3' DAY AS iv")
+    [row] = profile(iv).collect()
+    # 'interval day' startswith 'int' must not route down the numeric path
+    assert row["min_num_scaled"] is None and row["min_str"] is not None
+
+
+def test_kll_quantile_labels_distinct_and_unrounded(tables):
+    from graphique_spark.operators.sketch import kll_quantiles
+
+    out = kll_quantiles(
+        tables["orders"].df, "o_totalprice", q=(0.29, 0.99, 0.999)
+    )
+    assert {"q29", "q99", "q99_9"} <= set(out.columns)
+    [r] = out.collect()
+    assert r["q99"] <= r["q99_9"]

@@ -534,3 +534,80 @@ def test_cdc_sink_empty_string_partition_shares_default_dir(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "snap")).collect()
     }
     assert got == {("ok", 3)}
+
+
+def test_upsert_sink_null_partition_and_null_keys(spark, tmp_path):
+    # null partition values live in __HIVE_DEFAULT_PARTITION__: a non-null-
+    # safe semi/anti join would (a) drop unrelated stored rows when that
+    # directory is dynamically overwritten and (b) duplicate null-keyed rows
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "src")
+    schema = "grp string, k long, total double"
+    batches = [
+        [(None, 1, 10.0), (None, 2, 20.0), ("a", 3, 30.0)],
+        # update only key (None, 1): key 2 must SURVIVE the default-dir
+        # rewrite; the updated row must replace, not duplicate
+        [(None, 1, 11.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = st.upsert_sink(
+            stream,
+            dest=str(tmp_path / "dest"),
+            keys=["grp", "k"],
+            checkpoint=str(tmp_path / "ckpt"),
+            partition_col="grp",
+            available_now=True,
+        )
+        q.awaitTermination(300)
+    got = {
+        (r["grp"], r["k"], r["total"])
+        for r in spark.read.parquet(str(tmp_path / "dest")).collect()
+    }
+    assert got == {(None, 1, 11.0), (None, 2, 20.0), ("a", 3, 30.0)}
+
+
+def test_stateful_user_totals_string_key(spark, tmp_path):
+    # the output schema must derive the key's real type (a hardcoded
+    # `long` crashed the Arrow conversion for string user ids)
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "src")
+    schema = "user_id string, ts timestamp, value double"
+    rows = [("alice", "2024-01-01 00:00:00", 1.0),
+            ("bob", "2024-01-01 00:01:00", 2.0),
+            ("alice", "2024-01-01 00:02:00", 3.0)]
+    df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.fromisoformat(t), v) for u, t, v in rows],
+        schema,
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = st.stateful_user_totals(stream, key="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gs_state_strkey")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["user_id"]: r["events_total"]
+        for r in spark.sql("SELECT * FROM gs_state_strkey").collect()
+    }
+    assert got == {"alice": 2, "bob": 1}

@@ -166,6 +166,15 @@ def main() -> None:
         docs = multiplied(spark, "documents", mult).select("doc_id", "n_chars")
         return t.weighted_sample(docs, 50, F.col("n_chars"))
 
+    def dsir(mult):
+        from pyspark.sql import functions as F
+
+        from graphique_spark.llm import text as t
+
+        docs = multiplied(spark, "documents", mult)
+        tgt = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+        return t.dsir_log_weights(docs, tgt, buckets=1024)
+
     def hll(mult):
         from graphique_spark.operators import sketch
 
@@ -335,6 +344,7 @@ def main() -> None:
         "pii_redact": pii,
         "entropy": entropy,
         "weighted_sample": wsample,
+        "dsir": dsir,
         "hll_sketch": hll,
         "star_cc_chain": star_cc_chain,
         "interval_join": interval_join,

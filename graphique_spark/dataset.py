@@ -279,7 +279,12 @@ class Dataset:
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
         keep = [F.first(c).alias(c) for c in by]
-        return self._wrap(flagged.groupBy("_run").agg(*keep, *aggs).drop("_run"))
+        # run ids increase in order_by order: sort on _run so the groups
+        # come back in adjacency order (the semantics runs is defined by),
+        # then project it away. #runs-bounded, so the sort is cheap.
+        return self._wrap(
+            flagged.groupBy("_run").agg(*keep, *aggs).orderBy("_run").drop("_run")
+        )
 
     # -- ordering / limiting ---------------------------------------------------
 
@@ -399,6 +404,10 @@ class Dataset:
         the requested order is preserved — a broadcast inner join against a
         literal (position, index) table over a dense row index, distributed
         rather than a driver-side collect."""
+        if not len(indices):
+            # pyarrow take([]) = empty table; createDataFrame cannot infer
+            # a schema from zero rows
+            return self._wrap(self.df.limit(0))
         synthesized = rowid not in self.df.columns
         df = with_row_index(self.df, rowid) if synthesized else self.df
         spark = df.sparkSession
@@ -432,16 +441,23 @@ class Dataset:
             set(keys) if list(keys) == rkeys else set()
         )
         ldf = self.df
+        lmap: dict[str, str] = {}
+        rmap: dict[str, str] = {}
         for name in overlap:
             if lname != "{name}":
-                ldf = ldf.withColumnRenamed(name, lname.format(name=name))
-            rdf = rdf.withColumnRenamed(name, rname.format(name=name))
+                lmap[name] = lname.format(name=name)
+                ldf = ldf.withColumnRenamed(name, lmap[name])
+            rmap[name] = rname.format(name=name)
+            rdf = rdf.withColumnRenamed(name, rmap[name])
         if list(keys) == rkeys:
             cond: Any = list(keys)
         else:
+            # key columns may themselves have been renamed above (e.g. a
+            # self-join where a right key also exists on the left) —
+            # reference them by their post-rename names
             cond = None
             for lk, rk in zip(keys, rkeys):
-                piece = ldf[lk] == rdf[rk]
+                piece = ldf[lmap.get(lk, lk)] == rdf[rmap.get(rk, rk)]
                 cond = piece if cond is None else cond & piece
         if broadcast:
             rdf = F.broadcast(rdf)

@@ -49,14 +49,24 @@ def mins(col: Column) -> Column:
     return F.array_min(col)
 
 
+def _nn_total(col: Column) -> Column:
+    # fold over the NON-NULL elements only: acc + NULL nulls the whole
+    # fold, which would contradict means' non-null denominator (and the
+    # Arrow/SQL convention that aggregates skip nulls)
+    return F.aggregate(
+        F.filter(col, lambda x: x.isNotNull()), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def sums(col: Column) -> Column:
-    return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+    # NULL (not 0) when no non-null elements, matching SQL list-sum
+    n = F.size(F.filter(col, lambda x: x.isNotNull()))
+    return F.when(n > 0, _nn_total(col))
 
 
 def means(col: Column) -> Column:
-    total = F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
     n = F.size(F.filter(col, lambda x: x.isNotNull()))
-    return F.when(n > 0, total / n)
+    return F.when(n > 0, _nn_total(col) / n)
 
 
 def modes(col: Column) -> Column:

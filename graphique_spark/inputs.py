@@ -101,13 +101,21 @@ class Agg:
     def out_name(self) -> str:
         return self.alias or self.name or self.kind
 
+    def _filtered_key(self) -> Column:
+        """argmax/argmin ranking key with the per-agg ``where`` applied:
+        max_by/min_by skip NULL ordering keys, so nulling the key excludes
+        the row ENTIRELY — filtering only the value would let an excluded
+        row still win the ranking and return NULL."""
+        key = F.col(self.key)
+        return F.when(self.where, key) if self.where is not None else key
+
     def _input(self) -> Column:
         col = F.col(self.name) if self.name else F.lit(1)
         if self.where is not None:
             col = F.when(self.where, col)  # NULL otherwise -> ignored by aggs
         return col
 
-    def _ordered_collect(self, value: Column, desc: bool) -> Column:
+    def _ordered_collect(self, desc: bool, keep_null_values: bool = False) -> Column:
         """Order-aware collect: sort an array of (key, value) structs.
 
         ``array_sort`` of structs compares fields in order, so packing the
@@ -117,14 +125,25 @@ class Agg:
         (reversed for descending); mixed directions use an ``array_sort``
         comparator lambda — never arithmetic negation, which only works for
         numerics.
+
+        The per-agg ``where`` filter applies to the WHOLE packed struct (a
+        null struct is dropped by ``collect_list``), so an excluded row
+        vanishes entirely — a when() on just the value would leave a
+        (key, NULL) element that pollutes the order and the result.
+        Genuinely-null values are then dropped too unless
+        ``keep_null_values`` (first/last honor ``include_null`` with it),
+        matching the unordered paths' collect_list/ignorenulls semantics.
         """
         keys = [self.order_by] if isinstance(self.order_by, str) else list(self.order_by or [])
         dirs = [key.startswith("-") for key in keys]
         cols = [F.col(key.lstrip("-")) for key in keys]
+        raw = F.col(self.name) if self.name else F.lit(1)
         packed = F.struct(
             *[k.alias(f"_k{i}") for i, k in enumerate(cols)],
-            value.alias("_v"),
+            raw.alias("_v"),
         )
+        if self.where is not None:
+            packed = F.when(self.where, packed)
         collected = F.collect_list(packed)
         if not any(dirs):
             arr = F.array_sort(collected)
@@ -134,6 +153,8 @@ class Agg:
             arr = F.reverse(F.array_sort(collected))
         else:
             arr = F.array_sort(collected, _struct_comparator(dirs))
+        if not keep_null_values:
+            arr = F.filter(arr, lambda s: s["_v"].isNotNull())
         if desc:
             arr = F.reverse(arr)
         return F.transform(arr, lambda s: s["_v"])
@@ -145,29 +166,33 @@ class Agg:
         elif kind == "any":
             out = F.bool_or(col)
         elif kind == "argmax":
-            out = F.max_by(col, F.col(self.key))
+            out = F.max_by(col, self._filtered_key())
         elif kind == "argmin":
-            out = F.min_by(col, F.col(self.key))
+            out = F.min_by(col, self._filtered_key())
         elif kind == "collect":
             if self.order_by:
-                out = self._ordered_collect(col, desc=False)
+                out = self._ordered_collect(desc=False)
             elif self.distinct:
                 out = F.collect_set(col)
             else:
                 out = F.collect_list(col)
         elif kind == "concat":
-            arr = self._ordered_collect(col, desc=False) if self.order_by else F.collect_list(col)
+            arr = self._ordered_collect(desc=False) if self.order_by else F.collect_list(col)
             out = F.array_join(arr, self.sep)
         elif kind == "count":
             out = F.count_distinct(col) if self.distinct else F.count(col)
         elif kind == "first":
             if self.order_by:
-                out = self._ordered_collect(col, desc=False)[0]
+                out = self._ordered_collect(
+                    desc=False, keep_null_values=self.include_null
+                )[0]
             else:
                 out = F.first(col, ignorenulls=not self.include_null)
         elif kind == "last":
             if self.order_by:
-                out = self._ordered_collect(col, desc=True)[0]
+                out = self._ordered_collect(
+                    desc=True, keep_null_values=self.include_null
+                )[0]
             else:
                 out = F.last(col, ignorenulls=not self.include_null)
         elif kind == "kurtosis":

@@ -87,8 +87,13 @@ def asof_join(
     out = matched.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
-        gap = (F.col(on) - F.col(_RON)) if direction == "backward" else (F.col(_RON) - F.col(on))
-        within = F.col(_RON).isNotNull() & (gap <= tol)
+        # bound form (ts <= ts + interval), not gap form (ts - ts <= tol):
+        # timestamp subtraction yields a DAY-TO-SECOND interval, which is
+        # incomparable with a calendar (month-bearing) tolerance like P1M
+        if direction == "backward":
+            within = F.col(_RON).isNotNull() & (F.col(on) <= F.col(_RON) + tol)
+        else:
+            within = F.col(_RON).isNotNull() & (F.col(_RON) <= F.col(on) + tol)
         out = out.withColumn(_PAYLOAD, F.when(within, F.col(_PAYLOAD)))
         out = out.withColumn(_RON, F.when(within, F.col(_RON)))
     return out.select(

@@ -67,7 +67,9 @@ class GraphQLApp:
             try:
                 payload = json.loads(body or b"{}")
                 query = payload["query"]
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError):
+                # TypeError: valid JSON that isn't an object ([1], "x") —
+                # payload["query"] indexing must 400, not crash to a 500
                 await _respond(send, 400, b'{"errors": [{"message": "invalid request"}]}')
                 return
             result = await asyncio.to_thread(

@@ -143,22 +143,7 @@ def compile_expression(node: Mapping[str, Any] | None) -> Column:
     if op == "name":
         return F.col(arg)
     if op in ("value", "date", "datetime", "duration", "base64", "time"):
-        from graphique_spark.service.scalars import MonthDayDuration
-
-        if isinstance(arg, MonthDayDuration):
-            # months have no fixed length, so month-bearing ISO durations
-            # (P1Y2M...) can't be a timedelta literal — build a calendar
-            # interval, which Spark's date/timestamp arithmetic accepts
-            return F.make_interval(
-                F.lit(0),
-                F.lit(arg.months),
-                F.lit(0),
-                F.lit(arg.days),
-                F.lit(0),
-                F.lit(0),
-                F.lit(arg.seconds + arg.microseconds / 1_000_000),
-            )
-        return F.lit(arg)  # typed leaves arrive pre-parsed by their scalar
+        return scalar_literal(arg)  # typed leaves arrive pre-parsed
     if op == "inv":
         return ~compile_expression(arg)
     if op == "coalesce":
@@ -288,8 +273,46 @@ def _compile_window(spec: Mapping[str, Any]) -> Column:
     return agg(expr).over(cumwin)
 
 
+def scalar_literal(value: Any) -> Column:
+    """Typed scalar -> Column literal. Month-bearing ISO durations
+    (``P1Y2M...``) can't be a timedelta literal — months have no fixed
+    length — so they build a calendar interval, which Spark's
+    date/timestamp arithmetic accepts."""
+    from graphique_spark.service.scalars import MonthDayDuration
+
+    if isinstance(value, MonthDayDuration):
+        return F.make_interval(
+            F.lit(0),
+            F.lit(value.months),
+            F.lit(0),
+            F.lit(value.days),
+            F.lit(0),
+            F.lit(0),
+            F.lit(value.seconds + value.microseconds / 1_000_000),
+        )
+    return F.lit(value)
+
+
+#: functions the `call` escape hatch must NEVER reach: each evaluates raw
+#: SQL text or invokes arbitrary JVM/Python code, so allowing them would
+#: bypass the service's allow_sql=False gate (e.g. call(func: "expr")
+#: compiles F.expr(<attacker SQL>) -> java_method/reflect execution)
+_UNSAFE_CALLS = frozenset(
+    {
+        "expr", "call_function", "call_udf", "java_method", "reflect",
+        "try_reflect", "udf", "udtf", "pandas_udf", "unwrap_udt",
+    }
+)
+
+
 def _compile_call(spec: Mapping[str, Any]) -> Column:
     func = spec["func"]
+    if func in _UNSAFE_CALLS:
+        raise ValueError(
+            f"function {func!r} is not callable through the expression "
+            "tree: it evaluates raw SQL or arbitrary code (use the gated "
+            "sql field instead)"
+        )
     raw_args = spec.get("args") or []
     if raw_args is Undefined:
         raw_args = []

@@ -575,6 +575,14 @@ class SchemaBuilder:
                 element = graphql_type(field.dataType.elementType)
                 if element is not None:
                     args[field.name] = GraphQLArgument(array_filter_input(element))
+        if "where" in args:
+            # a column literally named 'where' would be silently shadowed
+            # by the expression argument — filters would coerce wrongly
+            raise ValueError(
+                "column name 'where' is reserved for the expression filter "
+                "argument; rename it via the startup projection "
+                "(columns={'where_': 'where'})"
+            )
         args["where"] = GraphQLArgument(EXPRESSION)
         return args
 
@@ -925,9 +933,14 @@ class SchemaBuilder:
         toleranceIso=Undefined,
         direction="backward",
     ):
+        from graphique_spark.service.expressions import scalar_literal
+
         tol = None
         if toleranceIso not in (Undefined, None):
-            tol = F.lit(toleranceIso)  # timedelta -> day-time interval literal
+            # timedelta -> day-time interval literal; month-bearing
+            # durations (P1M...) arrive as MonthDayDuration, which F.lit
+            # rejects — scalar_literal builds make_interval for them
+            tol = scalar_literal(toleranceIso)
         elif tolerance not in (Undefined, None):
             tol = F.lit(tolerance)
         return ds.asof_join(

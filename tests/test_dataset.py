@@ -656,3 +656,49 @@ def test_write_zordered_empty_frame(spark, tmp_path):
     dest = str(tmp_path / "zempty")
     write_zordered(df, dest, ["x", "y"])
     assert spark.read.parquet(dest).count() == 0
+
+
+def test_join_rkeys_self_join_with_overlap(tables):
+    # right-key columns that also exist on the left are renamed before the
+    # condition was built — rdf['id'] raised instead of joining
+    nation = tables["nation"]
+    out = nation.join(nation, keys=["n_regionkey"], rkeys=["n_nationkey"]).df
+    # every nation matches the one nation whose id equals its region key
+    assert out.count() == 25
+    assert "n_name_r" in out.columns
+
+
+def test_agg_where_filters_ranking_and_order(spark):
+    from graphique_spark import Agg
+
+    df = spark.createDataFrame(
+        [("a", 10, False), ("b", 5, True), ("c", 7, True), (None, 6, True)],
+        "v string, score long, ok boolean",
+    )
+    row = df.agg(
+        Agg("argmax", "v", key="score", where=F.col("ok"), alias="am").to_column(),
+        Agg("first", "v", order_by="-score", where=F.col("ok"), alias="f").to_column(),
+        Agg("collect", "v", order_by="-score", alias="c").to_column(),
+        Agg("concat", "v", order_by="score", where=F.col("ok"), alias="cc").to_column(),
+    ).collect()[0]
+    # the excluded (a, 10) row must not win the ranking or pollute order
+    assert row["am"] == "c"
+    assert row["f"] == "c"
+    assert row["c"] == ["a", "c", "b"]  # null v dropped like collect_list
+    assert row["cc"] == "b,c"
+
+
+def test_take_empty_indices(tables):
+    out = tables["nation"].take([])
+    assert out.df.count() == 0
+    assert out.df.columns == tables["nation"].df.columns
+
+
+def test_runs_come_back_in_adjacency_order(spark):
+    from graphique_spark import Dataset
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")], "t long, state string"
+    ).repartition(4)
+    runs = Dataset(df).runs(by=["state"], order_by=["t"], counts="n").df.collect()
+    assert [(r["state"], r["n"]) for r in runs] == [("x", 2), ("y", 1), ("x", 1)]

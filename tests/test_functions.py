@@ -172,3 +172,15 @@ def test_variant_shred_nested_paths_and_dirty_values(spark):
     strict = df.select(V.variant_field(V.to_variant("js"), "$.meta.score", "double", strict=True))
     with _pytest.raises(Exception):
         strict.collect()
+
+
+def test_array_sums_means_skip_nulls(spark):
+    from graphique_spark.functions.arrays import means, sums
+
+    df = spark.createDataFrame(
+        [([1.0, None, 3.0],), ([None],), ([],)], "a array<double>"
+    )
+    rows = df.select(sums(F.col("a")).alias("s"), means(F.col("a")).alias("m")).collect()
+    assert (rows[0]["s"], rows[0]["m"]) == (4.0, 2.0)
+    assert (rows[1]["s"], rows[1]["m"]) == (None, None)
+    assert (rows[2]["s"], rows[2]["m"]) == (None, None)

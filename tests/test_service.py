@@ -677,3 +677,61 @@ def test_negative_duration_serialize_roundtrips():
 
     with _pytest.raises(ValueError, match="mixed-sign"):
         _duration_isoformat(MonthDayDuration(months=1, days=-2))
+
+
+def test_call_escape_cannot_reach_raw_sql(service):
+    # call(func: "expr") would compile F.expr(<attacker SQL>) and bypass
+    # the allow_sql=False gate entirely (java_method/reflect execution)
+    with pytest.raises(Exception, match="not callable"):
+        service.execute(
+            """{ nation { filter(where: {call: {func: "expr",
+                  options: {str: "1 = 1"}}}) { count } } }"""
+        )
+    with pytest.raises(Exception, match="not callable"):
+        service.execute(
+            """{ nation { filter(where: {call: {func: "java_method"}}) { count } } }"""
+        )
+
+
+def test_asof_tolerance_month_duration(spark):
+    from graphique_spark import Dataset
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.sources import roots
+    import datetime as dt
+
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 3, 1))], "sym string, t timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1), 1.0), ("A", dt.datetime(2024, 2, 20), 2.0)],
+        "s string, t timestamp, bid double",
+    )
+    svc = GraphQLService(roots({"trades": Dataset(trades), "quotes": Dataset(quotes)}))
+    # month-bearing ISO duration parses to MonthDayDuration, which F.lit
+    # rejects — must compile via make_interval
+    out = svc.execute(
+        """{ trades { asofJoin(right: "quotes", on: "t", keys: ["sym"], rkeys: ["s"],
+                              toleranceIso: "P1M") { column(name: "bid") { values } } } }"""
+    )
+    assert out["trades"]["asofJoin"]["column"]["values"] == [2.0]
+
+
+def test_asgi_non_object_json_is_400(tables):
+    import json as _json
+
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.service.asgi import GraphQLApp
+
+    app = GraphQLApp(GraphQLService(tables["nation"]))
+    for body in (b"[1]", b'"hello"', b"3"):
+        status, _ = _asgi_call(app, body=body)
+        assert status == 400, body
+
+
+def test_where_column_name_is_reserved(spark):
+    from graphique_spark import Dataset
+    from graphique_spark.service import GraphQLService
+
+    df = spark.createDataFrame([(1, "x")], "id long, where string")
+    with pytest.raises(Exception, match="reserved"):
+        GraphQLService(Dataset(df)).execute("{ count }")

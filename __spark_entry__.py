@@ -57,6 +57,7 @@ def _last_verified_round() -> dict[str, int]:
                 and not row.get("err")
                 and row.get("rows_match")
                 and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
             ):
                 out[name] = max(out.get(name, 0), rnd)
     return out

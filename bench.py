@@ -138,10 +138,13 @@ def main() -> None:
             "n_queries": len(timings),
             "queries": dict(list(slowest.items())[:keep]),
         }
-        line = json.dumps(compact)
-        if len(line) <= 1800:
+        candidate = json.dumps(compact)
+        if len(candidate) <= 1800:
+            line = candidate
             break
-        keep = min(keep - 5, int(keep * 0.8))
+        # only adopt candidates that fit (`line` keeps the empty-queries
+        # fallback otherwise) and step all the way down through 1
+        keep = min(keep - 1, int(keep * 0.8))
     print(line, flush=True)
 
 

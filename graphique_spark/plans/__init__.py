@@ -88,11 +88,14 @@ def analyze(df: DataFrame) -> PlanReport:
     return PlanReport(
         # every shuffle exchange regardless of partitioning scheme (hash,
         # range, SinglePartition, RoundRobin from repartition(n)/rebalance)
-        # — only Broadcast/Reused exchanges are not shuffles
+        # — only Broadcast/Reused exchanges are not shuffles. Anchored to
+        # the node position at line start: a ReusedExchange line EMBEDS
+        # its child's "..., Exchange hashpartitioning(...)" text mid-line,
+        # which a bare substring count would double-count
         exchanges=len(
-            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \w*[Pp]artition", plan)
+            re.findall(r"(?m)^[-+:*() \d]*Exchange \w*[Pp]artition", plan)
         ),
-        broadcasts=plan.count("BroadcastExchange"),
+        broadcasts=len(re.findall(r"(?m)^[-+:*() \d]*BroadcastExchange", plan)),
         # one pattern: "FileScan parquet" CONTAINS "Scan parquet", so two
         # separate counts would double-count every file scan
         scans=len(re.findall(r"(?:File)?Scan parquet", plan)),

@@ -392,7 +392,7 @@ def dedup_incremental(spark, sf_dir):
     # persist the index, as the pattern prescribes: index rows are written
     # once per corpus; probing an unpersisted index plan would re-derive
     # its band keys from text on every consumer
-    idx_path = os.path.join(tempfile.gettempdir(), "graphique_spark_mh_index")
+    idx_path = os.path.join(tempfile.gettempdir(), f"graphique_spark_mh_index_{os.getpid()}")
     dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS).write.mode(
         "overwrite"
     ).parquet(idx_path)
@@ -716,19 +716,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out.withColumn("cosine", fround(F.col("cosine"), 6))
 
 
-_bucket_v2 = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-    f"i -> v[i] * ({_plane_lits[p]})[i])) >= 0 THEN {1 << p} ELSE 0 END)"
-    for p in range(_PLANES)
-)
-
-
 @query(
     "similarity_ann_lsh",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    b AS (SELECT vec_id, v, {_bucket_v2} AS bucket FROM e),
+    b AS (SELECT vec_id, v, {_bucket_frag} AS bucket FROM e),
     q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
     SELECT vec_id, floor({_cos_frag("v", "qv")} * 1000000 + 0.5) / 1000000 AS cosine
     FROM b, q

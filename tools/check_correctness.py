@@ -57,15 +57,16 @@ def canon(rows, columns):
 
 
 def main():
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entry
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+    from graphique_spark.session import get_session
+
+    # the engine's DEFAULT_CONF, same as bench/driver runs — a gate under
+    # a different session config could pass what the benched config breaks
+    spark = get_session(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -78,6 +79,9 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     args = [a for a in sys.argv[1:] if a != "--strict"]
+    unknown = [a for a in args if a not in queries]
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {unknown} (see queries())")
     wanted = args or list(queries)
     passed = failed = weak = 0
     for name in wanted:

@@ -126,6 +126,9 @@ def main() -> None:
         f"Captured at sf0.01 with the engine's default session conf.\n",
     ]
     for name, highlight in HIGHLIGHTS.items():
+        if name not in queries:
+            print(f"WARNING: highlight {name!r} is not a registered query; skipped")
+            continue
         df = queries[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"

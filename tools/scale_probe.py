@@ -57,7 +57,9 @@ def multiplied_docs_distinct(spark, times: int):
 
 
 def main() -> None:
-    times = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    argv = sys.argv[1:]
+    # N is optional even when probes are named: "scale_probe.py components"
+    times = int(argv.pop(0)) if argv and argv[0].isdigit() else 4
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -351,7 +353,7 @@ def main() -> None:
         "skew_salted": skew_salted,
         "skew_join_aqe": skew_join_aqe,
     }
-    only = sys.argv[2:]
+    only = argv
     if only:
         probes = {k: v for k, v in probes.items() if k in only}
     # warmup

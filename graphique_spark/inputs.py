@@ -183,16 +183,24 @@ class Agg:
             out = F.count_distinct(col) if self.distinct else F.count(col)
         elif kind == "first":
             if self.order_by:
-                out = self._ordered_collect(
-                    desc=False, keep_null_values=self.include_null
-                )[0]
+                # F.get, not [0]: an all-filtered group has an empty array
+                # and ANSI mode makes [0] raise instead of returning NULL
+                out = F.get(
+                    self._ordered_collect(
+                        desc=False, keep_null_values=self.include_null
+                    ),
+                    0,
+                )
             else:
                 out = F.first(col, ignorenulls=not self.include_null)
         elif kind == "last":
             if self.order_by:
-                out = self._ordered_collect(
-                    desc=True, keep_null_values=self.include_null
-                )[0]
+                out = F.get(
+                    self._ordered_collect(
+                        desc=True, keep_null_values=self.include_null
+                    ),
+                    0,
+                )
             else:
                 out = F.last(col, ignorenulls=not self.include_null)
         elif kind == "kurtosis":

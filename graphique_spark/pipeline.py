@@ -135,6 +135,63 @@ def _step_split(spark, df, p, text, id_col):
     }
 
 
+def _step_dsir_select(spark, df, p, text, id_col):
+    """DSIR target-likeness selection (Xie et al. 2023): keep the
+    ``keep_fraction`` of docs with the highest hashed bag-of-words log
+    importance weight against the in-domain exemplars. ``target`` is a
+    boolean SQL expression over the frame's columns (e.g.
+    ``"lang = 'en' AND source = 'wiki'"``) — config is pipeline-owner
+    trust, not a service-exposed escape."""
+    from graphique_spark.llm.text import dsir_log_weights
+
+    keep_fraction = float(p.get("keep_fraction", 0.5))
+    buckets = int(p.get("buckets", 1024))
+    scores = dsir_log_weights(
+        df, F.expr(p["target"]), text=text, id_col=id_col, buckets=buckets
+    )
+    # deterministic keep set: the top fraction by (weight, id) — exact
+    # rank via percent_rank would need a global window; a 1-row quantile
+    # broadcast keeps it scale-shaped
+    [cut] = scores.agg(
+        F.percentile_approx("log_weight", 1.0 - keep_fraction, 10_000)
+    ).first()
+    if cut is None:  # empty corpus: nothing to cut
+        return df, {"keep_fraction": keep_fraction, "weight_cut": None}
+    keep = scores.where(F.col("log_weight") >= cut).select(id_col)
+    return df.join(keep, on=id_col, how="semi"), {
+        "keep_fraction": keep_fraction,
+        "weight_cut": float(cut),
+    }
+
+
+def _step_split_leakage_safe(spark, df, p, text, id_col):
+    """Leakage-safe split: near-dup components share one split so a
+    train/test boundary can never separate two near-copies (the
+    eval-contamination failure a plain id-hash split commits)."""
+    from graphique_spark.llm.dedup import connected_components, minhash_candidates
+    from graphique_spark.llm.text import assign_split
+
+    weights = tuple(p.get("weights", (0.96, 0.02, 0.02)))
+    names = tuple(p.get("names", ("train", "val", "test")))
+    pairs = minhash_candidates(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text).alias("text")),
+        num_hashes=int(p.get("num_hashes", 16)),
+        bands=int(p.get("bands", 4)),
+        min_jaccard=float(p.get("min_jaccard", 0.8)),
+    )
+    comps = connected_components(pairs, checkpoint_dir=p.get("checkpoint_dir"))
+    canon = df.select(id_col).join(
+        comps.withColumnRenamed("v", id_col), on=id_col, how="left"
+    ).select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("__grp")
+    )
+    split = canon.withColumn("split", assign_split(F.col("__grp"), weights, names))
+    return df.join(split.select(id_col, "split"), on=id_col), {
+        "weights": list(weights),
+        "min_jaccard": float(p.get("min_jaccard", 0.8)),
+    }
+
+
 STEPS = {
     "quality_filter": _step_quality_filter,
     "gopher_repetition": _step_gopher_repetition,
@@ -143,6 +200,8 @@ STEPS = {
     "near_dedup": _step_near_dedup,
     "decontaminate": _step_decontaminate,
     "split": _step_split,
+    "dsir_select": _step_dsir_select,
+    "split_leakage_safe": _step_split_leakage_safe,
 }
 
 

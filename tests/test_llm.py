@@ -1362,3 +1362,38 @@ def test_decode_audio_stereo_downmixes(spark):
     assert row["n_samples"] == n
     assert abs(row["duration"] - n / sr) < 1e-9
     assert row["rms"] == 0.0  # interleaved L/R would read rms ~1000/32768
+
+
+def test_pipeline_dsir_and_leakage_safe_split(spark):
+    from graphique_spark.pipeline import run_pipeline
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "quantum lattice theorem entanglement proof " * 3, "good"))
+    for i in range(12):
+        rows.append((100 + i, "buy cheap pills click winner now " * 3, "spam"))
+    # a near-dup pair that must land in the SAME split
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows.append((200, base, "good"))
+    rows.append((201, base + " tonight", "good"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    config = {
+        "steps": [
+            {"op": "dsir_select", "target": "source = 'good'",
+             "keep_fraction": 0.5, "buckets": 256},
+            {"op": "split_leakage_safe", "weights": [0.5, 0.25, 0.25],
+             "min_jaccard": 0.7},
+        ],
+    }
+    curated, audit = run_pipeline(spark, df, config)
+    by_op = {a["op"]: a for a in audit}
+    got = {r["doc_id"]: r["split"] for r in curated.collect()}
+    # DSIR keeps the target-like half: every spam doc scores below the cut
+    assert all(100 + i not in got for i in range(12))
+    assert by_op["dsir_select"]["dropped"] >= 12
+    # near-dup docs 200/201 survive (target-like enough? they are neutral);
+    # if both survived they MUST share a split
+    if 200 in got and 201 in got:
+        assert got[200] == got[201]
+    assert by_op["split_leakage_safe"]["dropped"] == 0

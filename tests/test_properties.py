@@ -288,3 +288,59 @@ def test_containment_prefix_filter_exact(spark, texts, t):
             if i != j and len(grams(a) & grams(b)) / len(grams(a)) >= t:
                 want.add((i, j))
     assert got == want
+
+
+agg_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                     # group
+        st.one_of(st.none(), st.integers(-9, 9)),  # value (nullable)
+        st.integers(0, 9),                     # order key
+        st.booleans(),                         # where flag
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=agg_rows)
+def test_ordered_collect_first_argmax_match_model(spark, rows):
+    """Ordered collect / first / argmax against a Python model: the
+    per-agg where filter must exclude rows from ordering AND ranking, and
+    null values must drop out like the unordered collect_list path."""
+    from graphique_spark.inputs import Agg
+
+    df = spark.createDataFrame(rows, "g int, v int, t int, ok boolean")
+    out = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            Agg("collect", "v", order_by=["t", "v"], alias="c").to_column(),
+            Agg("first", "v", order_by=["t", "v"], where=F.col("ok"), alias="f").to_column(),
+            Agg("argmax", "v", key="t", where=F.col("ok"), alias="am").to_column(),
+        )
+        .collect()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    for g, v, t, ok in rows:
+        groups[g].append((v, t, ok))
+    for g, members in groups.items():
+        ordered = sorted(
+            [(t, v) for v, t, ok in members if v is not None],
+            key=lambda tv: (tv[0], tv[1]),
+        )
+        assert out[g]["c"] == [v for _, v in ordered], (g, members)
+        kept = sorted(
+            [(t, v) for v, t, ok in members if ok and v is not None],
+            key=lambda tv: (tv[0], tv[1] if tv[1] is not None else 10**9),
+        )
+        assert out[g]["f"] == (kept[0][1] if kept else None), (g, members)
+        ranked = [(t, v) for v, t, ok in members if ok]
+        if ranked:
+            best_t = max(t for t, _ in ranked)
+            valid = {v for t, v in ranked if t == best_t}
+            assert out[g]["am"] in valid, (g, members)
+        else:
+            assert out[g]["am"] is None

@@ -344,3 +344,135 @@ def test_ordered_collect_first_argmax_match_model(spark, rows):
             assert out[g]["am"] in valid, (g, members)
         else:
             assert out[g]["am"] is None
+
+
+diff_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # nullable key
+        st.integers(0, 3),                        # second key
+        st.integers(0, 5),                        # payload
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(old=diff_rows, new=diff_rows)
+def test_snapshot_diff_matches_set_model(spark, old, new):
+    from graphique_spark.operators.diff import snapshot_diff
+
+    if not old and not new:
+        return
+    odf = spark.createDataFrame(old or [(0, 0, 0)], "k1 int, k2 int, v int")
+    ndf = spark.createDataFrame(new or [(0, 0, 0)], "k1 int, k2 int, v int")
+    if not old:
+        odf = odf.limit(0)
+    if not new:
+        ndf = ndf.limit(0)
+    got = {
+        (r["k1"], r["k2"]): r["change"]
+        for r in snapshot_diff(odf, ndf, ["k1", "k2"], include_unchanged=True).collect()
+    }
+    import collections
+
+    om = collections.defaultdict(list)
+    nm = collections.defaultdict(list)
+    for k1, k2, v in old:
+        om[(k1, k2)].append(v)
+    for k1, k2, v in new:
+        nm[(k1, k2)].append(v)
+    for key in set(om) | set(nm):
+        if key not in om:
+            expect = "added"
+        elif key not in nm:
+            expect = "removed"
+        elif sorted(om[key]) == sorted(nm[key]):
+            expect = "unchanged"
+        else:
+            expect = "changed"
+        assert got[key] == expect, (key, old, new)
+    assert set(got) == set(om) | set(nm)
+
+
+cdc_ops = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),  # nullable key
+        st.integers(1, 6),                        # seq
+        st.sampled_from(["insert", "update", "delete", None]),
+        st.integers(0, 9),                        # payload
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # one op per (key, seq)
+)
+
+
+@settings(**SETTINGS)
+@given(base=diff_rows, log=cdc_ops)
+def test_apply_cdc_matches_sequential_model(spark, base, log):
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = [(k1, v) for k1, _, v in base][:8]
+    # collapse duplicate base keys (a snapshot has unique keys)
+    seen = {}
+    for k, v in base:
+        seen[k] = v
+    base = list(seen.items())
+    bdf = spark.createDataFrame(base or [(0, 0)], "k int, v int")
+    if not base:
+        bdf = bdf.limit(0)
+    ldf = spark.createDataFrame(log or [(0, 1, "insert", 0)], "k int, seq int, op string, v int")
+    if not log:
+        ldf = ldf.limit(0)
+    got = {r["k"]: r["v"] for r in apply_cdc(bdf, ldf, keys=["k"]).collect()}
+    state = dict(base)
+    import collections
+
+    per_key = collections.defaultdict(list)
+    for k, seq, op, v in log:
+        per_key[k].append((seq, op, v))
+    for k, entries in per_key.items():
+        seq, op, v = max(entries)  # latest seq wins (unique per key)
+        if op == "delete":
+            state.pop(k, None)
+        else:  # insert/update/None (malformed) are upserts
+            state[k] = v
+    assert got == state, (base, log)
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), st.integers(1, 40), min_size=1
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(0.0, 1.0, allow_nan=False),
+        min_size=3,
+        max_size=3,
+    ),
+)
+def test_mixture_sample_respects_shares(spark, counts, weights):
+    from graphique_spark.llm.text import mixture_sample
+
+    if sum(weights.values()) <= 0:
+        return
+    rows = [
+        (s_i * 1000 + i, s)
+        for s_i, (s, n) in enumerate(sorted(counts.items()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, weights)
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, n in counts.items():
+        # zero-weight sources are excluded entirely; kept counts never
+        # exceed the source's rows
+        if weights.get(s, 0) == 0:
+            assert s not in kept
+        else:
+            assert kept.get(s, 0) <= n

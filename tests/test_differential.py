@@ -1,0 +1,163 @@
+"""Differential fuzzing of the GraphQL expression tree against DuckDB.
+
+Random expression ASTs (the exact nested-dict shape the service's
+``Expression`` input produces — reference inputs.py:249-557) are compiled
+two ways over the SAME hypothesis-generated rows:
+
+* ``service.expressions.compile_expression`` -> pyspark Column -> collect
+* an independent ANSI-SQL rendering of the same tree -> DuckDB
+
+and the per-row values must agree exactly. This covers the op grammar the
+fixed oracle queries can't: arbitrarily nested arithmetic/boolean/
+conditional trees, NULL three-valued logic through every operator, and
+``isin``/``coalesce``/``ifelse`` corners.
+
+Ranges are chosen so both engines stay in exact integer arithmetic:
+literals and column values in [-2, 2], depth <= 3, fan-in <= 3 bounds any
+product at 2^27 — inside int32, so Spark's ANSI overflow check and
+DuckDB's promotion rules can't diverge.
+"""
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from graphique_spark.service.expressions import compile_expression
+
+SETTINGS = dict(max_examples=20, deadline=None)
+
+INT_COLS = ("a", "b")
+STR_COLS = ("s",)
+STR_POOL = ("", "ab", "zz", "mid", "ab ")
+
+
+def _node(op, arg):
+    return {op: arg}
+
+
+int_leaf = st.one_of(
+    st.sampled_from(INT_COLS).map(lambda c: _node("name", c)),
+    st.integers(-2, 2).map(lambda v: _node("value", v)),
+)
+str_leaf = st.one_of(
+    st.sampled_from(STR_COLS).map(lambda c: _node("name", c)),
+    st.sampled_from(STR_POOL).map(lambda v: _node("value", v)),
+)
+
+
+def int_expr(depth):
+    if depth <= 0:
+        return int_leaf
+    sub = int_expr(depth - 1)
+    return st.one_of(
+        int_leaf,
+        st.tuples(
+            st.sampled_from(["add", "sub", "mul"]),
+            st.lists(sub, min_size=2, max_size=3),
+        ).map(lambda t: _node(t[0], t[1])),
+        st.tuples(bool_expr(depth - 1), sub, sub).map(
+            lambda t: _node("ifelse", list(t))
+        ),
+        st.lists(sub, min_size=1, max_size=3).map(lambda l: _node("coalesce", l)),
+    )
+
+
+def bool_expr(depth):
+    isub = int_expr(max(depth - 1, 0))
+    cmp_int = st.tuples(
+        st.sampled_from(["eq", "ne", "lt", "le", "gt", "ge"]), isub, isub
+    ).map(lambda t: _node(t[0], [t[1], t[2]]))
+    cmp_str = st.tuples(
+        st.sampled_from(["eq", "ne", "lt", "gt"]), str_leaf, str_leaf
+    ).map(lambda t: _node(t[0], [t[1], t[2]]))
+    is_in = st.tuples(int_leaf, st.lists(st.integers(-2, 2), min_size=1, max_size=4)).map(
+        lambda t: _node("isin", [t[0], *(_node("value", v) for v in t[1])])
+    )
+    if depth <= 0:
+        return st.one_of(cmp_int, cmp_str, is_in)
+    sub = bool_expr(depth - 1)
+    return st.one_of(
+        cmp_int,
+        cmp_str,
+        is_in,
+        st.tuples(st.sampled_from(["and", "or"]), st.lists(sub, min_size=2, max_size=3)).map(
+            lambda t: _node(t[0], t[1])
+        ),
+        sub.map(lambda e: _node("inv", e)),
+    )
+
+
+any_expr = st.one_of(int_expr(3), bool_expr(3))
+
+
+def to_sql(node):
+    """Independent ANSI-SQL rendering of the expression dict (NOT derived
+    from the Spark compiler — that's the point of the differential)."""
+    [(op, arg)] = node.items()
+    if op == "name":
+        return f'"{arg}"'
+    if op == "value":
+        if isinstance(arg, str):
+            return "'" + arg.replace("'", "''") + "'"
+        return repr(arg)
+    if op == "inv":
+        return f"(NOT {to_sql(arg)})"
+    if op == "coalesce":
+        return "COALESCE(" + ", ".join(to_sql(a) for a in arg) + ")"
+    if op == "ifelse":
+        c, t, e = (to_sql(a) for a in arg)
+        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+    if op == "isin":
+        needle, *hay = arg
+        return f"({to_sql(needle)} IN (" + ", ".join(to_sql(h) for h in hay) + "))"
+    sym = {
+        "eq": "=", "ne": "<>", "lt": "<", "le": "<=", "gt": ">", "ge": ">=",
+        "add": "+", "sub": "-", "mul": "*", "and": "AND", "or": "OR",
+    }[op]
+    return "(" + f" {sym} ".join(to_sql(a) for a in arg) + ")"
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-2, 2)),
+        st.one_of(st.none(), st.integers(-2, 2)),
+        st.one_of(st.none(), st.sampled_from(STR_POOL)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, trees=st.lists(any_expr, min_size=1, max_size=6))
+def test_expression_tree_matches_duckdb(spark, rows, trees):
+    import duckdb
+
+    data = [(i, a, b, s) for i, (a, b, s) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "id int, a int, b int, s string")
+    projected = sdf.select(
+        "id", *[compile_expression(t).alias(f"e{i}") for i, t in enumerate(trees)]
+    )
+    got = [tuple(r) for r in sorted(projected.collect(), key=lambda r: r["id"])]
+
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array([d[0] for d in data], dtype="Int64"),
+            "a": pd.array([d[1] for d in data], dtype="Int64"),
+            "b": pd.array([d[2] for d in data], dtype="Int64"),
+            "s": pd.array([d[3] for d in data], dtype="string"),
+        }
+    )
+    cols = ", ".join(f"{to_sql(t)} AS e{i}" for i, t in enumerate(trees))
+    con = duckdb.connect()
+    try:
+        con.register("pdf", pdf)
+        want = con.execute(f"SELECT id, {cols} FROM pdf ORDER BY id").fetchall()
+    finally:
+        con.close()
+
+    assert len(got) == len(want)
+    for grow, wrow in zip(got, want):
+        for i, (g, w) in enumerate(zip(grow, wrow)):
+            g = None if g is None else (bool(g) if isinstance(g, bool) else int(g))
+            w = None if w is None else (bool(w) if isinstance(w, bool) else int(w))
+            assert g == w, (i, grow, wrow, trees)

@@ -476,3 +476,55 @@ def test_mixture_sample_respects_shares(spark, counts, weights):
             assert s not in kept
         else:
             assert kept.get(s, 0) <= n
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(1, 4),
+)
+def test_incremental_state_merge_associative(spark, rows, n_batches):
+    """finalize(merge(state(batch_i))) == finalize(state(all rows)) for any
+    partition of the rows into batches — the property that lets a 100 TB
+    pipeline fold daily deltas instead of re-aggregating history."""
+    from graphique_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    aggs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+        "m": ("avg", "v"),
+    }
+    full = spark.createDataFrame(rows, "k int, v int")
+    batches = [
+        spark.createDataFrame(rows[i::n_batches] or [(0, 0)], "k int, v int")
+        for i in range(n_batches)
+    ]
+    # an empty slice contributes an empty state, not a fabricated row
+    batches = [
+        b if rows[i::n_batches] else b.limit(0) for i, b in enumerate(batches)
+    ]
+    states = [aggregate_state(b, ["k"], aggs) for b in batches]
+    merged = finalize_state(merge_states(states, ["k"]), ["k"], aggs)
+    direct = finalize_state(aggregate_state(full, ["k"], aggs), ["k"], aggs)
+
+    def snap(df):
+        out = {}
+        for r in df.collect():
+            m = None if r["m"] is None else round(r["m"], 9)
+            out[r["k"]] = (r["n"], r["s"], r["lo"], r["hi"], m)
+        return out
+
+    assert snap(merged) == snap(direct), rows

@@ -161,3 +161,160 @@ def test_expression_tree_matches_duckdb(spark, rows, trees):
             g = None if g is None else (bool(g) if isinstance(g, bool) else int(g))
             w = None if w is None else (bool(w) if isinstance(w, bool) else int(w))
             assert g == w, (i, grow, wrow, trees)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation grammar: random inputs.Agg specs vs DuckDB FILTER aggregates
+
+
+AGG_KINDS = (
+    "count", "count_star", "count_distinct", "sum", "min", "max", "mean",
+    "nunique", "any", "all", "first", "last", "collect", "concat",
+    "argmax", "argmin", "std_sample", "std_pop", "var_sample", "var_pop",
+    "quantile",
+)
+
+agg_spec = st.tuples(st.sampled_from(AGG_KINDS), st.booleans(), st.booleans())
+
+agg_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(), st.booleans()),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _agg_obj(kind, use_where, desc_order):
+    from pyspark.sql import functions as F
+
+    from graphique_spark.inputs import Agg
+
+    where = F.col("w") if use_where else None
+    order = "-o" if desc_order else "o"
+    if kind == "count_star":
+        return Agg("count", "", alias="x", where=where)
+    if kind == "count_distinct":
+        return Agg("count", "v", alias="x", where=where, distinct=True)
+    if kind in ("any", "all"):
+        return Agg(kind, "c", alias="x", where=where)
+    if kind in ("first", "last", "collect"):
+        return Agg(kind, "v", alias="x", where=where, order_by=order)
+    if kind == "concat":
+        return Agg("concat", "v", alias="x", where=where, order_by=order, sep="|")
+    if kind in ("argmax", "argmin"):
+        return Agg(kind, "v", alias="x", where=where, key="o")
+    if kind.startswith(("std_", "var_")):
+        base, how = kind.split("_")
+        return Agg(base, "v", alias="x", where=where, how=how)
+    if kind == "quantile":
+        return Agg("quantile", "v", alias="x", where=where, q=0.5)
+    return Agg(kind, "v", alias="x", where=where)
+
+
+def _agg_sql(kind, use_where, desc_order):
+    flt = " FILTER (WHERE w)" if use_where else ""
+    both = "w AND v IS NOT NULL" if use_where else "v IS NOT NULL"
+    o = "o DESC" if desc_order else "o"
+    o_flip = "o" if desc_order else "o DESC"
+    if kind == "count":
+        return f"count(v){flt}"
+    if kind == "count_star":
+        return f"count(*){flt}"
+    if kind in ("count_distinct", "nunique"):
+        return f"count(DISTINCT v){flt}"
+    if kind in ("sum", "min", "max"):
+        return f"{kind}(v){flt}"
+    if kind == "mean":
+        return f"avg(v){flt}"
+    if kind == "any":
+        return f"bool_or(c){flt}"
+    if kind == "all":
+        return f"bool_and(c){flt}"
+    if kind == "first":
+        return f"(list(v ORDER BY {o}) FILTER (WHERE {both}))[1]"
+    if kind == "last":
+        return f"(list(v ORDER BY {o_flip}) FILTER (WHERE {both}))[1]"
+    if kind == "collect":
+        return f"coalesce(list(v ORDER BY {o}) FILTER (WHERE {both}), [])"
+    if kind == "concat":
+        return (
+            f"coalesce(string_agg(v::VARCHAR, '|' ORDER BY {o})"
+            f" FILTER (WHERE {both}), '')"
+        )
+    if kind == "argmax":
+        return f"(list(v ORDER BY o DESC){flt})[1]"
+    if kind == "argmin":
+        return f"(list(v ORDER BY o){flt})[1]"
+    if kind == "std_sample":
+        return f"stddev_samp(v){flt}"
+    if kind == "std_pop":
+        return f"stddev_pop(v){flt}"
+    if kind == "var_sample":
+        return f"var_samp(v){flt}"
+    if kind == "var_pop":
+        return f"var_pop(v){flt}"
+    if kind == "quantile":
+        return f"quantile_cont(v, 0.5){flt}"
+    raise AssertionError(kind)
+
+
+def _norm_agg(value):
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, float):
+        return round(value, 6)
+    if isinstance(value, (list, tuple)):
+        return [_norm_agg(v) for v in value]
+    if isinstance(value, str):
+        return value
+    return int(value)
+
+
+@settings(**SETTINGS)
+@given(rows=agg_rows, specs=st.lists(agg_spec, min_size=1, max_size=6))
+def test_agg_grammar_matches_duckdb(spark, rows, specs):
+    import duckdb
+
+    data = [(k, i, v, c, w) for i, (k, v, c, w) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "k int, o int, v int, c boolean, w boolean")
+    cols = []
+    for i, (kind, use_where, desc_order) in enumerate(specs):
+        agg = _agg_obj(kind, use_where, desc_order)
+        agg.alias = f"x{i}"
+        cols.append(agg.to_column())
+    got = {
+        r["k"]: tuple(_norm_agg(r[f"x{i}"]) for i in range(len(specs)))
+        for r in sdf.groupBy("k").agg(*cols).collect()
+    }
+
+    pdf = pd.DataFrame(
+        {
+            "k": pd.array([d[0] for d in data], dtype="Int64"),
+            "o": pd.array([d[1] for d in data], dtype="Int64"),
+            "v": pd.array([d[2] for d in data], dtype="Int64"),
+            "c": pd.array([d[3] for d in data], dtype="boolean"),
+            "w": pd.array([d[4] for d in data], dtype="boolean"),
+        }
+    )
+    sql_cols = ", ".join(
+        f"{_agg_sql(*spec)} AS x{i}" for i, spec in enumerate(specs)
+    )
+    con = duckdb.connect()
+    try:
+        con.register("pdf", pdf)
+        want = {
+            r[0]: tuple(_norm_agg(v) for v in r[1:])
+            for r in con.execute(
+                f"SELECT k, {sql_cols} FROM pdf GROUP BY k"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+
+    assert got == want, specs

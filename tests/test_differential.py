@@ -318,3 +318,175 @@ def test_agg_grammar_matches_duckdb(spark, rows, specs):
         con.close()
 
     assert got == want, specs
+
+
+# ---------------------------------------------------------------------------
+# Window grammar: random service WindowInput specs vs DuckDB window SQL
+
+
+WIN_RANKS = ("rowNumber", "rank", "denseRank", "percentRank", "cumeDist")
+WIN_AGGS = ("count", "sum", "mean", "min", "max")
+
+win_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.integers(0, 5),
+        st.one_of(st.none(), st.integers(-5, 5)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+win_spec = st.one_of(
+    # rank family: order by o alone (ties exercised; all deterministic)
+    st.tuples(
+        st.sampled_from(WIN_RANKS), st.booleans(), st.booleans(), st.booleans()
+    ).map(lambda t: ("rank", *t)),
+    # ntile
+    st.tuples(st.integers(1, 4), st.booleans(), st.booleans()).map(
+        lambda t: ("ntile", *t)
+    ),
+    # lag/lead with offset and optional default (unique order => deterministic)
+    st.tuples(
+        st.sampled_from(["lag", "lead"]),
+        st.integers(1, 3),
+        st.one_of(st.none(), st.integers(-9, 9)),
+        st.booleans(),
+        st.booleans(),
+    ).map(lambda t: ("shift", *t)),
+    # pairwise sub vs lagged self
+    st.tuples(st.integers(1, 2), st.booleans(), st.booleans()).map(
+        lambda t: ("pairwise", *t)
+    ),
+    # aggregates: cumulative (ordered, unframed), whole-partition (unordered),
+    # or explicit rows frame
+    st.tuples(
+        st.sampled_from(WIN_AGGS),
+        st.booleans(),
+        st.booleans(),
+        st.sampled_from(["cumulative", "whole", "frame"]),
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ).map(lambda t: ("agg", *t)),
+)
+
+
+def _order_sql(by_cols):
+    return ", ".join(
+        f"{c.lstrip('-')} DESC" if c.startswith("-") else c for c in by_cols
+    )
+
+
+def _over_sql(over, by_cols, frame=""):
+    parts = []
+    if over:
+        parts.append("PARTITION BY " + ", ".join(over))
+    if by_cols:
+        parts.append("ORDER BY " + _order_sql(by_cols))
+    if frame:
+        parts.append(frame)
+    return "OVER (" + " ".join(parts) + ")"
+
+
+def _win_case(shape):
+    """-> (spec dict for _compile_window, equivalent DuckDB SQL)."""
+    kind = shape[0]
+    if kind == "rank":
+        func, use_over, desc, zero = shape[1:]
+        over = ["p"] if use_over else []
+        by = ["-o"] if desc else ["o"]
+        spec = {func: True, "over": over, "by": by, "zeroBased": zero}
+        name = {
+            "rowNumber": "row_number()", "rank": "rank()",
+            "denseRank": "dense_rank()", "percentRank": "percent_rank()",
+            "cumeDist": "cume_dist()",
+        }[func]
+        sql = f"{name} {_over_sql(over, by)}"
+        if zero and func in ("rowNumber", "rank", "denseRank"):
+            sql = f"({sql} - 1)"
+        return spec, sql
+    if kind == "ntile":
+        n, use_over, desc = shape[1:]
+        over = ["p"] if use_over else []
+        by = ["-o", "id"] if desc else ["o", "id"]
+        spec = {"ntile": n, "over": over, "by": by}
+        return spec, f"ntile({n}) {_over_sql(over, by)}"
+    if kind == "shift":
+        func, offset, default, use_over, desc = shape[1:]
+        over = ["p"] if use_over else []
+        by = ["-o", "id"] if desc else ["o", "id"]
+        spec = {func: {"name": "v"}, "over": over, "by": by, "offset": offset}
+        if default is not None:
+            spec["default"] = default
+        dflt = "" if default is None else f", {default}"
+        return spec, f"{func}(v, {offset}{dflt}) {_over_sql(over, by)}"
+    if kind == "pairwise":
+        offset, use_over, desc = shape[1:]
+        over = ["p"] if use_over else []
+        by = ["-o", "id"] if desc else ["o", "id"]
+        spec = {"sub": {"name": "v"}, "over": over, "by": by, "offset": offset}
+        w = _over_sql(over, by)
+        return spec, f"(v - lag(v, {offset}) {w})"
+    func, use_over, desc, mode, prec, foll = shape[1:]
+    over = ["p"] if use_over else []
+    by = ["-o", "id"] if desc else ["o", "id"]
+    name = {"mean": "avg"}.get(func, func)
+    if mode == "whole":
+        spec = {func: {"name": "v"}, "over": over}
+        return spec, f"{name}(v) {_over_sql(over, [])}"
+    if mode == "cumulative" or (prec is None and foll is None):
+        spec = {func: {"name": "v"}, "over": over, "by": by}
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        return spec, f"{name}(v) {_over_sql(over, by, frame)}"
+    spec = {func: {"name": "v"}, "over": over, "by": by}
+    lo = "UNBOUNDED PRECEDING" if prec is None else f"{prec} PRECEDING"
+    hi = "UNBOUNDED FOLLOWING" if foll is None else f"{foll} FOLLOWING"
+    if prec is not None:
+        spec["preceding"] = prec
+    if foll is not None:
+        spec["following"] = foll
+    frame = f"ROWS BETWEEN {lo} AND {hi}"
+    return spec, f"{name}(v) {_over_sql(over, by, frame)}"
+
+
+@settings(**SETTINGS)
+@given(rows=win_rows, shapes=st.lists(win_spec, min_size=1, max_size=5))
+def test_window_grammar_matches_duckdb(spark, rows, shapes):
+    import duckdb
+    import warnings as _warnings
+
+    from graphique_spark.service.expressions import _compile_window
+
+    data = [(i, p, o, v) for i, (p, o, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "id int, p int, o int, v int")
+    cases = [_win_case(s) for s in shapes]
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # unpartitioned-window scale warning
+        projected = sdf.select(
+            "id", *[_compile_window(spec).alias(f"x{i}") for i, (spec, _) in enumerate(cases)]
+        )
+        got = {
+            r["id"]: tuple(_norm_agg(r[f"x{i}"]) for i in range(len(cases)))
+            for r in projected.collect()
+        }
+
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array([d[0] for d in data], dtype="Int64"),
+            "p": pd.array([d[1] for d in data], dtype="Int64"),
+            "o": pd.array([d[2] for d in data], dtype="Int64"),
+            "v": pd.array([d[3] for d in data], dtype="Int64"),
+        }
+    )
+    cols = ", ".join(f"{sql} AS x{i}" for i, (_, sql) in enumerate(cases))
+    con = duckdb.connect()
+    try:
+        con.register("pdf", pdf)
+        want = {
+            r[0]: tuple(_norm_agg(v) for v in r[1:])
+            for r in con.execute(f"SELECT id, {cols} FROM pdf").fetchall()
+        }
+    finally:
+        con.close()
+
+    assert got == want, shapes

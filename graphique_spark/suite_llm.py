@@ -4821,3 +4821,198 @@ def split_leakage_safe(spark, sf_dir):
             F.countDistinct("grp").cast("bigint").alias("n_groups"),
         )
     )
+
+
+# --- round 6 (cont.): URL / domain curation ---------------------------------
+
+#: deterministic URL derivation shared by the url_* queries: every doc gets
+#: a synthetic crawl URL from its own columns (scheme-case, subdomain, TLD,
+#: path and tracking-parameter variation all keyed on doc_id), so host
+#: parsing, public-suffix logic, suffix blocklists and normalization are
+#: all exercised. The SQL string is the byte-identical DuckDB derivation.
+_URL_SQL = """
+      (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+            WHEN doc_id % 3 = 1 THEN 'cdn.assets.' ELSE '' END) ||
+      source || '-data' ||
+      (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) ||
+      '/docs/' || CAST(doc_id % 10 AS VARCHAR) ||
+      (CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=feed&page=' || CAST(doc_id % 2 AS VARCHAR)
+            WHEN doc_id % 3 = 1
+              THEN '?page=' || CAST(doc_id % 2 AS VARCHAR)
+                   || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+            ELSE '' END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '#s' || CAST(doc_id AS VARCHAR)
+            ELSE '' END)
+"""
+
+#: registrable-domain SQL over a split host (DuckDB): last 2 labels, or 3
+#: when the last 2 are a multi-label public suffix (only co.uk occurs in
+#: the derived hosts)
+_RD_SQL = """
+      CASE WHEN len(l) <= 2 THEN host
+           WHEN array_to_string(l[len(l)-1:], '.') = 'co.uk'
+             THEN array_to_string(l[len(l)-2:], '.')
+           ELSE array_to_string(l[len(l)-1:], '.') END
+"""
+
+_BLOCKED_DOMAINS = ["src3-data.co.uk", "src7-data.com", "assets.src1-data.com"]
+
+
+def _doc_urls(spark, sf_dir):
+    """documents + the derived crawl URL (Spark side of _URL_SQL)."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    sub = (
+        F.when(d % 3 == 0, F.lit("www."))
+        .when(d % 3 == 1, F.lit("cdn.assets."))
+        .otherwise(F.lit(""))
+    )
+    qs = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&page="), s(d % 2)))
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?page="), s(d % 2), F.lit("&fbclid=x"), s(d)),
+        )
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        sub,
+        F.col("source"),
+        F.lit("-data"),
+        F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/docs/"),
+        s(d % 10),
+        qs,
+        F.when(d % 5 == 0, F.concat(F.lit("#s"), s(d))).otherwise(F.lit("")),
+    )
+    docs = table(spark, sf_dir, "documents").df
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+@query(
+    "url_domain_blocklist",
+    f"""
+    WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    hosts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))
+               AS host
+      FROM urls
+    ),
+    kept AS (
+      SELECT * FROM hosts
+      WHERE NOT (host = 'src3-data.co.uk' OR host LIKE '%.src3-data.co.uk'
+              OR host = 'src7-data.com' OR host LIKE '%.src7-data.com'
+              OR host = 'assets.src1-data.com'
+              OR host LIKE '%.assets.src1-data.com')
+    ),
+    rd AS (
+      SELECT doc_id, {_RD_SQL} AS domain
+      FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM kept)
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM rd GROUP BY domain
+    """,
+)
+def url_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist over derived crawl URLs: a blocked
+    registrable domain bans every subdomain (www./cdn.assets. variants),
+    while a blocked *host* ('assets.src1-data.com') bans only that
+    subtree — plain src1-data.com pages survive. The config-sized list
+    compiles to a map-only arrays_overlap over the bounded
+    suffix-candidate array (llm/web.py:domain_blocklist_filter): zero
+    joins, zero shuffles before the final rollup; the million-domain
+    variant of the same operator broadcast-joins exploded candidates.
+    Survivors roll up per registrable domain (public-suffix-aware:
+    co.uk hosts keep three labels)."""
+    from graphique_spark.llm import web
+
+    urls = _doc_urls(spark, sf_dir)
+    kept = web.domain_blocklist_filter(urls, "url", _BLOCKED_DOMAINS)
+    return (
+        kept.select(
+            web.registered_domain(web.url_host(F.col("url"))).alias("domain"),
+            "doc_id",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "url_normalize_dedup",
+    f"""
+    WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)='))), '&')
+               AS qs
+      FROM urls
+    ),
+    norm AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+             || '://'
+             || lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))
+             || regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+             || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS norm_url
+      FROM parts
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id, norm_url FROM norm GROUP BY norm_url
+    ),
+    rd AS (
+      SELECT doc_id, {_RD_SQL} AS domain
+      FROM (SELECT doc_id,
+                   string_split(regexp_extract(norm_url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)',
+                     1), '.') AS l,
+                   regexp_extract(norm_url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)',
+                     1) AS host
+            FROM survivors)
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM rd GROUP BY domain
+    """,
+)
+def url_normalize_dedup(spark, sf_dir):
+    """Re-crawl dedup at the URL level: normalize (scheme/host
+    lower-cased, fragment dropped, tracking params stripped, surviving
+    params sorted) and keep the min-doc_id row per canonical URL — the
+    derivation plants real collisions (same source+path reached with
+    different scheme case, utm/fbclid noise and fragments). Exact-dedup
+    shape: one groupBy on the normalized URL with a map-side-combinable
+    min + a broadcast-able semi-join on the survivor ids (llm/
+    web.py:url_dedup); no window over a global sort. Survivors roll up
+    per registrable domain."""
+    from graphique_spark.llm import web
+
+    urls = _doc_urls(spark, sf_dir)
+    survivors = web.url_dedup(urls, "url", "doc_id")
+    return (
+        survivors.select(
+            web.registered_domain(web.url_host(F.col("url"))).alias("domain"),
+            "doc_id",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

@@ -490,3 +490,179 @@ def test_window_grammar_matches_duckdb(spark, rows, shapes):
         con.close()
 
     assert got == want, shapes
+
+
+# ---------------------------------------------------------------------------
+# Join grammar: Dataset.join (how x keys x rkeys) vs DuckDB joins
+
+
+JOIN_HOWS = ("inner", "left", "right", "full", "left_semi", "left_anti")
+
+join_spec = st.tuples(
+    st.sampled_from(JOIN_HOWS),
+    st.booleans(),  # two-key join
+    st.booleans(),  # cross-named keys (L.k1 = R.k2) instead of USING
+)
+
+join_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.integers(-5, 5),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _join_sql(how, two_keys, cross_keys):
+    base = {"left_semi": "SEMI", "left_anti": "ANTI"}.get(how)
+    if base is not None:
+        pred = "l.k1 = r.k2" if cross_keys else "l.k1 = r.k1"
+        if two_keys and not cross_keys:
+            pred += " AND l.k2 = r.k2"
+        op = "EXISTS" if base == "SEMI" else "NOT EXISTS"
+        return (
+            f"SELECT l.k1, l.k2, l.v FROM ldf l "
+            f"WHERE {op} (SELECT 1 FROM rdf r WHERE {pred})"
+        )
+    word = {"inner": "INNER", "left": "LEFT", "right": "RIGHT", "full": "FULL"}[how]
+    if cross_keys:
+        # keys differ by name: no column merge; every common name gets _r
+        return (
+            "SELECT l.k1, l.k2, l.v, r.k1 AS k1_r, r.k2 AS k2_r, r.w "
+            f"FROM ldf l {word} JOIN rdf r ON l.k1 = r.k2"
+        )
+    using = "(k1, k2)" if two_keys else "(k1)"
+    if not two_keys:
+        return (
+            f"SELECT k1, l.k2 AS k2, l.v, r.k2 AS k2_r, r.w "
+            f"FROM ldf l {word} JOIN rdf r USING {using}"
+        )
+    return (
+        f"SELECT k1, k2, l.v, r.w FROM ldf l {word} JOIN rdf r USING {using}"
+    )
+
+
+def _canon_rows(rows):
+    return sorted(
+        tuple((x is None, x if x is not None else 0) for x in row) for row in rows
+    )
+
+
+@settings(**SETTINGS)
+@given(lrows=join_rows, rrows=join_rows, specs=st.lists(join_spec, min_size=1, max_size=4))
+def test_join_grammar_matches_duckdb(spark, lrows, rrows, specs):
+    """Dataset.join over every how/keys/rkeys shape vs independent DuckDB
+    SQL on the same rows: null keys never match (also in anti-joins, where
+    they must be KEPT), duplicate keys fan out identically, and the
+    overlap rename (`{name}_r`) lands on the same columns DuckDB aliases."""
+    import duckdb
+
+    from graphique_spark.dataset import Dataset
+
+    sldf = spark.createDataFrame(lrows, "k1 int, k2 int, v int")
+    srdf = spark.createDataFrame(
+        [(a, b, c + 100) for a, b, c in rrows], "k1 int, k2 int, w int"
+    )
+    pl = pd.DataFrame(
+        {
+            "k1": pd.array([r[0] for r in lrows], dtype="Int64"),
+            "k2": pd.array([r[1] for r in lrows], dtype="Int64"),
+            "v": pd.array([r[2] for r in lrows], dtype="Int64"),
+        }
+    )
+    pr = pd.DataFrame(
+        {
+            "k1": pd.array([r[0] for r in rrows], dtype="Int64"),
+            "k2": pd.array([r[1] for r in rrows], dtype="Int64"),
+            "w": pd.array([r[2] + 100 for r in rrows], dtype="Int64"),
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("ldf", pl)
+        con.register("rdf", pr)
+        for how, two_keys, cross_keys in specs:
+            if cross_keys:
+                keys, rkeys = ["k1"], ["k2"]
+            elif two_keys:
+                keys, rkeys = ["k1", "k2"], None
+            else:
+                keys, rkeys = ["k1"], None
+            joined = Dataset(sldf).join(srdf, keys=keys, rkeys=rkeys, how=how)
+            sql = _join_sql(how, two_keys, cross_keys)
+            cur = con.execute(sql)
+            want_cols = [d[0] for d in cur.description]
+            want = _canon_rows(
+                [tuple(int(x) if x is not None else None for x in row) for row in cur.fetchall()]
+            )
+            assert joined.df.columns == want_cols, (joined.df.columns, want_cols, how)
+            got = _canon_rows([tuple(r) for r in joined.df.collect()])
+            assert got == want, (how, two_keys, cross_keys, got[:5], want[:5])
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# Set-operation grammar: union/intersect/difference (+/- distinct) vs DuckDB
+
+
+SET_OPS = (
+    ("union", False, "SELECT * FROM ldf UNION ALL SELECT * FROM rdf"),
+    ("union", True, "SELECT * FROM ldf UNION SELECT * FROM rdf"),
+    ("intersect", True, "SELECT * FROM ldf INTERSECT SELECT * FROM rdf"),
+    ("intersect", False, "SELECT * FROM ldf INTERSECT ALL SELECT * FROM rdf"),
+    ("difference", True, "SELECT * FROM ldf EXCEPT SELECT * FROM rdf"),
+    ("difference", False, "SELECT * FROM ldf EXCEPT ALL SELECT * FROM rdf"),
+)
+
+set_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 2)), st.integers(0, 1)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(lrows=set_rows, rrows=set_rows)
+def test_set_op_grammar_matches_duckdb(spark, lrows, rrows):
+    """union/intersect/difference with distinct on AND off vs DuckDB's
+    UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] on the same rows —
+    multiset semantics (bag counts) and null-equality in set ops are the
+    corners the fixed oracles never vary."""
+    import duckdb
+
+    from graphique_spark.dataset import Dataset
+
+    sldf = spark.createDataFrame(lrows, "a int, b int")
+    srdf = spark.createDataFrame(rrows, "a int, b int")
+    pl = pd.DataFrame(
+        {
+            "a": pd.array([r[0] for r in lrows], dtype="Int64"),
+            "b": pd.array([r[1] for r in lrows], dtype="Int64"),
+        }
+    )
+    pr = pd.DataFrame(
+        {
+            "a": pd.array([r[0] for r in rrows], dtype="Int64"),
+            "b": pd.array([r[1] for r in rrows], dtype="Int64"),
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("ldf", pl)
+        con.register("rdf", pr)
+        for op, distinct, sql in SET_OPS:
+            ds = Dataset(sldf)
+            out = getattr(ds, op)(srdf, distinct=distinct)
+            want = _canon_rows(
+                [
+                    tuple(int(x) if x is not None else None for x in row)
+                    for row in con.execute(sql).fetchall()
+                ]
+            )
+            got = _canon_rows([tuple(r) for r in out.df.collect()])
+            assert got == want, (op, distinct, got[:5], want[:5])
+    finally:
+        con.close()

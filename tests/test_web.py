@@ -1,0 +1,109 @@
+"""URL / domain operators (llm.web): parsing, registered domains,
+normalization, suffix blocklists, URL dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphique_spark.llm import web
+
+
+def _one(spark, url, col):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(col(F.col("url")).alias("v")).first()["v"]
+
+
+def test_url_parts(spark):
+    url = "HTTPS://User:pw@WWW.Example.CO.UK:8443/Docs/A?b=2&a=1#frag"
+    assert _one(spark, url, web.url_scheme) == "https"
+    assert _one(spark, url, web.url_host) == "www.example.co.uk"
+    assert _one(spark, url, web.url_path) == "/Docs/A"
+    assert _one(spark, url, web.url_query) == "b=2&a=1"
+
+
+def test_url_parts_absent_components(spark):
+    assert _one(spark, "https://example.com", web.url_path) == ""
+    assert _one(spark, "https://example.com/x", web.url_query) == ""
+    assert _one(spark, "not a url", web.url_host) == ""
+
+
+@pytest.mark.parametrize(
+    ("host", "expected"),
+    [
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.news.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("co.uk", "co.uk"),  # bare public suffix: nothing to registrable
+        ("localhost", "localhost"),
+    ],
+)
+def test_registered_domain(spark, host, expected):
+    df = spark.createDataFrame([(host,)], "h string")
+    got = df.select(web.registered_domain(F.col("h")).alias("v")).first()["v"]
+    assert got == expected
+
+
+def test_normalize_url_strips_tracking_and_sorts(spark):
+    a = "HTTPS://Example.com/p?utm_source=x&b=2&a=1&fbclid=zz#frag"
+    b = "https://example.com/p?a=1&b=2"
+    assert _one(spark, a, web.normalize_url) == b
+    # already-canonical input is a fixed point
+    assert _one(spark, b, web.normalize_url) == b
+
+
+def test_normalize_url_empty_query_drops_question_mark(spark):
+    assert (
+        _one(spark, "https://e.com/p?utm_source=x", web.normalize_url)
+        == "https://e.com/p"
+    )
+
+
+def test_host_suffix_candidates_bounded(spark):
+    deep = ".".join(f"l{i}" for i in range(20)) + ".spam.com"
+    df = spark.createDataFrame([(deep,)], "h string")
+    cands = df.select(
+        web.host_suffix_candidates(F.col("h"), max_labels=8).alias("c")
+    ).first()["c"]
+    assert len(cands) == 8  # capped
+    assert "spam.com" in cands  # registrable tail always present
+    assert deep not in cands  # longest suffixes kept, full host dropped
+
+
+def test_domain_blocklist_filter_list(spark):
+    rows = [
+        (1, "https://ok.example.com/x"),
+        (2, "https://spam.bad.net/y"),
+        (3, "https://cdn.assets.spam.bad.net/z"),
+        (4, "https://bad.net.example.org/w"),  # NOT a suffix match of bad.net
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = web.domain_blocklist_filter(df, "url", ["bad.net"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4]
+    only = web.domain_blocklist_filter(df, "url", ["bad.net"], keep=True)
+    assert sorted(r["id"] for r in only.collect()) == [2, 3]
+
+
+def test_domain_blocklist_filter_dataframe(spark):
+    rows = [
+        (1, "https://ok.example.com/x"),
+        (2, "https://spam.bad.net/y"),
+        (3, "https://a.b.spam.bad.net/z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    block = spark.createDataFrame([("BAD.net",), ("other.org",)], "domain string")
+    kept = web.domain_blocklist_filter(df, "url", block, id_col="id")
+    assert sorted(r["id"] for r in kept.collect()) == [1]
+    with pytest.raises(ValueError, match="id_col"):
+        web.domain_blocklist_filter(df, "url", block)
+
+
+def test_url_dedup_keeps_min_id_per_normalized_url(spark):
+    rows = [
+        (5, "https://e.com/p?a=1&utm_source=x"),
+        (2, "HTTPS://E.com/p?a=1#frag"),
+        (9, "https://e.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = web.url_dedup(df, "url", "id")
+    assert sorted(r["id"] for r in out.collect()) == [2, 9]
+    out_max = web.url_dedup(df, "url", "id", keep_min=False)
+    assert sorted(r["id"] for r in out_max.collect()) == [5, 9]

@@ -192,6 +192,34 @@ def _step_split_leakage_safe(spark, df, p, text, id_col):
     }
 
 
+def _step_url_blocklist(spark, df, p, text, id_col):
+    """Drop rows whose URL host is a blocked domain or subdomain of one.
+    ``url`` names the URL column; ``blocked`` is the domain list (or a
+    parquet path holding one ``domain`` column for UT1-scale lists)."""
+    from graphique_spark.llm.web import domain_blocklist_filter
+
+    url_col = p.get("url", "url")
+    blocked = p["blocked"]
+    if isinstance(blocked, str):  # parquet path: the million-domain shape
+        block_df = spark.read.parquet(blocked).select("domain")
+        out = domain_blocklist_filter(df, url_col, block_df, id_col=id_col)
+        return out, {"url": url_col, "blocked": blocked}
+    return domain_blocklist_filter(df, url_col, list(blocked)), {
+        "url": url_col,
+        "n_blocked_domains": len(blocked),
+    }
+
+
+def _step_url_dedup(spark, df, p, text, id_col):
+    """Keep one row per normalized URL (re-crawl dedup): min-id survivor
+    after scheme/host lowercasing, fragment drop and tracking-param
+    strip."""
+    from graphique_spark.llm.web import url_dedup
+
+    url_col = p.get("url", "url")
+    return url_dedup(df, url_col, id_col), {"url": url_col}
+
+
 STEPS = {
     "quality_filter": _step_quality_filter,
     "gopher_repetition": _step_gopher_repetition,
@@ -202,6 +230,8 @@ STEPS = {
     "split": _step_split,
     "dsir_select": _step_dsir_select,
     "split_leakage_safe": _step_split_leakage_safe,
+    "url_blocklist": _step_url_blocklist,
+    "url_dedup": _step_url_dedup,
 }
 
 

@@ -1397,3 +1397,36 @@ def test_pipeline_dsir_and_leakage_safe_split(spark):
     if 200 in got and 201 in got:
         assert got[200] == got[201]
     assert by_op["split_leakage_safe"]["dropped"] == 0
+
+
+def test_pipeline_url_steps(spark, tmp_path):
+    from graphique_spark.pipeline import run_pipeline
+
+    rows = [
+        (1, "doc one", "https://ok.example.com/a"),
+        (2, "doc two", "https://spam.bad.net/b"),
+        (3, "doc three", "https://cdn.spam.bad.net/c"),
+        # 4 and 5 are the same page behind tracking noise: dedup keeps 4
+        (4, "doc four", "https://ok.example.com/page?id=1&utm_source=x"),
+        (5, "doc five", "HTTPS://OK.example.com/page?id=1#frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    config = {
+        "steps": [
+            {"op": "url_blocklist", "blocked": ["bad.net"]},
+            {"op": "url_dedup"},
+        ],
+    }
+    curated, audit = run_pipeline(spark, df, config)
+    assert sorted(r["doc_id"] for r in curated.collect()) == [1, 4]
+    by_op = {a["op"]: a for a in audit}
+    assert by_op["url_blocklist"]["dropped"] == 2
+    assert by_op["url_dedup"]["dropped"] == 1
+
+    # parquet-path blocklist (the UT1-scale DataFrame shape)
+    block_path = str(tmp_path / "blocklist")
+    spark.createDataFrame([("bad.net",)], "domain string").write.parquet(block_path)
+    config2 = {"steps": [{"op": "url_blocklist", "blocked": block_path}]}
+    curated2, audit2 = run_pipeline(spark, df, config2)
+    assert sorted(r["doc_id"] for r in curated2.collect()) == [1, 4, 5]
+    assert audit2[0]["blocked"] == block_path

@@ -85,18 +85,24 @@ def normalize_url(url: Column) -> Column:
     """Canonical URL for exact dedup: scheme and host lower-cased,
     fragment dropped, tracking query parameters (TRACKING_PARAMS)
     removed, surviving parameters sorted. Path case is preserved (paths
-    are case-sensitive on most servers). All array HOFs — no UDF."""
+    are case-sensitive on most servers). Non-URL values (no parseable
+    host) pass through unchanged — otherwise every malformed row would
+    collapse to the same garbage key and url_dedup would silently merge
+    them. All array HOFs — no UDF."""
     params = F.filter(
         F.split(url_query(url), "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS),
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        url_scheme(url),
-        F.lit("://"),
-        url_host(url),
-        url_path(url),
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    host = url_host(url)
+    return F.when(host == "", url).otherwise(
+        F.concat(
+            url_scheme(url),
+            F.lit("://"),
+            host,
+            url_path(url),
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
     )
 
 

@@ -107,3 +107,19 @@ def test_url_dedup_keeps_min_id_per_normalized_url(spark):
     assert sorted(r["id"] for r in out.collect()) == [2, 9]
     out_max = web.url_dedup(df, "url", "id", keep_min=False)
     assert sorted(r["id"] for r in out_max.collect()) == [5, 9]
+
+
+def test_normalize_url_passes_non_urls_through(spark):
+    rows = [(1, "not a url"), (2, "also: not one"), (3, "https://e.com/p")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", web.normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    assert out[1] == "not a url"  # unchanged, NOT collapsed to '://'
+    assert out[2] == "also: not one"
+    assert out[3] == "https://e.com/p"
+    # so dedup keeps distinct malformed rows distinct
+    assert web.url_dedup(df, "url", "id").count() == 3

@@ -14,6 +14,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: query -> the plan property a reviewer should find in it
 HIGHLIGHTS = {
+    "url_domain_blocklist": "blocklist is a literal array: map-only arrays_overlap filter inside codegen, single rollup exchange, zero joins",
+    "url_normalize_dedup": "one HashAggregate exchange on the normalized URL + broadcast semi-join on survivor ids; normalization is all map-side HOFs",
     "dsir_importance": "broadcast log-ratio join (fixed bucket table); one explode + one per-doc HashAggregate; TakeOrderedAndProject for the top-25",
     "split_leakage_safe": "band-key-only shuffles into the CC pipeline; split assignment is a map-side md5 expression over the canonical id",
     "filter_predicates": "PushedFilters on the lineitem scan; ReadSchema pruned to used columns",

@@ -40,8 +40,10 @@ TRACKING_PARAMS = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)="
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored before the first '#': a '?' inside the fragment is NOT a query
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def url_scheme(url: Column) -> Column:
@@ -52,6 +54,11 @@ def url_scheme(url: Column) -> Column:
 def url_host(url: Column) -> Column:
     """Lower-cased hostname (userinfo and port stripped); '' if absent."""
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string ('8443'); '' when absent."""
+    return F.regexp_extract(url, _PORT_RE, 1)
 
 
 def url_path(url: Column) -> Column:
@@ -84,22 +91,32 @@ def registered_domain(
 def normalize_url(url: Column) -> Column:
     """Canonical URL for exact dedup: scheme and host lower-cased,
     fragment dropped, tracking query parameters (TRACKING_PARAMS)
-    removed, surviving parameters sorted. Path case is preserved (paths
-    are case-sensitive on most servers). Non-URL values (no parseable
-    host) pass through unchanged — otherwise every malformed row would
-    collapse to the same garbage key and url_dedup would silently merge
-    them. All array HOFs — no UDF."""
+    removed, surviving parameters sorted. Non-default ports are kept
+    (':8080' names a different origin); the scheme-default ports :80/:443
+    are dropped; userinfo is dropped (credentials must not key dedup).
+    Path case is preserved (paths are case-sensitive on most servers).
+    Non-URL values (no parseable host) pass through unchanged — otherwise
+    every malformed row would collapse to the same garbage key and
+    url_dedup would silently merge them. All array HOFs — no UDF."""
     params = F.filter(
         F.split(url_query(url), "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS),
     )
     qs = F.array_join(F.array_sort(params), "&")
     host = url_host(url)
+    scheme = url_scheme(url)
+    port = url_port(url)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
     return F.when(host == "", url).otherwise(
         F.concat(
-            url_scheme(url),
+            scheme,
             F.lit("://"),
             host,
+            F.when(
+                (port != "") & ~default_port, F.concat(F.lit(":"), port)
+            ).otherwise(F.lit("")),
             url_path(url),
             F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
         )
@@ -111,8 +128,10 @@ def host_suffix_candidates(host: Column, max_labels: int = 8) -> Column:
     itself — the keys a suffix blocklist can match
     (``cdn.assets.spam.com`` -> [itself, assets.spam.com, spam.com]).
     Bounded at ``max_labels`` candidates so adversarial 100-label hosts
-    can't blow up the row; deep hosts keep their *longest* suffixes and
-    always include the registrable tail, which is what blocklists list."""
+    can't blow up the row; a capped deep host keeps its *shortest*
+    suffixes (the registrable tail blocklists actually list) and drops
+    the longest ones, including the full host itself — exact-host
+    entries deeper than ``max_labels``+1 labels stop matching."""
     labels = F.split(F.lower(host), r"\.")
     n = F.size(labels)
     first = F.greatest(n - F.lit(max_labels), F.lit(1))
@@ -158,8 +177,12 @@ def domain_blocklist_filter(
         )
         how = "left_semi" if keep else "left_anti"
         return df.join(matched_ids, on=id_col, how=how)
-    hit = F.arrays_overlap(
-        cands, F.array(*[F.lit(b.lower()) for b in blocked])
+    # coalesce: a NULL url yields NULL candidates and arrays_overlap
+    # returns NULL, which `~hit` would drop — NULL urls are not blocked
+    # (matching the DataFrame-blocklist path, where explode emits nothing)
+    hit = F.coalesce(
+        F.arrays_overlap(cands, F.array(*[F.lit(b.lower()) for b in blocked])),
+        F.lit(False),
     )
     return df.where(hit if keep else ~hit)
 
@@ -168,14 +191,19 @@ def url_dedup(
     df: DataFrame, url_col: str, id_col: str, keep_min: bool = True
 ) -> DataFrame:
     """Keep one row per *normalized* URL (the survivor with the min — or
-    max — ``id_col``). Exact-dedup shape: groupBy on the normalized URL
-    with a map-side-combinable min/max, then a semi-join on the unique
-    survivor id; no global window."""
+    max — ``id_col``). Rows with a NULL url are all kept: they carry no
+    URL evidence of being the same page, and grouping them would collapse
+    every NULL into one survivor. Exact-dedup shape: groupBy on the
+    normalized URL with a map-side-combinable min/max, then a semi-join
+    on the unique survivor id; no global window."""
     agg = F.min(id_col) if keep_min else F.max(id_col)
+    with_url = df.where(F.col(url_col).isNotNull())
     survivors = (
-        df.select(normalize_url(F.col(url_col)).alias("__norm"), id_col)
+        with_url.select(normalize_url(F.col(url_col)).alias("__norm"), id_col)
         .groupBy("__norm")
         .agg(agg.alias(id_col))
         .select(id_col)
     )
-    return df.join(survivors, on=id_col, how="left_semi")
+    return with_url.join(survivors, on=id_col, how="left_semi").unionByName(
+        df.where(F.col(url_col).isNull())
+    )

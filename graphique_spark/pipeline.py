@@ -149,15 +149,28 @@ def _step_dsir_select(spark, df, p, text, id_col):
     scores = dsir_log_weights(
         df, F.expr(p["target"]), text=text, id_col=id_col, buckets=buckets
     )
-    # deterministic keep set: the top fraction by (weight, id) — exact
-    # rank via percent_rank would need a global window; a 1-row quantile
-    # broadcast keeps it scale-shaped
-    [cut] = scores.agg(
+    # token-less docs (non-Latin scripts, numeric-only, empty text) never
+    # appear in scores — give them the neutral weight 0.0 (empty-product
+    # importance ratio = 1) instead of silently dropping them all
+    scored = (
+        df.select(id_col)
+        .join(scores.select(id_col, "log_weight"), on=id_col, how="left")
+        .select(
+            id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
+        )
+        # slim (id, double) frame; pinned so the quantile action and the
+        # keep join below don't each re-run the explode/model pipeline
+        .persist()
+    )
+    # deterministic keep set: the top fraction by weight — exact rank via
+    # percent_rank would need a global window; a 1-row quantile broadcast
+    # keeps it scale-shaped
+    [cut] = scored.agg(
         F.percentile_approx("log_weight", 1.0 - keep_fraction, 10_000)
     ).first()
     if cut is None:  # empty corpus: nothing to cut
         return df, {"keep_fraction": keep_fraction, "weight_cut": None}
-    keep = scores.where(F.col("log_weight") >= cut).select(id_col)
+    keep = scored.where(F.col("log_weight") >= cut).select(id_col)
     return df.join(keep, on=id_col, how="semi"), {
         "keep_fraction": keep_fraction,
         "weight_cut": float(cut),

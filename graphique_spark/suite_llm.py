@@ -4955,7 +4955,7 @@ def url_domain_blocklist(spark, sf_dir):
     parts AS (
       SELECT doc_id, url,
              array_to_string(list_sort(list_filter(
-               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '&'),
                p -> p <> '' AND NOT regexp_matches(p,
                  '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)='))), '&')
                AS qs

@@ -1430,3 +1430,24 @@ def test_pipeline_url_steps(spark, tmp_path):
     curated2, audit2 = run_pipeline(spark, df, config2)
     assert sorted(r["doc_id"] for r in curated2.collect()) == [1, 4, 5]
     assert audit2[0]["blocked"] == block_path
+
+
+def test_pipeline_dsir_keeps_tokenless_docs(spark):
+    from graphique_spark.pipeline import run_pipeline
+
+    rows = [(i, "quantum lattice theorem proof " * 3, "good") for i in range(8)]
+    rows += [(100 + i, "buy cheap pills winner now " * 3, "spam") for i in range(8)]
+    rows += [(200, "12345 67890", "good"), (201, "", "good")]  # token-less
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    config = {
+        "steps": [
+            {"op": "dsir_select", "target": "source = 'good'",
+             "keep_fraction": 0.5, "buckets": 256},
+        ],
+    }
+    curated, audit = run_pipeline(spark, df, config)
+    got = {r["doc_id"] for r in curated.collect()}
+    # token-less docs score the neutral 0.0 — they must not be blanket-
+    # dropped; with 8/18 spam docs below the cut the neutral docs survive
+    assert 200 in got and 201 in got
+    assert all(100 + i not in got for i in range(8))

@@ -123,3 +123,39 @@ def test_normalize_url_passes_non_urls_through(spark):
     assert out[3] == "https://e.com/p"
     # so dedup keeps distinct malformed rows distinct
     assert web.url_dedup(df, "url", "id").count() == 3
+
+
+def test_query_not_parsed_from_fragment(spark):
+    # '?' inside the fragment is fragment content, not a query string
+    url = "https://e.com/p#sec?a=1"
+    assert _one(spark, url, web.url_query) == ""
+    assert _one(spark, url, web.normalize_url) == "https://e.com/p"
+
+
+def test_normalize_url_ports(spark):
+    # non-default port names a different origin: preserved
+    assert (
+        _one(spark, "https://h.com:8080/x", web.normalize_url)
+        == "https://h.com:8080/x"
+    )
+    # scheme-default ports are noise: dropped
+    assert _one(spark, "https://h.com:443/x", web.normalize_url) == "https://h.com/x"
+    assert _one(spark, "http://h.com:80/x", web.normalize_url) == "http://h.com/x"
+    # userinfo is dropped
+    assert _one(spark, "https://u:p@h.com/x", web.normalize_url) == "https://h.com/x"
+    assert _one(spark, "https://h.com:8443/", web.url_port) == "8443"
+    assert _one(spark, "https://h.com/", web.url_port) == ""
+
+
+def test_null_urls_survive_dedup_and_blocklist(spark):
+    rows = [(1, None), (2, None), (3, "https://e.com/p"), (4, "https://e.com/p#f")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    # both NULL rows kept (no URL evidence they are the same page);
+    # 3/4 are the same page -> one survivor
+    assert sorted(r["id"] for r in web.url_dedup(df, "url", "id").collect()) == [1, 2, 3]
+    # NULL urls are not blocked — literal-list and DataFrame paths agree
+    kept = web.domain_blocklist_filter(df, "url", ["e.com"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2]
+    block = spark.createDataFrame([("e.com",)], "domain string")
+    kept2 = web.domain_blocklist_filter(df, "url", block, id_col="id")
+    assert sorted(r["id"] for r in kept2.collect()) == [1, 2]

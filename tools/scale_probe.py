@@ -324,8 +324,30 @@ def main() -> None:
 
         return t.inverted_index(multiplied(spark, "documents", mult), max_postings=20)
 
+    def url_pipeline(mult):
+        from graphique_spark.llm import web
+
+        docs = multiplied(spark, "documents", mult).select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+                F.col("source"),
+                F.lit("-data.com/docs/"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&id=1")
+                ).otherwise(F.lit("")),
+            ).alias("url"),
+        )
+        blocked = web.domain_blocklist_filter(
+            docs, "url", ["src3-data.com", "src7-data.com"]
+        )
+        return web.url_dedup(blocked, "url", "doc_id")
+
     probes = {
         "q1": q1,
+        "url_pipeline": url_pipeline,
         "basket": basket,
         "containment": containment,
         "inverted_index": inverted,

@@ -528,3 +528,54 @@ def test_incremental_state_merge_associative(spark, rows, n_batches):
         return out
 
     assert snap(merged) == snap(direct), rows
+
+
+# ---------------------------------------------------------------------------
+# URL normalization properties
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    urls=st.lists(
+        st.one_of(
+            # URL-shaped: random case, optional userinfo/port/params/fragment
+            st.tuples(
+                st.sampled_from(["http", "https", "HTTPS", "ftp"]),
+                st.sampled_from(["", "u:p@"]),
+                st.sampled_from(["A.b.C.com", "x.co.uk", "h", "spam.bad.net"]),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                st.sampled_from(["", "/", "/P/q", "/docs/1"]),
+                st.sampled_from(
+                    ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=c&fbclid=z"]
+                ),
+                st.sampled_from(["", "#f", "#sec?x=1"]),
+            ).map(lambda t: t[0] + "://" + "".join(t[1:])),
+            # junk that must pass through untouched
+            st.sampled_from(["", "not a url", "owner@example.com", "a:b:c"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_url_idempotent_and_host_stable(spark, urls):
+    """normalize_url is a canonicalizer: applying it twice equals applying
+    it once (fixed point), and it never changes which host/registered
+    domain a URL belongs to — the two invariants every dedup key and
+    blocklist decision depend on."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import web
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    once = web.normalize_url(F.col("url"))
+    rows = df.select(
+        "id",
+        "url",
+        once.alias("n1"),
+        web.normalize_url(once).alias("n2"),
+        web.url_host(F.col("url")).alias("h0"),
+        web.url_host(once).alias("h1"),
+    ).collect()
+    for r in rows:
+        assert r["n1"] == r["n2"], (r["url"], r["n1"], r["n2"])
+        assert r["h0"] == r["h1"], (r["url"], r["h0"], r["h1"])

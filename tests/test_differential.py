@@ -666,3 +666,104 @@ def test_set_op_grammar_matches_duckdb(spark, lrows, rrows):
             assert got == want, (op, distinct, got[:5], want[:5])
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Typed Filter grammar: inputs.Filter specs vs independent DuckDB WHERE SQL
+
+
+def _filter_sql(col, spec):
+    """Independent SQL rendering of one Filter spec's documented semantics
+    (NOT derived from inputs.py): eq/ne are lists (eq=[] matches nothing,
+    ne=[] adds no constraint, eq=None/ne=None are null comparisons that
+    never hold), lt/le/gt/ge are scalars; everything ANDs."""
+    parts = []
+    if "eq" in spec:
+        v = spec["eq"]
+        if v is None:
+            parts.append(f"{col} = NULL")
+        elif len(v) == 0:
+            parts.append("FALSE")
+        elif len(v) == 1:
+            parts.append(f"{col} = {v[0]}")
+        else:
+            parts.append(f"{col} IN (" + ", ".join(map(str, v)) + ")")
+    if "ne" in spec:
+        v = spec["ne"]
+        if v is None:
+            parts.append(f"{col} <> NULL")
+        elif len(v) == 1:
+            parts.append(f"{col} <> {v[0]}")
+        elif v:
+            parts.append(f"NOT ({col} IN (" + ", ".join(map(str, v)) + "))")
+    for op, sym in [("lt", "<"), ("le", "<="), ("gt", ">"), ("ge", ">=")]:
+        if op in spec:
+            parts.append(f"{col} {sym} {spec[op]}")
+    return " AND ".join(parts) if parts else "TRUE"
+
+
+filter_spec = st.dictionaries(
+    keys=st.sampled_from(["eq", "ne", "lt", "le", "gt", "ge"]),
+    values=st.integers(-2, 2),
+    max_size=3,
+).flatmap(
+    lambda base: st.tuples(
+        st.one_of(
+            st.just(None),
+            st.lists(st.integers(-2, 2), max_size=3),
+        ),
+        st.one_of(
+            st.just(None),
+            st.lists(st.integers(-2, 2), max_size=3),
+        ),
+    ).map(
+        lambda lists_: {
+            k: (lists_[0] if k == "eq" else lists_[1] if k == "ne" else v)
+            for k, v in base.items()
+        }
+    )
+)
+
+filter_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-2, 2)),
+        st.one_of(st.none(), st.integers(-2, 2)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=filter_rows, spec_a=filter_spec, spec_b=filter_spec)
+def test_filter_grammar_matches_duckdb(spark, rows, spec_a, spec_b):
+    """Dataset.filter with typed per-column Filter inputs vs DuckDB WHERE:
+    the reference's list-shaped eq/ne corner semantics (eq=[] -> nothing,
+    ne=[] -> everything, eq=None never true, NOT IN over NULL rows) under
+    random combinations on nullable columns."""
+    import duckdb
+
+    from graphique_spark.dataset import Dataset
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "id int, a int, b int")
+    out = Dataset(sdf).filter(a=spec_a, b=spec_b)
+    got = sorted(r["id"] for r in out.df.collect())
+
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array([d[0] for d in data], dtype="Int64"),
+            "a": pd.array([d[1] for d in data], dtype="Int64"),
+            "b": pd.array([d[2] for d in data], dtype="Int64"),
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("pdf", pdf)
+        where = f"({_filter_sql('a', spec_a)}) AND ({_filter_sql('b', spec_b)})"
+        want = sorted(
+            r[0] for r in con.execute(f"SELECT id FROM pdf WHERE {where}").fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (spec_a, spec_b, got, want)

@@ -309,8 +309,16 @@ def mixture_sample(df, weights: dict[str, float], by: str = "source", id_col: st
     # feasible-total bound (its threshold is simply 0, not a div-by-zero)
     feasible = [counts[s] / shares[s] for s in counts if shares[s] > 0]
     n_total = min(feasible) if feasible else 0.0
+    # zero-share short-circuit: n_total can overflow to inf when a share
+    # is subnormal (1/2.2e-309 > DBL_MAX), and 0.0 * inf is nan — which
+    # min(1.0, nan) silently passes through as 1.0, un-excluding the
+    # zero-weight source. Threshold 0 is the only correct value there.
     thresholds = {
-        s: int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000)
+        s: (
+            0
+            if shares[s] <= 0
+            else int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000)
+        )
         for s in counts
     }
     thr = F.element_at(

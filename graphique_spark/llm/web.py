@@ -207,3 +207,60 @@ def url_dedup(
     return with_url.join(survivors, on=id_col, how="left_semi").unionByName(
         df.where(F.col(url_col).isNull())
     )
+
+
+#: the HTML-to-text strip chain, in order: drop invisible blocks, then
+#: comments, then turn block-level tags into newlines, drop remaining
+#: tags, decode the common entities (AFTER tag stripping — decoding
+#: first would fabricate tags out of escaped text), collapse whitespace.
+#: Shared by the Spark expression and the DuckDB oracle rendering so the
+#: two can never drift. Every pattern is RE2-compatible (no backrefs).
+HTML_STRIP_CHAIN = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<noscript\b[^>]*>.*?</noscript>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|nav"
+        r"|header|footer|title|blockquote|pre)\b[^>]*>",
+        "\n",
+    ),
+    # a real tag starts with a letter (optionally /-closed) or '!'
+    # (doctype): a naked '< ' in prose ("a < b and b > a") is NOT a tag
+    (r"</?[a-zA-Z][^>]*>|<![^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+)
+
+
+def html_text(html: Column) -> Column:
+    """Visible text of an HTML document: script/style/noscript/comment
+    content dropped, block-level tags become line breaks, remaining tags
+    stripped, common entities decoded, whitespace collapsed. A regexp
+    chain of built-ins — map-only, codegen-friendly, linear in input
+    bytes; the trafilatura-class DOM heuristics stay out of the hot path
+    (this is the 100 TB first-pass extractor, not a layout engine)."""
+    out = html
+    for pattern, repl in HTML_STRIP_CHAIN:
+        out = F.regexp_replace(out, pattern, repl)
+    return F.btrim(out, F.lit(" \n"))
+
+
+def html_text_sql(expr: str) -> str:
+    """The DuckDB rendering of :func:`html_text` over SQL expression
+    ``expr`` — generated from the same HTML_STRIP_CHAIN so the oracle and
+    the engine apply byte-identical patterns (RE2 needs the explicit 'g'
+    flag where Java replaces globally by default)."""
+    out = expr
+    for pattern, repl in HTML_STRIP_CHAIN:
+        pat_sql = pattern.replace("'", "''")
+        repl_sql = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl_sql}', 'g')"
+    return f"trim({out}, ' ' || chr(10))"

@@ -205,6 +205,17 @@ def _step_split_leakage_safe(spark, df, p, text, id_col):
     }
 
 
+def _step_html_extract(spark, df, p, text, id_col):
+    """Replace the text column with the visible text of its HTML markup
+    (``html`` names the source column; defaults to the text column
+    itself). Map-only regexp chain — run it FIRST so every downstream
+    quality/dedup heuristic sees prose, not tag soup."""
+    from graphique_spark.llm.web import html_text
+
+    src = p.get("html", text)
+    return df.withColumn(text, html_text(F.col(src))), {"html": src}
+
+
 def _step_url_blocklist(spark, df, p, text, id_col):
     """Drop rows whose URL host is a blocked domain or subdomain of one.
     ``url`` names the URL column; ``blocked`` is the domain list (or a
@@ -243,6 +254,7 @@ STEPS = {
     "split": _step_split,
     "dsir_select": _step_dsir_select,
     "split_leakage_safe": _step_split_leakage_safe,
+    "html_extract": _step_html_extract,
     "url_blocklist": _step_url_blocklist,
     "url_dedup": _step_url_dedup,
 }

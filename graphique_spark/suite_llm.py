@@ -5016,3 +5016,71 @@ def url_normalize_dedup(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+# --- round 6 (cont.): HTML main-text extraction ------------------------------
+
+from graphique_spark.llm.web import html_text_sql as _html_text_sql
+
+#: deterministic HTML wrapping of each document (Spark and DuckDB render
+#: the same string): title/nav/footer boilerplate, a style and a script
+#: block that must vanish entirely, entities, and the doc text as body
+_HTML_SQL = """
+      '<html><head><title>' || source || '</title>'
+      || '<style>p{color:red}</style>'
+      || '<script>var a="<b>' || CAST(doc_id AS VARCHAR) || '</b>";</script>'
+      || '</head><body><nav>Home | ' || source || '</nav>'
+      || '<h1>Doc &#39;' || CAST(doc_id AS VARCHAR) || '&#39;</h1>'
+      || '<p>' || text || '</p>'
+      || '<footer>&copy; ' || source || '</footer></body></html>'
+"""
+
+
+def _doc_html(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").df
+    s = lambda c: c.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit("</title>"),
+        F.lit("<style>p{color:red}</style>"),
+        F.lit('<script>var a="<b>'), s(F.col("doc_id")), F.lit('</b>";</script>'),
+        F.lit("</head><body><nav>Home | "), F.col("source"), F.lit("</nav>"),
+        F.lit("<h1>Doc &#39;"), s(F.col("doc_id")), F.lit("&#39;</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<footer>&copy; "), F.col("source"), F.lit("</footer></body></html>"),
+    )
+    return docs.select("doc_id", "source", html.alias("html"))
+
+
+@query(
+    "html_extract_text",
+    f"""
+    WITH pages AS (SELECT doc_id, source, {_HTML_SQL} AS html FROM documents),
+    extracted AS (
+      SELECT doc_id, source, {_html_text_sql('html')} AS txt FROM pages
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(txt)) AS BIGINT) AS extracted_chars,
+           CAST(min(length(txt)) AS BIGINT) AS min_chars
+    FROM extracted GROUP BY source
+    """,
+)
+def html_extract_text(spark, sf_dir):
+    """Web-crawl main-text extraction: documents are wrapped in a full
+    HTML page (title/nav/footer boilerplate, style+script blocks that
+    must vanish without leaking a byte, entities) and html_text strips it
+    back to visible text. The whole extractor is a fixed regexp_replace
+    chain (llm/web.py:HTML_STRIP_CHAIN) — map-only, one codegen stage,
+    linear in page bytes; the oracle renders the SAME chain through
+    html_text_sql so Java-regex and RE2 outputs are compared
+    byte-for-byte via per-source char totals."""
+    from graphique_spark.llm import web
+
+    pages = _doc_html(spark, sf_dir)
+    ext = pages.select(
+        "source", F.length(web.html_text(F.col("html"))).alias("L")
+    )
+    return ext.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("L").cast("bigint").alias("extracted_chars"),
+        F.min("L").cast("bigint").alias("min_chars"),
+    )

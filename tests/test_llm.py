@@ -1451,3 +1451,31 @@ def test_pipeline_dsir_keeps_tokenless_docs(spark):
     # dropped; with 8/18 spam docs below the cut the neutral docs survive
     assert 200 in got and 201 in got
     assert all(100 + i not in got for i in range(8))
+
+
+def test_pipeline_html_extract_step(spark):
+    from graphique_spark.pipeline import run_pipeline
+
+    rows = [
+        (1, "<html><body><script>x=1;</script><p>real words here</p></body></html>"),
+        (2, "plain already"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, audit = run_pipeline(spark, df, {"steps": [{"op": "html_extract"}]})
+    got = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert got[1] == "real words here"
+    assert got[2] == "plain already"
+    assert audit[0]["dropped"] == 0
+
+
+def test_mixture_sample_subnormal_weight_keeps_zero_weight_excluded(spark):
+    # regression (hypothesis find): 1/subnormal overflows n_total to inf,
+    # 0.0*inf is nan, and min(1.0, nan) -> 1.0 used to keep the excluded
+    # source entirely
+    from graphique_spark.llm.text import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    out = mixture_sample(df, {"a": 0.0, "b": 2.2e-309, "c": 1.0})
+    assert {r["source"] for r in out.collect()} == {"b"}

@@ -159,3 +159,51 @@ def test_null_urls_survive_dedup_and_blocklist(spark):
     block = spark.createDataFrame([("e.com",)], "domain string")
     kept2 = web.domain_blocklist_filter(df, "url", block, id_col="id")
     assert sorted(r["id"] for r in kept2.collect()) == [1, 2]
+
+
+def test_html_text_strips_invisible_and_decodes(spark):
+    html = (
+        '<html><head><title>T</title><style>p{c}</style>'
+        '<script>var x="<p>fake</p>";</script></head>'
+        "<body><!-- c --><h1>A&amp;B</h1><p>one</p><div>two&nbsp;3</div>"
+        "<ul><li>x</li></ul></body></html>"
+    )
+    got = _one(spark, html, web.html_text)
+    assert got == "T\nA&B\none\ntwo 3\nx"
+    # script/style/comment content must be gone entirely
+    assert "fake" not in got and "c }" not in got
+
+
+def test_html_text_plain_text_unharmed(spark):
+    assert _one(spark, "no markup at all", web.html_text) == "no markup at all"
+    assert _one(spark, "a < b and b > a", web.html_text) == "a < b and b > a"
+
+
+def test_html_text_sql_renders_identically(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    samples = [
+        "<p>He&#39;s &quot;q&quot;</p>",
+        "<SCRIPT a=b>x</script>tail",
+        "<div><br/>nested <span>inline</span></div>",
+        "plain",
+        "<table><tr><td>c1</td></tr></table>",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "h string")
+    got = [
+        r["t"]
+        for r in df.select(web.html_text(F.col("h")).alias("t")).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        want = [
+            con.execute(
+                "SELECT " + web.html_text_sql("'" + s.replace("'", "''") + "'")
+            ).fetchone()[0]
+            for s in samples
+        ]
+    finally:
+        con.close()
+    assert got == want

@@ -767,3 +767,54 @@ def test_filter_grammar_matches_duckdb(spark, rows, spec_a, spec_b):
     finally:
         con.close()
     assert got == want, (spec_a, spec_b, got, want)
+
+
+# ---------------------------------------------------------------------------
+# HTML strip chain: Spark (Java regex) vs DuckDB (RE2) on random tag soup
+
+
+html_fragment = st.sampled_from(
+    [
+        "plain words",
+        "<p>", "</p>", "<P Class='x'>", "<div>", "</div>", "<br/>",
+        "<script>", "</script>", "<SCRIPT a=b>", "<style>", "</style>",
+        "<!-- c -->", "<!--", "-->", "<!DOCTYPE html>",
+        "<span>", "</span>", "<li>", "</li>", "<h2>", "</h2>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&copy;",
+        "a < b", "x > y", "<", ">", "< div>", "</ p>",
+        "  ", "\n", "\t", "var x=\"<p>hi</p>\";", "word",
+    ]
+)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(st.lists(html_fragment, max_size=12).map("".join), min_size=1, max_size=8))
+def test_html_strip_chain_matches_duckdb(spark, docs):
+    """html_text (Java regex) and html_text_sql (DuckDB RE2) must produce
+    byte-identical output on adversarial tag soup: unterminated comments
+    and scripts, uppercase tags, naked '<'/'>' in prose, entity borders —
+    the inputs where two regex engines would quietly drift apart."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import web
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, h string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", web.html_text(F.col("h")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        want = {
+            i: con.execute(
+                "SELECT " + web.html_text_sql("'" + d.replace("'", "''") + "'")
+            ).fetchone()[0]
+            for i, d in enumerate(docs)
+        }
+    finally:
+        con.close()
+    assert got == want, {i: (got[i], want[i]) for i in got if got[i] != want[i]}

@@ -818,3 +818,95 @@ def test_html_strip_chain_matches_duckdb(spark, docs):
     finally:
         con.close()
     assert got == want, {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs DuckDB's native ASOF JOIN
+
+
+asof_spec = st.tuples(
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),  # keyed (by=['k']) vs keyless (exercises the carry fill)
+    st.one_of(st.none(), st.integers(0, 5)),  # tolerance
+)
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+)
+# right side: unique (k, t) pairs so the nearest match is well-defined in
+# both engines (duplicate right timestamps make the winner arbitrary)
+asof_right = st.dictionaries(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)),
+    st.just(None),
+    max_size=12,
+).map(lambda d: sorted(d))
+
+
+@settings(**SETTINGS)
+@given(lrows=asof_left, rkeys=asof_right, specs=st.lists(asof_spec, min_size=1, max_size=3))
+def test_asof_join_matches_duckdb_asof(spark, lrows, rkeys, specs):
+    """operators.asof.asof_join vs DuckDB's native ASOF JOIN on the same
+    rows — an engine-independent oracle for the union+last-window
+    strategy: backward/forward directions, keyed and keyless (the
+    two-phase carry fill), equal-timestamp ties (inclusive), and the
+    inclusive tolerance cutoff (emulated in SQL as a post-filter on the
+    matched timestamp, which cannot promote a farther row)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.operators.asof import asof_join
+
+    ldata = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rdata = [(k, t, k * 1000 + t) for k, t in rkeys]
+    sl = spark.createDataFrame(ldata, "id int, k int, t int")
+    sr = spark.createDataFrame(rdata, "k int, t int, w int")
+    pl = pd.DataFrame(
+        {
+            "id": pd.array([d[0] for d in ldata], dtype="Int64"),
+            "k": pd.array([d[1] for d in ldata], dtype="Int64"),
+            "t": pd.array([d[2] for d in ldata], dtype="Int64"),
+        }
+    )
+    pr = pd.DataFrame(
+        {
+            "k": pd.array([d[0] for d in rdata], dtype="Int64"),
+            "t": pd.array([d[1] for d in rdata], dtype="Int64"),
+            "w": pd.array([d[2] for d in rdata], dtype="Int64"),
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("ldf", pl)
+        con.register("rdf", pr)
+        for direction, keyed, tol in specs:
+            out = asof_join(
+                sl,
+                sr,
+                on="t",
+                by=["k"] if keyed else (),
+                direction=direction,
+                tolerance=None if tol is None else F.lit(tol),
+            )
+            got = sorted(
+                (r["id"], r["w"]) for r in out.select("id", "w").collect()
+            )
+            cmp = "l.t >= r.t" if direction == "backward" else "l.t <= r.t"
+            onclause = (f"l.k = r.k AND {cmp}") if keyed else cmp
+            if tol is None:
+                wexpr = "r.w"
+            elif direction == "backward":
+                wexpr = f"CASE WHEN l.t - r.t <= {tol} THEN r.w END"
+            else:
+                wexpr = f"CASE WHEN r.t - l.t <= {tol} THEN r.w END"
+            want = sorted(
+                (i, w)
+                for i, w in con.execute(
+                    f"SELECT l.id, {wexpr} FROM ldf l ASOF LEFT JOIN rdf r ON {onclause}"
+                ).fetchall()
+            )
+            got = [(i, None if w is None else int(w)) for i, w in got]
+            want = [(i, None if w is None else int(w)) for i, w in want]
+            assert got == want, (direction, keyed, tol, got, want)
+    finally:
+        con.close()

@@ -14,7 +14,7 @@ spark = get_session(master="local[8]", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 tables = load_tables(
     spark, "/root/testdata/sf0.001",
-    ["lineitem", "orders", "customer", "nation", "region", "events"],
+    ["lineitem", "orders", "customer", "nation", "region", "events", "documents"],
 )
 li, orders, nation = tables["lineitem"], tables["orders"], tables["nation"]
 
@@ -102,6 +102,28 @@ check("scd2_join picks latest version", lambda: __import__(
 check("skew_report shapes", lambda: len(__import__(
     "graphique_spark.operators.skew", fromlist=["skew_report"]
 ).skew_report(tables["events"].df, ["event_type"], top=3).collect()))
+
+# probes: round-6 additions (web curation)
+check("url normalize + dedup", lambda: (
+    lambda web, F: tables["documents"].df.selectExpr(
+        "doc_id", "concat('https://', source, '.com/d/', doc_id % 7, '?utm_source=x') AS url"
+    ).transform(lambda d: web.url_dedup(d, "url", "doc_id")).count()
+)(__import__("graphique_spark.llm.web", fromlist=["url_dedup"]),
+  __import__("pyspark.sql.functions", fromlist=["F"])))
+check("domain blocklist drops suffix matches", lambda: (
+    lambda web: web.domain_blocklist_filter(
+        tables["documents"].df.selectExpr(
+            "doc_id", "concat('https://www.', source, '.com/x') AS url"
+        ),
+        "url", ["src1.com"],
+    ).count()
+)(__import__("graphique_spark.llm.web", fromlist=["domain_blocklist_filter"])))
+check("html_text strips tags", lambda: (
+    lambda web, F: tables["documents"].df.select(
+        web.html_text(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><script>x</script>"))).alias("t")
+    ).where(F.col("t").contains("<p>") | F.col("t").contains("script")).count()
+)(__import__("graphique_spark.llm.web", fromlist=["html_text"]),
+  __import__("pyspark.sql.functions", fromlist=["F"])))
 
 failures = [c for c in checks if c[1] == "FAIL"]
 print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")

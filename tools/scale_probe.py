@@ -345,9 +345,22 @@ def main() -> None:
         )
         return web.url_dedup(blocked, "url", "doc_id")
 
+    def html_extract(mult):
+        from graphique_spark.llm import web
+
+        docs = multiplied(spark, "documents", mult)
+        html = F.concat(
+            F.lit("<html><head><title>t</title><style>p{x}</style>"
+                  "<script>var a=1;</script></head><body><nav>n</nav><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        return docs.select(F.length(web.html_text(html)).alias("L"))
+
     probes = {
         "q1": q1,
         "url_pipeline": url_pipeline,
+        "html_extract": html_extract,
         "basket": basket,
         "containment": containment,
         "inverted_index": inverted,

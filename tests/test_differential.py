@@ -922,3 +922,83 @@ def test_asof_join_matches_duckdb_asof(spark, lrows, rkeys, specs):
                 assert got_rng == want, ("range", direction, tol, got_rng, want)
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# runs (adjacency grouping) vs DuckDB gaps-and-islands
+
+
+runs_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),  # group value (nullable)
+        st.integers(-3, 3),  # payload
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=runs_rows, use_split=st.booleans())
+def test_runs_matches_duckdb_gaps_and_islands(spark, rows, use_split):
+    """Dataset.runs (two-phase change-point detection: partition-local lag
+    + driver boundary stitch) vs the classic single-window DuckDB
+    gaps-and-islands rendering: null-safe adjacency (NULL==NULL continues
+    a run), run order, per-run count/sum aggregates, and the extra
+    ``split`` predicate that forces a break mid-run."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.dataset import Dataset
+    from graphique_spark.inputs import Agg
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "id int, g int, v int")
+    split = (F.col("v") < 0) if use_split else None
+    out = Dataset(sdf).runs(
+        by=["g"], order_by=["id"],
+        aggregate=[Agg("sum", "v", alias="sv")], counts="n", split=split,
+    )
+    got = [
+        (r["g"], None if r["sv"] is None else int(r["sv"]), int(r["n"]))
+        for r in out.df.collect()
+    ]
+
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array([d[0] for d in data], dtype="Int64"),
+            "g": pd.array([d[1] for d in data], dtype="Int64"),
+            "v": pd.array([d[2] for d in data], dtype="Int64"),
+        }
+    )
+    split_sql = " OR (v < 0)" if use_split else ""
+    sql = f"""
+    WITH c AS (
+      SELECT id, g, v,
+             CASE WHEN (g IS DISTINCT FROM lag(g) OVER (ORDER BY id))
+                       {split_sql}
+                  THEN 1 ELSE 0 END AS chg
+      FROM pdf
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS run
+      FROM c
+    )
+    SELECT any_value(g) AS g, sum(v) AS sv, count(*) AS n
+    FROM r GROUP BY run ORDER BY run
+    """
+    con = duckdb.connect()
+    try:
+        con.register("pdf", pdf)
+        want = [
+            (
+                None if g is None else int(g),
+                None if sv is None else int(sv),
+                int(n),
+            )
+            for g, sv, n in con.execute(sql).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got == want, (use_split, got, want)

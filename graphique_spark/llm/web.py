@@ -220,6 +220,11 @@ HTML_STRIP_CHAIN = (
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
     (r"(?is)<noscript\b[^>]*>.*?</noscript>", " "),
     (r"(?s)<!--.*?-->", " "),
+    # truncated pages (the crawl norm, not the exception): an UNTERMINATED
+    # script/style/comment would otherwise lose only its opening tag to
+    # the generic rule and leak raw JS/CSS into the "visible text"
+    (r"(?is)<(?:script|style|noscript)\b[^>]*>.*$", " "),
+    (r"(?s)<!--.*$", " "),
     (
         r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|nav"
         r"|header|footer|title|blockquote|pre)\b[^>]*>",
@@ -228,13 +233,16 @@ HTML_STRIP_CHAIN = (
     # a real tag starts with a letter (optionally /-closed) or '!'
     # (doctype): a naked '< ' in prose ("a < b and b > a") is NOT a tag
     (r"</?[a-zA-Z][^>]*>|<![^>]*>", " "),
+    # entities: &amp; decodes LAST so double-escaped text ("&amp;lt;",
+    # an author showing '&lt;' literally) yields "&lt;", not "<"
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;", "'"),
-    (r"[ \t]+", " "),
+    (r"&amp;", "&"),
+    # \r folds into the space run (CRLF is the norm in crawled HTML)
+    (r"[ \t\r]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n+", "\n"),
 )

@@ -859,8 +859,12 @@ def test_asof_join_matches_duckdb_asof(spark, lrows, rkeys, specs):
 
     ldata = [(i, k, t) for i, (k, t) in enumerate(lrows)]
     rdata = [(k, t, k * 1000 + t) for k, t in rkeys]
+    # keyless joins match on t alone: dedup right timestamps ACROSS keys
+    # too, else the winner among equal-t rows is arbitrary in both engines
+    rdata_u = list({t: row for row in rdata for t in [row[1]]}.values())
     sl = spark.createDataFrame(ldata, "id int, k int, t int")
     sr = spark.createDataFrame(rdata, "k int, t int, w int")
+    sru = spark.createDataFrame(rdata_u, "k int, t int, w int")
     pl = pd.DataFrame(
         {
             "id": pd.array([d[0] for d in ldata], dtype="Int64"),
@@ -875,14 +879,22 @@ def test_asof_join_matches_duckdb_asof(spark, lrows, rkeys, specs):
             "w": pd.array([d[2] for d in rdata], dtype="Int64"),
         }
     )
+    pru = pd.DataFrame(
+        {
+            "k": pd.array([d[0] for d in rdata_u], dtype="Int64"),
+            "t": pd.array([d[1] for d in rdata_u], dtype="Int64"),
+            "w": pd.array([d[2] for d in rdata_u], dtype="Int64"),
+        }
+    )
     con = duckdb.connect()
     try:
         con.register("ldf", pl)
         con.register("rdf", pr)
+        con.register("rdfu", pru)
         for direction, keyed, tol in specs:
             out = asof_join(
                 sl,
-                sr,
+                sr if keyed else sru,
                 on="t",
                 by=["k"] if keyed else (),
                 direction=direction,
@@ -902,7 +914,8 @@ def test_asof_join_matches_duckdb_asof(spark, lrows, rkeys, specs):
             want = sorted(
                 (i, w)
                 for i, w in con.execute(
-                    f"SELECT l.id, {wexpr} FROM ldf l ASOF LEFT JOIN rdf r ON {onclause}"
+                    f"SELECT l.id, {wexpr} FROM ldf l ASOF LEFT JOIN "
+                    f"{'rdf' if keyed else 'rdfu'} r ON {onclause}"
                 ).fetchall()
             )
             got = [(i, None if w is None else int(w)) for i, w in got]

@@ -207,3 +207,21 @@ def test_html_text_sql_renders_identically(spark):
     finally:
         con.close()
     assert got == want
+
+
+def test_html_text_double_escaped_entities(spark):
+    # '&amp;lt;' is an author DISPLAYING '&lt;' — decoding &amp; last
+    # yields the visible '&lt;', never a second decode to '<'
+    assert _one(spark, "a &amp;lt; b", web.html_text) == "a &lt; b"
+    assert _one(spark, "x &amp;nbsp; y", web.html_text) == "x &nbsp; y"
+    assert _one(spark, "q &amp; r", web.html_text) == "q & r"
+
+
+def test_html_text_crlf_and_truncated_blocks(spark):
+    # CRLF input: \r never reaches the output
+    got = _one(spark, "line1<p>a</p>\r\nnext", web.html_text)
+    assert "\r" not in got and got == "line1\na\nnext"
+    # page truncated mid-script/mid-comment: contents must NOT leak
+    assert _one(spark, "before<script>var x=1; evil();", web.html_text) == "before"
+    assert _one(spark, "seen<style>p{display:none}", web.html_text) == "seen"
+    assert _one(spark, "kept<!-- cut off", web.html_text) == "kept"

@@ -104,26 +104,59 @@ check("skew_report shapes", lambda: len(__import__(
 ).skew_report(tables["events"].df, ["event_type"], top=3).collect()))
 
 # probes: round-6 additions (web curation)
-check("url normalize + dedup", lambda: (
-    lambda web, F: tables["documents"].df.selectExpr(
+def _web_url_dedup():
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm.web import normalize_url, url_dedup
+
+    urls = tables["documents"].df.selectExpr(
         "doc_id", "concat('https://', source, '.com/d/', doc_id % 7, '?utm_source=x') AS url"
-    ).transform(lambda d: web.url_dedup(d, "url", "doc_id")).count()
-)(__import__("graphique_spark.llm.web", fromlist=["url_dedup"]),
-  __import__("pyspark.sql.functions", fromlist=["F"])))
-check("domain blocklist drops suffix matches", lambda: (
-    lambda web: web.domain_blocklist_filter(
-        tables["documents"].df.selectExpr(
-            "doc_id", "concat('https://www.', source, '.com/x') AS url"
-        ),
-        "url", ["src1.com"],
-    ).count()
-)(__import__("graphique_spark.llm.web", fromlist=["domain_blocklist_filter"])))
-check("html_text strips tags", lambda: (
-    lambda web, F: tables["documents"].df.select(
-        web.html_text(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><script>x</script>"))).alias("t")
+    )
+    kept = url_dedup(urls, "url", "doc_id").count()
+    want = urls.select(normalize_url(F.col("url"))).distinct().count()
+    if kept != want:
+        raise AssertionError(f"kept {kept}, distinct normalized {want}")
+    return kept
+
+
+def _web_blocklist():
+    from graphique_spark.llm.web import domain_blocklist_filter, url_host
+
+    urls = tables["documents"].df.selectExpr(
+        "doc_id", "concat('https://www.', source, '.com/x') AS url"
+    )
+    total = urls.count()
+    kept = domain_blocklist_filter(urls, "url", ["src1.com"])
+    n_kept = kept.count()
+    if not 0 < n_kept < total:
+        raise AssertionError(f"kept {n_kept} of {total}: nothing blocked or everything")
+    from pyspark.sql import functions as F
+
+    leaked = kept.where(url_host(F.col("url")).endswith("src1.com")).count()
+    if leaked:
+        raise AssertionError(f"{leaked} blocked-domain rows survived")
+    return f"blocked {total - n_kept}/{total}"
+
+
+def _web_html_strip():
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm.web import html_text
+
+    leaked = tables["documents"].df.select(
+        html_text(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><script>x</script>"))
+        ).alias("t")
     ).where(F.col("t").contains("<p>") | F.col("t").contains("script")).count()
-)(__import__("graphique_spark.llm.web", fromlist=["html_text"]),
-  __import__("pyspark.sql.functions", fromlist=["F"])))
+    if leaked:
+        raise AssertionError(f"{leaked} rows still contain tag/script residue")
+    return 0
+
+
+check("url normalize + dedup == distinct normalized", _web_url_dedup)
+check("domain blocklist drops suffix matches (and only those)", _web_blocklist)
+check("html_text strips tags", _web_html_strip)
+
 
 failures = [c for c in checks if c[1] == "FAIL"]
 print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")

@@ -1068,3 +1068,22 @@ def dsir_log_weights(
             F.sum("__lr").alias("log_weight"),
         )
     )
+
+
+def badword_fraction(col: Column, words: list[str]) -> Column:
+    """Fraction of tokens that hit a configured word list (C4-style
+    blockword gating; the list is policy-owned config, not data). Word-
+    boundary regexp count over the lowered text divided by the token
+    count — map-only, one codegen stage; NULL (not a divide error) for
+    empty text. The list compiles into one alternation pattern, so cost
+    is independent of list length up to regex-size limits (config-sized
+    lists; a corpus-sized list would use the broadcast-join shape of
+    decontaminate instead). Words are regex-escaped — a list entry like
+    "a.b" matches literally, not as a pattern."""
+    import re
+
+    if not words:
+        return F.lit(0.0)
+    pattern = r"\b(" + "|".join(re.escape(w.lower()) for w in words) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+    return F.try_divide(hits, token_count(col))

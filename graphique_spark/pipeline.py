@@ -216,6 +216,20 @@ def _step_html_extract(spark, df, p, text, id_col):
     return df.withColumn(text, html_text(F.col(src))), {"html": src}
 
 
+def _step_badwords_filter(spark, df, p, text, id_col):
+    """Drop docs whose blockword token fraction exceeds ``max_fraction``
+    (``words`` is the policy list; docs with no tokens pass)."""
+    from graphique_spark.llm.text import badword_fraction
+
+    words = list(p["words"])
+    max_fraction = float(p.get("max_fraction", 0.0))
+    frac = badword_fraction(F.col(text), words)
+    return df.where(frac.isNull() | (frac <= max_fraction)), {
+        "n_words": len(words),
+        "max_fraction": max_fraction,
+    }
+
+
 def _step_url_blocklist(spark, df, p, text, id_col):
     """Drop rows whose URL host is a blocked domain or subdomain of one.
     ``url`` names the URL column; ``blocked`` is the domain list (or a
@@ -246,6 +260,7 @@ def _step_url_dedup(spark, df, p, text, id_col):
 
 STEPS = {
     "quality_filter": _step_quality_filter,
+    "badwords_filter": _step_badwords_filter,
     "gopher_repetition": _step_gopher_repetition,
     "pii_redact": _step_pii_redact,
     "exact_dedup": _step_exact_dedup,

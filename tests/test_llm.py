@@ -1479,3 +1479,30 @@ def test_mixture_sample_subnormal_weight_keeps_zero_weight_excluded(spark):
     )
     out = mixture_sample(df, {"a": 0.0, "b": 2.2e-309, "c": 1.0})
     assert {r["source"] for r in out.collect()} == {"b"}
+
+
+def test_badwords_filter_step(spark):
+    from graphique_spark.llm.text import badword_fraction
+    from graphique_spark.pipeline import run_pipeline
+
+    rows = [
+        (1, "perfectly normal prose about engines and data"),
+        (2, "spamword everywhere spamword spamword spamword yes"),
+        (3, "one spamword inside a long enough otherwise clean document here"),
+        (4, ""),  # token-less: passes (no evidence)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    config = {
+        "steps": [
+            {"op": "badwords_filter", "words": ["spamword", "a.b"],
+             "max_fraction": 0.2},
+        ],
+    }
+    curated, audit = run_pipeline(spark, df, config)
+    assert sorted(r["doc_id"] for r in curated.collect()) == [1, 3, 4]
+    assert audit[0]["dropped"] == 1 and audit[0]["n_words"] == 2
+    # regex metachars in the list match literally: "a.b" must not match "axb"
+    frac = df.sparkSession.createDataFrame(
+        [("axb axb",), ("a.b here",)], "t string"
+    ).select(badword_fraction(__import__("pyspark.sql.functions", fromlist=["F"]).col("t"), ["a.b"]).alias("f")).collect()
+    assert frac[0]["f"] == 0.0 and frac[1]["f"] > 0

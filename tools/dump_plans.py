@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: query -> the plan property a reviewer should find in it
 HIGHLIGHTS = {
-    "html_extract_text": "whole extractor is one map-only Project (15-step regexp chain in a single codegen stage), then partial agg before the lone exchange",
+    "html_extract_text": "whole extractor is one map-only Project (fixed regexp chain in a single codegen stage), then partial agg before the lone exchange",
     "url_domain_blocklist": "blocklist is a literal array: map-only arrays_overlap filter inside codegen, single rollup exchange, zero joins",
     "url_normalize_dedup": "one HashAggregate exchange on the normalized URL + broadcast semi-join on survivor ids; normalization is all map-side HOFs",
     "dsir_importance": "broadcast log-ratio join (fixed bucket table); one explode + one per-doc HashAggregate; TakeOrderedAndProject for the top-25",

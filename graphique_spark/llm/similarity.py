@@ -36,8 +36,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    # try_divide: a zero-norm vector (failed encode / padding row) yields
+    # NULL instead of an ANSI DIVIDE_BY_ZERO job failure; NULLs sort last
+    # under the desc top-k orderings every caller uses
     a, b = _as_double(a), _as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -173,18 +176,23 @@ def ivf_topk(
         num = sum(float(x) * float(y) for x, y in zip(a, b))
         na = sum(float(x) * float(x) for x in a) ** 0.5
         nb = sum(float(y) * float(y) for y in b) ** 0.5
-        return num / (na * nb)
+        # zero-norm vector (failed encode / padding row sampled as a
+        # centroid, or a zero query): orthogonal, not a ZeroDivisionError
+        return num / (na * nb) if na and nb else 0.0
 
     ranked = sorted(centroids, key=lambda c: (-_py_cos(c[1], query), c[0]))
     probe = [cid for cid, _ in ranked[:nprobe]]
     # assignment as a pure map-side expression over centroid literals: no
-    # cross join, no groupBy shuffle of the embeddings
+    # cross join, no groupBy shuffle of the embeddings. cid is NEGATED in
+    # the struct so F.greatest resolves equal-similarity ties to the
+    # SMALLEST cid — the same preference the driver ranking above uses
+    # (duplicate centroids otherwise assign a cell the probe never picks)
     cells = []
     for cid, cvec in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
         sim = cosine_similarity(F.col(vec_col), cv)
-        cells.append(F.struct(sim.alias("s"), F.lit(cid).alias("c")))
-    cell = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
+        cells.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
+    cell = -(F.greatest(*cells) if len(cells) > 1 else cells[0])["nc"]
     q = F.array(*[F.lit(float(v)) for v in query])
     qsim = cosine_similarity(F.col(vec_col), q)
     return (
@@ -334,9 +342,9 @@ def _bucketed_pairs(
 
         n = df.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
-    first = df.select(vec_col).first()
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None:
-        # empty corpus: no dimension to project; typed empty pair frame
+        # empty corpus (or all-NULL vectors): typed empty pair frame
         return df.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
@@ -385,8 +393,11 @@ def hard_negatives(
     return pairs.filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
 
 
-def _dim(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
+def _dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension from the first row; None when the frame is empty
+    or the first vector is NULL (callers decide: typed empty vs error)."""
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    return None if first is None else len(first[0])
 
 
 def _py_bucket(vec: Sequence[float], planes: list[list[float]]) -> int:
@@ -419,7 +430,6 @@ def write_lsh_index(
     df: DataFrame,
     path: str,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     num_planes: int = 4,
 ) -> list[list[float]]:
     """Materialize the LSH index the :func:`lsh_ann_topk` docstring promises:
@@ -428,7 +438,10 @@ def write_lsh_index(
     touches non-probed directories) instead of recomputing every signature
     per query. Returns the hyperplanes (deterministic, so callers can also
     re-derive them from ``num_planes`` + dim)."""
-    planes = [_hyperplane(p, _dim(df, vec_col)) for p in range(num_planes)]
+    dim = _dim(df, vec_col)
+    if dim is None:
+        raise ValueError("cannot index an empty corpus (no vector to size hyperplanes)")
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
     out = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     out.write.partitionBy("bucket").mode("overwrite").parquet(path)
     return planes
@@ -480,6 +493,12 @@ def knn_join_lsh(
     Returns (query_id, vec_id, cosine) with rank <= k per query.
     """
     dim = _dim(corpus, vec_col)
+    if dim is None:  # empty corpus (or all-NULL vectors): typed empty
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("vec_id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     masks = _probe_masks(num_planes, probe_radius)
@@ -529,9 +548,9 @@ def lsh_ann_topk(
     dim = len(query)
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     q = F.array(*[F.lit(float(v)) for v in query])
-    query_bucket = (
-        df.sparkSession.range(1).select(lsh_bucket(q, planes).alias("b")).first()["b"]
-    )
+    # _py_bucket matches Spark's aggregate HOF bit-for-bit (already relied
+    # on by lsh_ann_topk_indexed's partition probing) — no Spark job needed
+    query_bucket = _py_bucket(query, planes)
     # O(planes^radius) probe set via XOR masks — enumerating all
     # 2^planes buckets is driver-side exponential work at realistic
     # plane counts (24 planes = a 16M-iteration loop for planes+1 hits)
@@ -567,6 +586,11 @@ def assign_clusters(
     corpus diversity control without training a model."""
     if centroids is None:
         centroids = _hash_sampled_centroids(df, num_clusters, vec_col, id_col)
+    if not centroids:
+        # empty corpus samples zero centroids: typed empty result
+        return df.withColumn("cluster", F.lit(0)).withColumn(
+            "cos_to_centroid", F.lit(0.0)
+        ).limit(0)
     cands = []
     for cid, cvec in centroids:
         lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
@@ -589,8 +613,6 @@ def cluster_balanced_sample(
     deterministically by id hash — the diversity-preserving subset
     selection pattern (uniform sampling over-represents dense regions).
     Per-group top-k via window rank over the (bounded) cluster key."""
-    from pyspark.sql import Window
-
     assigned = assign_clusters(df, num_clusters, vec_col, id_col)
     w = Window.partitionBy("cluster").orderBy(hash60(F.col(id_col)), F.col(id_col))
     return (

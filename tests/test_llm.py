@@ -1506,3 +1506,44 @@ def test_badwords_filter_step(spark):
         [("axb axb",), ("a.b here",)], "t string"
     ).select(badword_fraction(__import__("pyspark.sql.functions", fromlist=["F"]).col("t"), ["a.b"]).alias("f")).collect()
     assert frac[0]["f"] == 0.0 and frac[1]["f"] > 0
+
+
+def test_similarity_degenerate_inputs(spark):
+    # empty corpus / zero vectors / NULL vectors: typed results or clear
+    # errors, never ZeroDivisionError / IndexError / TypeError
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.ivf_topk(empty, [1.0, 0.0], num_centroids=4, k=3).count() == 0
+    assert similarity.assign_clusters(empty).count() == 0
+    assert similarity.cluster_balanced_sample(empty, per_cluster=2).count() == 0
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = similarity.knn_join_lsh(empty, queries, k=2)
+    assert out.count() == 0 and out.columns == ["query_id", "vec_id", "cosine"]
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity.write_lsh_index(empty, "/tmp/never-written")
+    # zero-norm vector sampled as centroid: no driver crash
+    rows = [(i, [0.0, 0.0] if i == 0 else [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.ivf_topk(df, [1.0, 0.5], num_centroids=6, nprobe=6, k=3)
+    assert got.count() == 3
+    # NULL first vector: pair blocking skips it instead of TypeError
+    withnull = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.01])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.embedding_near_dups(withnull, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_ivf_topk_duplicate_centroid_tiebreak(spark):
+    # two identical vectors sampled as centroids: assignment must pick the
+    # same (smallest-cid) cell the probe ranking prefers, or nprobe=1
+    # silently loses the region
+    rows = [(i, [1.0, 0.0]) for i in range(4)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(3, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [0.0, 1.0])]
+    got = similarity.ivf_topk(df, [1.0, 0.0], centroids=cents, nprobe=1, k=4)
+    assert got.count() == 4  # the duplicate-centroid region is NOT dropped

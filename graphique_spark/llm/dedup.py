@@ -81,23 +81,27 @@ def _affine(i: int) -> tuple[int, int]:
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-grams as an array (in-row, no explode)."""
+    """Distinct character k-grams as an array (in-row, no explode).
+    NULL text yields NULL (not ``[NULL]``: length(NULL) feeds greatest/
+    sequence as 1, which would fabricate a one-NULL-shingle array)."""
     n = F.length(col) - (k - 1)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda i: col.substr(i, F.lit(k)))
     )
+    return F.when(col.isNotNull(), grams)
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) as an array."""
     words = F.split(F.trim(col), r"\s+")
     count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), count - 1),
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         )
     )
+    return F.when(col.isNotNull(), grams)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
@@ -143,7 +147,12 @@ def _signatures(
     prunes columns — re-shingling each doc ``num_hashes`` times. The
     column boundary here keeps ``hs`` computed exactly once per row
     (plan-asserted in tests)."""
-    df = ensure_parallelism(df)
+    # NULL text (failed extraction) carries no shingle evidence; keeping
+    # such rows gives them all-NULL minhashes, which collide into the SAME
+    # band key in every band (concat_ws drops NULLs) and then verify as
+    # jaccard 1.0 (NULL-set intersect/union) — m NULL docs = m^2/2 false
+    # perfect pairs. They take no part in near-dup detection.
+    df = ensure_parallelism(df.where(F.col(text).isNotNull()))
     hashed = F.array_distinct(
         F.transform(char_shingles(F.col(text), k), lambda s: hash60(s))
     )
@@ -231,7 +240,11 @@ def incremental_minhash_dedup(
     works but re-derives its band keys from text through Catalyst's
     projection collapse.
     """
-    new_sigs = _signatures(new_docs, text, id_col, k, num_hashes)
+    # materialized: consumed by the band explode AND the verify join —
+    # without the cut each consumer re-shingles the whole new batch
+    new_sigs = materializer(new_docs)(
+        _signatures(new_docs, text, id_col, k, num_hashes)
+    )
     nb = new_sigs.select(
         F.col("id").alias("new_id"),
         F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key"),
@@ -252,14 +265,18 @@ def incremental_minhash_dedup(
         .select("new_id", "index_id")
         .distinct()
     )
-    cand_n = cands.join(
+    # verify-join shape: BOTH broadcasts are bounded — the slim id pairs
+    # and the per-doc new signatures. Broadcasting the pair-expanded
+    # (candidate x hs_n) frame instead would fan each new doc's shingle
+    # array out once per colliding index doc, an unbounded build side
+    # that OOMs when hot keys make the pair count large. The index scan
+    # stays map-side for both joins — zero shuffles of index data.
+    cand_i = index.select(F.col("id").alias("index_id"), F.col("hs").alias("hs_i")).join(
+        F.broadcast(cands), on="index_id"
+    )
+    pairs = cand_i.join(
         F.broadcast(new_sigs.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n"))),
         on="new_id",
-    )
-    # broadcast the (candidate, new-hash-set) side: the index scan stays
-    # map-side for the verify join too — zero shuffles of index data
-    pairs = index.select(F.col("id").alias("index_id"), F.col("hs").alias("hs_i")).join(
-        F.broadcast(cand_n), on="index_id"
     )
     inter = F.size(F.array_intersect("hs_n", "hs_i")).cast("double")
     union = F.size(F.array_union("hs_n", "hs_i")).cast("double")
@@ -298,7 +315,10 @@ def minhash_candidates(
     are dropped via a broadcast anti-join against the (tiny) hot-key set —
     boilerplate that common isn't a useful near-dup signal anyway.
     """
-    sigs = _signatures(df, text, id_col, k, num_hashes)
+    # materialized: sigs feeds the band explode AND both verify-join
+    # sides — without the cut Catalyst re-derives the shingle hashing
+    # (the dominant cost) once per consumer
+    sigs = materializer(df)(_signatures(df, text, id_col, k, num_hashes))
     banded = sigs.select(
         "id", F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key")
     )
@@ -335,9 +355,7 @@ def simhash_fingerprint(shingles: Column, bits: int = 16) -> Column:
     """SimHash over a shingle array: per bit, sum +1/-1 by that bit of each
     shingle's hash; the sign pattern forms the fingerprint. Pure
     higher-order-function arithmetic (no explode, no UDF)."""
-    hashed = F.transform(
-        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    )
+    hashed = F.transform(shingles, lambda s: hash60(s))
     def bit_vote(mask: int) -> Column:
         # closure keeps the lambda at exactly two params (acc, h) — pyspark
         # dispatches higher-order lambdas on arity
@@ -352,7 +370,9 @@ def simhash_fingerprint(shingles: Column, bits: int = 16) -> Column:
         fingerprint = fingerprint + F.when(bit_vote(1 << b) >= 0, F.lit(1 << b)).otherwise(
             F.lit(0)
         )
-    return fingerprint
+    # NULL shingles (NULL text) -> NULL, matching simhash_table, which has
+    # no row for such docs (explode of NULL emits nothing) — not a bogus 0
+    return F.when(shingles.isNotNull(), fingerprint)
 
 
 def simhash_table(
@@ -362,6 +382,8 @@ def simhash_table(
     ONCE, then ``bits`` conditional sums folded map-side (partial agg) — one
     shuffle of (id, 16 ints). Same fingerprint as ``simhash_fingerprint``
     but linear in shingles instead of bits×shingles hash evaluations."""
+    # NULL text drops out (explode of the NULL shingle array emits no
+    # rows), matching simhash_fingerprint's NULL result for the same doc
     df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias(id_col), F.explode(char_shingles(F.col(text), k)).alias("s")
@@ -388,7 +410,9 @@ def exact_duplicates(
     from graphique_spark.llm.text import doc_fingerprint
 
     key = doc_fingerprint(F.col(text)) if normalized else F.md5(F.col(text))
-    df = ensure_parallelism(df)
+    # md5(NULL)=NULL and groupBy treats NULL keys as equal: two unrelated
+    # extraction-failure docs would form a bogus "duplicate" group
+    df = ensure_parallelism(df.where(F.col(text).isNotNull()))
     return (
         df.select(key.alias("content_hash"), F.col(id_col).alias("id"))
         .groupBy("content_hash")
@@ -425,11 +449,16 @@ def ngram_jaccard_pairs(
     if block_by is None:
         return _prefix_jaccard(df, text, id_col, n, min_jaccard, checkpoint_dir)
     block = block_by
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        block.alias("block"),
-        F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60)).alias("ng"),
-    ).withColumn("sz", F.size("ng").cast("double"))
+    # materialized (honoring checkpoint_dir like the prefix path): docs
+    # feeds both join sides — without the cut the tokenize+hash of every
+    # doc runs twice
+    docs = materializer(df, checkpoint_dir)(
+        df.select(
+            F.col(id_col).alias("id"),
+            block.alias("block"),
+            F.array_distinct(F.transform(word_ngrams(F.col(text), n), hash60)).alias("ng"),
+        ).withColumn("sz", F.size("ng").cast("double"))
+    )
     left = docs.select("block", F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), F.col("sz").alias("sz_a"))
     right = docs.select("block", F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
@@ -533,6 +562,8 @@ def connected_components(
     executor-local blocks to reliable storage — required for fault
     tolerance on a real cluster; local mode defaults to localCheckpoint.
     """
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"method must be auto|label|star, got {method!r}")
     materialize = materializer(pairs, checkpoint_dir)
     edges = materialize(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -646,6 +677,7 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
     if not vertices.limit(1).count():
         return vertices.withColumn("component", F.col("v"))
     edge_count = edges.count()
+    converged = False
     for _ in range(max_iterations):
         # large-star: connect every big neighbor to the neighborhood min
         mins = edges.groupBy("a").agg(
@@ -687,7 +719,15 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
             progress = 1
         edges, edge_count = new_edges, new_count
         if not progress:
+            converged = True
             break
+    if not converged:
+        # computing roots from a partially-contracted edge set would
+        # SILENTLY split real components (the label path raises for the
+        # identical condition) — fail loudly instead
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} rounds"
+        )
     roots = (
         edges.filter(F.col("a") > F.col("b"))
         .groupBy(F.col("a").alias("v"))

@@ -1547,3 +1547,36 @@ def test_ivf_topk_duplicate_centroid_tiebreak(spark):
     cents = [(3, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [0.0, 1.0])]
     got = similarity.ivf_topk(df, [1.0, 0.0], centroids=cents, nprobe=1, k=4)
     assert got.count() == 4  # the duplicate-centroid region is NOT dropped
+
+
+def test_dedup_null_text_never_pairs(spark):
+    # NULL text (failed extraction) must not dedup: previously all-NULL
+    # minhashes collided into one band key per band and verified at
+    # jaccard 1.0 (m^2/2 false "perfect" pairs); md5(NULL) also grouped
+    # unrelated docs as exact duplicates
+    rows = [(1, None), (2, None), (3, "unrelated text about spark"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_candidates(df, num_hashes=8, bands=4).count() == 0
+    assert dedup.exact_duplicates(df).count() == 0
+    assert dedup.ngram_jaccard_pairs(df, block_by=F.lit(1), min_jaccard=0.5).count() == 0
+    assert dedup.ngram_jaccard_pairs(df, min_jaccard=0.5).count() == 0
+    # simhash surfaces agree: table has no row, fingerprint is NULL
+    assert dedup.simhash_table(df).count() == 1  # only doc 3
+    fp = df.select(
+        dedup.simhash_fingerprint(dedup.char_shingles(F.col("text"))).alias("f")
+    ).collect()
+    assert [r["f"] for r in fp[:2]] == [None, None]
+    with pytest.raises(ValueError, match="auto|label|star"):
+        dedup.connected_components(
+            spark.createDataFrame([(1, 2)], "id_a long, id_b long"), method="stars"
+        )
+
+
+def test_star_components_nonconvergence_raises(spark):
+    # exhausting max_iterations must raise, not silently emit split
+    # components from a partially-contracted edge set
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, method="star", max_iterations=1)

@@ -40,11 +40,11 @@ def language_id(col: Column, fallback: str = "und") -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace tokenization; empty text counts 0."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    """Whitespace tokenization; empty text counts 0, NULL counts NULL.
+    Empty strings from leading/trailing whitespace are filtered — Spark's
+    trim strips only spaces, so 'hello world\n' used to count 3."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    return F.when(col.isNotNull(), F.size(toks))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -114,10 +114,12 @@ def chunk_text(col: Column, size: int = 64, overlap: int = 16) -> Column:
     n_chunks = F.greatest(
         F.ceil((F.size(words) - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
     )
-    return F.transform(
+    chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(words, i * step + 1, size), " "),
     )
+    # NULL text -> NULL, not a phantom [NULL] chunk row after explode
+    return F.when(col.isNotNull(), chunks)
 
 
 def _all_word_ngrams(col: Column, n: int) -> Column:
@@ -125,10 +127,12 @@ def _all_word_ngrams(col: Column, n: int) -> Column:
     multiset the repetition metrics count over."""
     words = F.split(F.trim(col), r"\s+")
     count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), count - 1),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
+    # NULL text -> NULL, not a fabricated [NULL] gram (greatest(NULL,1)=1)
+    return F.when(col.isNotNull(), grams)
 
 
 def dup_line_fraction(col: Column) -> Column:
@@ -136,8 +140,10 @@ def dup_line_fraction(col: Column) -> Column:
     the Gopher/MassiveText duplicate-line repetition signal (Rae et al.
     2021, app. A1.1). Boilerplate-heavy pages (nav bars, cookie banners)
     score high. Pure in-row HOF arithmetic: no explode, no shuffle."""
+    # \r?\n split: a CRLF blank line would otherwise survive the space-
+    # only trim as "\r" and count as a duplicate non-empty line
     lines = F.filter(
-        F.transform(F.split(col, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(col, r"\r?\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
     total = F.size(lines).cast("double")
     dup = total - F.size(F.array_distinct(lines))
@@ -216,8 +222,11 @@ def kept_lines(col: Column, min_words: int = 3) -> Column:
     terminal punctuation (. ! ? or a closing quote). Returns the kept-line
     array (in-row HOFs; join back with array_join). Nav bars, cookie
     banners, and menu fragments fail both tests."""
+    # split on \r?\n: Spark trim strips only spaces, so CRLF text would
+    # keep a trailing \r on every line and fail the terminal-punctuation
+    # test — silently deleting the whole document
     lines = F.filter(
-        F.transform(F.split(col, "\n"), F.trim), lambda x: F.length(x) > 0
+        F.transform(F.split(col, r"\r?\n"), F.trim), lambda x: F.length(x) > 0
     )
     def keep(line: Column) -> Column:
         words = F.size(F.split(line, r"\s+"))
@@ -313,11 +322,15 @@ def mixture_sample(df, weights: dict[str, float], by: str = "source", id_col: st
     # is subnormal (1/2.2e-309 > DBL_MAX), and 0.0 * inf is nan — which
     # min(1.0, nan) silently passes through as 1.0, un-excluding the
     # zero-weight source. Threshold 0 is the only correct value there.
+    # round-half-up: the counts/share -> share*n_total/counts float round
+    # trip can land a hair under 1.0, and plain truncation would give the
+    # BINDING source threshold 999_999 (dropping ~1 row per million the
+    # docstring promises to keep)
     thresholds = {
         s: (
             0
             if shares[s] <= 0
-            else int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000)
+            else int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000 + 0.5)
         )
         for s in counts
     }
@@ -535,7 +548,11 @@ def weighted_sample(df, k: int, weight, id_col: str = "doc_id"):
     from graphique_spark.operators.topk import top_k
 
     u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
-    keyed = df.withColumn("__ws_key", F.pow(u, 1.0 / weight))
+    # A-Res gives weight<=0 inclusion probability 0: exclude those rows up
+    # front (1/0 is an ANSI DIVIDE_BY_ZERO job failure, and a NULL key
+    # would still win a seat when k exceeds the positive-weight rows)
+    eligible = df.where(F.coalesce(weight > 0, F.lit(False)))
+    keyed = eligible.withColumn("__ws_key", F.pow(u, 1.0 / weight))
     return top_k(keyed, ["-__ws_key"], k, ()).drop("__ws_key")
 
 
@@ -830,8 +847,12 @@ def token_budget_rates(
             F.sum("__t").cast("bigint").alias("n_tokens"),
         )
     )
-    raw = F.lit(float(budget_tokens)) * wcol / F.col("n_tokens")
-    rate = F.least(raw, F.lit(float(max_epochs)))
+    # try_divide: a source whose docs are all empty has n_tokens=0 — rate
+    # NULL (capped below), not an ANSI DIVIDE_BY_ZERO job failure
+    raw = F.try_divide(F.lit(float(budget_tokens)) * wcol, F.col("n_tokens"))
+    # when-guard: F.least SKIPS nulls, so a NULL raw rate would silently
+    # become the max_epochs cap instead of dropping with the where below
+    rate = F.when(raw.isNotNull(), F.least(raw, F.lit(float(max_epochs))))
     return per.select(
         by,
         "n_docs",
@@ -1000,7 +1021,12 @@ def balanced_shards(df, n_shards: int, weight, id_col: str = "doc_id"):
         .withColumn(
             "shard",
             F.least(
-                (F.col("cum_weight") * n_shards / F.col("__t")).cast("int"),
+                # try_divide + coalesce: an all-zero-weight slice (total=0)
+                # degrades to shard 0 instead of ANSI DIVIDE_BY_ZERO
+                F.coalesce(
+                    F.try_divide(F.col("cum_weight") * n_shards, F.col("__t")).cast("int"),
+                    F.lit(0),
+                ),
                 F.lit(n_shards - 1),
             ),
         )

@@ -1462,7 +1462,7 @@ def quality_logistic(spark, sf_dir):
           FROM c),
     t AS (SELECT lang, n,
                  CAST(floor(least(1.0, share * (SELECT min(n / share) FROM s) / n)
-                            * 1000000) AS BIGINT) AS threshold
+                            * 1000000 + 0.5) AS BIGINT) AS threshold
           FROM s),
     k AS (
       SELECT d.lang, count(*) AS n_kept

@@ -1580,3 +1580,56 @@ def test_star_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, method="star", max_iterations=1)
+
+
+def test_text_whitespace_and_null_edges(spark):
+    # CRLF and trailing-newline text through the token/line heuristics
+    from graphique_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world\n"),
+            (2, "Good line one two.\r\nAnother good line here.\r\n"),
+            (3, "a b\nc d\n\r\n\r\n\r\n"),
+            (4, None),
+            (5, "\n"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            t.token_count(F.col("text")).alias("tc"),
+            t.kept_lines(F.col("text")).alias("kl"),
+            t.dup_line_fraction(F.col("text")).alias("dlf"),
+            t.chunk_text(F.col("text")).alias("ch"),
+        ).collect()
+    }
+    assert rows[1]["tc"] == 2  # was 3: trailing \n made a phantom token
+    assert rows[5]["tc"] == 0  # was 2
+    assert rows[4]["tc"] is None
+    assert len(rows[2]["kl"]) == 2  # was 0: \r broke terminal punctuation
+    assert rows[3]["dlf"] == 0.0  # was 0.4: \r blank lines counted as dups
+    assert rows[4]["ch"] is None  # was [None]
+
+
+def test_sampling_zero_weight_edges(spark):
+    from graphique_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, 1.0), (4, None)], "doc_id long, w double"
+    )
+    # zero/NULL weights are excluded, never a DIVIDE_BY_ZERO and never a
+    # winner by NULL key
+    got = {r["doc_id"] for r in t.weighted_sample(df, 4, F.col("w")).collect()}
+    assert got == {1, 3}
+    # all-empty source: rate NULL-degrades instead of crashing
+    docs = spark.createDataFrame(
+        [(1, "words here", "a"), (2, "", "b")], "doc_id long, text string, source string"
+    )
+    rates = t.token_budget_rates(docs, 1000, {"a": 0.5, "b": 0.5})
+    vals = {r["source"]: r["rate"] for r in rates.collect()}
+    # the zero-token source drops from the plan (it cannot absorb budget)
+    # instead of crashing or silently taking the max_epochs cap
+    assert vals["a"] is not None and "b" not in vals

@@ -44,19 +44,28 @@ DECODED_SCHEMA = (
     "doc_id long, byte_len int, width int, height int, channels int, features array<double>"
 )
 
-_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", re.DOTALL)
+# no '^' anchor: re.match(blob, offset) anchors at offset; '^' would only
+# ever match at position 0 and break the container walker
+_PPM_HEADER = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", re.DOTALL)
 
 
 # -- synthesis (testdata ships no media; blobs are real-format bytes) --------
 
-def ppm_bytes(seed: int, width: int, height: int) -> bytes:
-    """A real P6 PPM image: deterministic gradient pixels
-    ``(x + y + c + seed) % 256`` — closed-form, so a SQL oracle can verify
-    the decoded statistics independently."""
+def _gradient_pixels(seed: int, width: int, height: int) -> np.ndarray:
+    """The shared deterministic gradient ``(x + y + c + seed) % 256`` all
+    three synthetic formats encode — one definition, so the cross-format
+    feature-equivalence tests cannot drift."""
     x = np.arange(width)[None, :, None]
     y = np.arange(height)[:, None, None]
     c = np.arange(3)[None, None, :]
-    pixels = ((x + y + c + seed) % 256).astype(np.uint8)
+    return ((x + y + c + seed) % 256).astype(np.uint8)
+
+
+def ppm_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real P6 PPM image of the deterministic gradient
+    (:func:`_gradient_pixels`) — closed-form, so a SQL oracle can verify
+    the decoded statistics independently."""
+    pixels = _gradient_pixels(seed, width, height)
     return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
 
 
@@ -134,10 +143,7 @@ def bmp_bytes(seed: int, width: int, height: int) -> bytes:
     """A real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
     4-byte row padding) with the same deterministic gradient as
     :func:`ppm_bytes`, so decoded features are format-independent."""
-    x = np.arange(width)[None, :, None]
-    y = np.arange(height)[:, None, None]
-    c = np.arange(3)[None, None, :]
-    pixels = ((x + y + c + seed) % 256).astype(np.uint8)  # RGB, top-down
+    pixels = _gradient_pixels(seed, width, height)  # RGB, top-down
     row_len = (width * 3 + 3) & ~3
     raster = np.zeros((height, row_len), dtype=np.uint8)
     raster[:, : width * 3] = pixels[::-1, :, ::-1].reshape(height, -1)  # BGR bottom-up
@@ -161,10 +167,7 @@ def jpeg_bytes(seed: int, width: int, height: int, quality: int = 95) -> bytes:
     tests compare decoded features approximately, unlike PPM/BMP."""
     from PIL import Image  # noqa: PLC0415  (gated import)
 
-    x = np.arange(width)[None, :, None]
-    y = np.arange(height)[:, None, None]
-    c = np.arange(3)[None, None, :]
-    pixels = ((x + y + c + seed) % 256).astype(np.uint8)
+    pixels = _gradient_pixels(seed, width, height)
     buf = io.BytesIO()
     Image.fromarray(pixels, "RGB").save(buf, format="JPEG", quality=quality)
     return buf.getvalue()
@@ -172,15 +175,23 @@ def jpeg_bytes(seed: int, width: int, height: int, quality: int = 95) -> bytes:
 
 # -- decoders ----------------------------------------------------------------
 
-def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray, int]:
-    """Parse one P6 PPM: returns (width, height, (h, w, 3) uint8 array,
-    header+pixel byte length). Raises ValueError on malformed input."""
-    match = _PPM_HEADER.match(blob)
+def decode_ppm(blob: bytes, offset: int = 0) -> tuple[int, int, np.ndarray, int]:
+    """Parse one P6 PPM starting at ``offset``: returns (width, height,
+    (h, w, 3) uint8 array, END offset of the frame). Raises ValueError on
+    malformed input. The offset form lets container walkers advance
+    without copying the unconsumed tail per frame (O(bytes), not
+    O(bytes x frames))."""
+    match = _PPM_HEADER.match(blob, offset)
     if not match:
         raise ValueError("not a P6 PPM image")
     width, height, maxval = map(int, match.groups())
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    if width < 1 or height < 1:
+        # a 0x0 "image" decodes to a zero-size array whose .min()/indexing
+        # crash every downstream feature with errors skip_invalid can't
+        # classify
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     start = match.end()
     n = width * height * 3
     if len(blob) < start + n:
@@ -206,6 +217,8 @@ def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
     bottom_up = height > 0
     height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     row_len = (width * 3 + 3) & ~3
     if len(blob) < data_offset + row_len * height:
         raise ValueError("truncated BMP pixel data")
@@ -235,7 +248,14 @@ def decode_image_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
             )
         from PIL import Image  # noqa: PLC0415
 
-        img = Image.open(io.BytesIO(blob)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(blob)).convert("RGB")
+        except OSError as exc:  # UnidentifiedImageError subclasses OSError
+            # keep the documented "raises ValueError" contract so
+            # skip_invalid can classify truncated/garbage JPEG bytes
+            raise ValueError(f"undecodable image: {exc}") from exc
+        if img.width < 1 or img.height < 1:
+            raise ValueError(f"degenerate dimensions {img.width}x{img.height}")
         return img.width, img.height, np.asarray(img)
     raise ValueError(f"unrecognized image magic {blob[:4]!r}")
 
@@ -263,20 +283,28 @@ def decode_images(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob)
                 try:
+                    # feature math stays inside the try: any degenerate
+                    # decode that slips through must still be skippable
                     width, height, pixels = decode_image_blob(blob)
+                    means = pixels.reshape(-1, 3).mean(axis=0) / 255.0
+                    features = [*means, pixels.min() / 255.0, pixels.max() / 255.0]
                 except ValueError:
                     if skip_invalid:
                         continue
                     raise
-                means = pixels.reshape(-1, 3).mean(axis=0) / 255.0
-                features = [*means, pixels.min() / 255.0, pixels.max() / 255.0]
                 rows.append((doc_id, len(blob), width, height, 3, features))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "byte_len", "width", "height", "channels", "features"],
+                columns=[id_col, "byte_len", "width", "height", "channels", "features"],
             )
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema=DECODED_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, byte_len int, width int, height int, "
+            "channels int, features array<double>"
+        ),
+    )
 
 
 def sample_frames(
@@ -293,15 +321,15 @@ def sample_frames(
                 blob = bytes(blob)
                 offset = idx = 0
                 while offset < len(blob):
-                    _, _, pixels, consumed = decode_ppm(blob[offset:])
+                    # offset form: no per-frame copy of the container tail
+                    _, _, pixels, offset = decode_ppm(blob, offset)
                     if idx % every == 0:
                         rows.append((doc_id, idx, float(pixels.mean() / 255.0)))
-                    offset += consumed
                     idx += 1
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_px"])
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "mean_px"])
 
     return df.select(id_col, blob_col).mapInPandas(
-        batches, schema="doc_id long, frame_idx int, mean_px double"
+        batches, schema=f"{id_col} long, frame_idx int, mean_px double"
     )
 
 
@@ -327,11 +355,34 @@ def resize_images(
                 xs = (np.arange(tw) * width) // tw
                 resized = pixels[ys][:, xs]
                 rows.append((doc_id, tw, th, float(resized.mean() / 255.0)))
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_px"])
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_px"])
 
     return df.select(id_col, blob_col).mapInPandas(
-        batches, schema="doc_id long, width int, height int, mean_px double"
+        batches, schema=f"{id_col} long, width int, height int, mean_px double"
     )
+
+
+def _read_pcm_mono(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/PCM WAV blob to (mono float64 samples, sample rate).
+    Multichannel frames interleave channels, so the raster is truncated to
+    whole frames and downmixed — otherwise durations multiply by the
+    channel count and zero-crossings compare samples from DIFFERENT
+    channels. Shared by decode_audio and audio_frame_features so the
+    channel/endianness handling cannot diverge."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        sr = w.getframerate()
+        if sr <= 0:
+            # the stdlib wave reader accepts a framerate-0 fmt chunk
+            raise ValueError(f"invalid sample rate {sr}")
+        n_ch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    if n_ch > 1:
+        samples = samples[: len(samples) - len(samples) % n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, sr
 
 
 def decode_audio(
@@ -345,19 +396,7 @@ def decode_audio(
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    if w.getsampwidth() != 2:
-                        raise ValueError("only 16-bit PCM supported")
-                    sr = w.getframerate()
-                    n_ch = w.getnchannels()
-                    frames = w.readframes(w.getnframes())
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-                if n_ch > 1:
-                    # frames interleave channels: downmix to mono, or the
-                    # duration doubles and zero-crossings compare samples
-                    # from DIFFERENT channels
-                    samples = samples[: len(samples) - len(samples) % n_ch]
-                    samples = samples.reshape(-1, n_ch).mean(axis=1)
+                samples, sr = _read_pcm_mono(bytes(blob))
                 n = len(samples)
                 rms = float(np.sqrt((samples**2).mean()) / 32768.0) if n else 0.0
                 mean_abs = float(np.abs(samples).mean() / 32768.0) if n else 0.0
@@ -369,7 +408,7 @@ def decode_audio(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "sample_rate", "n_samples", "duration",
+                    id_col, "sample_rate", "n_samples", "duration",
                     "rms", "mean_abs", "zero_cross_rate",
                 ],
             )
@@ -377,7 +416,7 @@ def decode_audio(
     return df.select(id_col, blob_col).mapInPandas(
         batches,
         schema=(
-            "doc_id long, sample_rate int, n_samples int, duration double, "
+            f"{id_col} long, sample_rate int, n_samples int, duration double, "
             "rms double, mean_abs double, zero_cross_rate double"
         ),
     )
@@ -523,17 +562,7 @@ def audio_frame_features(
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    if w.getsampwidth() != 2:
-                        raise ValueError("only 16-bit PCM supported")
-                    n_ch = w.getnchannels()
-                    frames = w.readframes(w.getnframes())
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-                if n_ch > 1:
-                    # de-interleave: frame windows over raw stereo data mix
-                    # L/R samples into one "frame"
-                    samples = samples[: len(samples) - len(samples) % n_ch]
-                    samples = samples.reshape(-1, n_ch).mean(axis=1)
+                samples, _ = _read_pcm_mono(bytes(blob))
                 n_frames = len(samples) // frame_samples
                 if not n_frames:
                     continue
@@ -567,15 +596,18 @@ def channel_histograms(
     channel, never a Python loop over pixels."""
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        width = 256 // bins
+        # max(1,...) + clip: when bins does not divide 256 the top bucket
+        # absorbs the remainder instead of values 252+ being silently
+        # truncated out of the histogram (and bins>256 no longer divides
+        # by zero)
+        width = max(1, 256 // bins)
         for pdf in iterator:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 _, _, pixels = decode_image_blob(bytes(blob))
                 for c in range(pixels.shape[2]):
-                    counts = np.bincount(
-                        pixels[:, :, c].ravel() // width, minlength=bins
-                    )[:bins]
+                    buckets = np.minimum(pixels[:, :, c].ravel() // width, bins - 1)
+                    counts = np.bincount(buckets, minlength=bins)[:bins]
                     rows.append((doc_id, c, [int(x) for x in counts]))
             yield pd.DataFrame(rows, columns=[id_col, "channel", "counts"])
 

@@ -1633,3 +1633,42 @@ def test_sampling_zero_weight_edges(spark):
     # the zero-token source drops from the plan (it cannot absorb budget)
     # instead of crashing or silently taking the max_epochs cap
     assert vals["a"] is not None and "b" not in vals
+
+
+def test_multimodal_degenerate_blobs(spark):
+    # zero-size images, histogram remainder bins, bad WAV headers
+    import io as _io
+    import struct
+    import wave as _wave
+
+    import numpy as _np
+
+    # 0x0 PPM and BMP: clear ValueError, and skip_invalid really skips
+    zero_ppm = b"P6\n0 0\n255\n"
+    with pytest.raises(ValueError, match="degenerate"):
+        multimodal.decode_ppm(zero_ppm)
+    good = multimodal.ppm_bytes(1, 4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(zero_ppm)), (2, bytearray(good))], "doc_id long, blob binary"
+    )
+    out = multimodal.decode_images(df, skip_invalid=True).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    # bins that don't divide 256: the top bucket absorbs the remainder —
+    # counts must sum to the pixel count
+    hist = multimodal.channel_histograms(
+        spark.createDataFrame([(1, bytearray(good))], "doc_id long, blob binary"),
+        bins=12,
+    ).collect()
+    assert all(sum(r["counts"]) == 16 for r in hist)
+    # framerate-0 WAV: ValueError, not ZeroDivisionError
+    buf = _io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(1)
+    w.writeframes(_np.zeros(8, dtype="<i2").tobytes()); w.close()
+    bad = bytearray(buf.getvalue().replace(struct.pack("<I", 1), struct.pack("<I", 0), 1))
+    with pytest.raises(Exception, match="invalid sample rate"):
+        multimodal._read_pcm_mono(bytes(bad))
+    # custom id_col flows through to the output schema
+    named = df.withColumnRenamed("doc_id", "image_id")
+    cols = multimodal.decode_images(named, id_col="image_id", skip_invalid=True).columns
+    assert cols[0] == "image_id"

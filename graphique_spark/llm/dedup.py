@@ -222,6 +222,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     min_jaccard: float = 0.0,
     max_band_freq: int | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW ingest batch and an existing
     :func:`minhash_index` — the rolling-corpus dedup pattern: at 100 TB you
@@ -240,15 +241,30 @@ def incremental_minhash_dedup(
     works but re-derives its band keys from text through Catalyst's
     projection collapse.
     """
-    # materialized: consumed by the band explode AND the verify join —
-    # without the cut each consumer re-shingles the whole new batch
-    new_sigs = materializer(new_docs)(
-        _signatures(new_docs, text, id_col, k, num_hashes)
-    )
-    nb = new_sigs.select(
-        F.col("id").alias("new_id"),
-        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key"),
-    )
+    if new_index is not None:
+        # the caller already built minhash_index rows for this batch (the
+        # streaming sink writes them anyway) — reuse instead of
+        # re-shingling the batch a second time
+        nb = new_index.select(
+            F.col("id").alias("new_id"),
+            F.posexplode("band_keys").alias("band", "key"),
+        )
+        new_hs = new_index.select(
+            F.col("id").alias("new_id"), F.col("hs").alias("hs_n")
+        )
+    else:
+        # materialized: consumed by the band explode AND the verify join —
+        # without the cut each consumer re-shingles the whole new batch
+        new_sigs = materializer(new_docs)(
+            _signatures(new_docs, text, id_col, k, num_hashes)
+        )
+        nb = new_sigs.select(
+            F.col("id").alias("new_id"),
+            F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key"),
+        )
+        new_hs = new_sigs.select(
+            F.col("id").alias("new_id"), F.col("hs").alias("hs_n")
+        )
     ib = index.select(
         F.col("id").alias("index_id"), F.posexplode("band_keys").alias("band", "key")
     )
@@ -274,10 +290,7 @@ def incremental_minhash_dedup(
     cand_i = index.select(F.col("id").alias("index_id"), F.col("hs").alias("hs_i")).join(
         F.broadcast(cands), on="index_id"
     )
-    pairs = cand_i.join(
-        F.broadcast(new_sigs.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n"))),
-        on="new_id",
-    )
+    pairs = cand_i.join(F.broadcast(new_hs), on="new_id")
     inter = F.size(F.array_intersect("hs_n", "hs_i")).cast("double")
     union = F.size(F.array_union("hs_n", "hs_i")).cast("double")
     return (

@@ -35,24 +35,46 @@ def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
 
     Verified working against this Spark build in
     tests/test_streaming.py (batch/stream parity under the provider)."""
-    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
-    if changelog_checkpointing:
-        conf[
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-        ] = "true"
-    return conf
+    # the flag is authoritative both ways: omitting the key on False
+    # would leave a previously-set "true" in session conf
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true" if changelog_checkpointing else "false",
+    }
 
 
-def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+def _duration_ms(spec: str) -> int:
+    """Parse '24 hours' / '30 minutes' / '90 seconds' / '7 days' to ms."""
+    value, unit = spec.split()
+    factor = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(float(value) * factor)
+
+
+def read_parquet_if_exists(spark, path: str, schema=None) -> DataFrame | None:
     """Read a parquet root, returning ``None`` ONLY when the path is
     genuinely missing (first batch of an incremental sink). Any other read
     failure — fs hiccup, metadata conflict — re-raises so a streaming
     checkpoint retries the batch; swallowing it would make incremental
-    merges silently treat existing state as empty."""
+    merges silently treat existing state as empty.
+
+    Incremental sinks MUST pass ``schema`` (their batch schema): without
+    it, partition-directory type inference retypes string partition
+    values (region=0123 reads back as int 123), so the rewrite lands in a
+    NEW directory while dynamic overwrite leaves the stale one — silent
+    key corruption and duplicated rows. An explicit schema also makes an
+    existing-but-empty dest (a CDC batch that deleted every row) read as
+    an empty frame instead of raising UNABLE_TO_INFER_SCHEMA forever."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(path)
     except AnalysisException as exc:
         condition = None
         for getter in ("getCondition", "getErrorClass"):
@@ -181,12 +203,17 @@ def stateful_user_totals(
     ts: str = "ts",
     value: str = "value",
     watermark: str = "2 hours",
+    idle_timeout: str = "24 hours",
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-key running event count and value sum carried in the state store
     across micro-batches (RocksDB-backed on a real cluster), emitted in
-    update mode each batch. The watermark bounds state growth for keys
-    that stop arriving.
+    update mode each batch. Keys that stop arriving are EVICTED
+    once the event-time watermark passes their last activity plus
+    ``idle_timeout`` — with applyInPandasWithState the watermark alone
+    never cleans state (that takes EventTimeTimeout + an explicit
+    remove), and an unbounded anonymous-id stream would otherwise grow
+    the state store forever.
 
     Arrow-batched (pandas) on the state path only — the one place custom
     state genuinely needs Python; everything else in this module is
@@ -194,6 +221,7 @@ def stateful_user_totals(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    idle_ms = _duration_ms(idle_timeout)
     # derive the key's type from the frame — hardcoding `long` makes the
     # Arrow conversion throw on the first micro-batch for string user ids
     key_type = df.schema[key].dataType.simpleString()
@@ -205,12 +233,17 @@ def stateful_user_totals(
     def update(keys, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle horizon passed: drop the key's state, emit nothing
+            state.remove()
+            return
         total, vsum, batches = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdf_iter:
             total += len(pdf)
             vsum += float(pdf[value].fillna(0.0).sum())
         batches += 1
         state.update((total, vsum, batches))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ms)
         yield pd.DataFrame(
             {
                 key: [keys[0]],
@@ -224,7 +257,8 @@ def stateful_user_totals(
         df.withWatermark(ts, watermark)
         .groupBy(key)
         .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -254,19 +288,25 @@ def interval_join(
     join partitioned by key; without keys it would degenerate to a
     broadcast-nested-loop range join.
     """
-    lcols = [F.col(c).alias(c) for c in left.columns]
-    l = left.select(*lcols)
-    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    # collision-proof right prefix: feeding one interval_join's output
+    # (which carries r_* columns) into another would otherwise make
+    # r_<ts> ambiguous and crash the chained pipeline
+    prefix = "r_"
+    existing = set(left.columns)
+    while any(f"{prefix}{c}" in existing for c in right.columns):
+        prefix = "r" + prefix
+    l = left
+    r = right.select(*[F.col(c).alias(f"{prefix}{c}") for c in right.columns])
     if streaming:
         l = l.withWatermark(left_ts, watermark)
-        r = r.withWatermark(f"r_{right_ts}", watermark)
+        r = r.withWatermark(f"{prefix}{right_ts}", watermark)
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+        cond = cond & (F.col(k) == F.col(f"{prefix}{k}"))
     cond = (
         cond
-        & (F.col(f"r_{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
-        & (F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+        & (F.col(f"{prefix}{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"{prefix}{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, how)
 
@@ -307,6 +347,12 @@ def incremental_dedup_sink(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
+            # index the batch ONCE; both the dedup probe and the index
+            # append read these rows (shingling is the dominant per-batch
+            # cost — computing it twice doubled the ingest CPU)
+            idx_rows = _dedup.minhash_index(
+                batch, text=text, id_col=id_col, num_hashes=num_hashes, bands=bands
+            ).persist()
             existing = read_parquet_if_exists(spark, index_dest)
             if existing is not None:
                 # strictly-earlier batches only: a RETRIED batch may have
@@ -320,6 +366,7 @@ def incremental_dedup_sink(
                     batch, history,
                     text=text, id_col=id_col, num_hashes=num_hashes,
                     bands=bands, min_jaccard=min_jaccard,
+                    new_index=idx_rows,
                 )
             else:
                 dups = spark.createDataFrame(
@@ -332,9 +379,6 @@ def incremental_dedup_sink(
                 .mode("overwrite")
                 .parquet(dups_dest)
             )
-            idx_rows = _dedup.minhash_index(
-                batch, text=text, id_col=id_col, num_hashes=num_hashes, bands=bands
-            )
             (
                 idx_rows.withColumn("batch_id", F.lit(batch_id))
                 .write.partitionBy("batch_id")
@@ -344,6 +388,10 @@ def incremental_dedup_sink(
             )
         finally:
             batch.unpersist()
+            try:
+                idx_rows.unpersist()
+            except NameError:  # persist failed before assignment
+                pass
 
     writer = (
         docs.writeStream.foreachBatch(process)
@@ -424,7 +472,7 @@ def upsert_sink(
             batch = batch.withColumn(part, F.nullif(F.col(part), F.lit("")))
         batch = batch.persist()
         try:
-            existing = read_parquet_if_exists(spark, dest)
+            existing = read_parquet_if_exists(spark, dest, schema=batch.schema)
             if existing is not None:
                 # null-safe joins throughout: a plain on= join never
                 # matches NULL, which would (a) exclude the stored
@@ -558,15 +606,15 @@ def cdc_sink(
             touched = [r["__raw"] for r in touched_rows]
             if not touched:
                 return
-            # null and '' share ONE directory (__HIVE_DEFAULT_PARTITION__):
-            # touching either must pull BOTH into the rewrite, or the
-            # dynamic overwrite of that directory wipes the other
-            # claimant's rows
-            if any(v is None or v == "" for v in touched):
-                touched = [v for v in touched if v is not None and v != ""]
-                touched += [None, ""]
+            # '' was normalized to NULL above (it cannot round-trip a
+            # partitioned layout), so only None can mark the
+            # __HIVE_DEFAULT_PARTITION__ directory here
+            if any(v is None for v in touched):
+                touched = [v for v in touched if v is not None] + [None]
             payload = [c for c in batch.columns if c not in (seq_col, op_col)]
-            existing = read_parquet_if_exists(spark, dest)
+            existing = read_parquet_if_exists(
+                spark, dest, schema=batch.select(payload).schema
+            )
             if existing is not None:
                 # isin([None]) is never true — null partitions need isNull
                 cond = F.col(part).isin([v for v in touched if v is not None])

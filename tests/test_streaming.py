@@ -611,3 +611,59 @@ def test_stateful_user_totals_string_key(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gs_state_strkey").collect()
     }
     assert got == {"alice": 2, "bob": 1}
+
+
+def test_upsert_sink_string_partition_values_round_trip(spark, tmp_path):
+    # regression: reading dest WITHOUT a schema let partition-type
+    # inference retype region='0123' as int 123, so the rewrite landed in
+    # a NEW directory while dynamic overwrite left the stale one — the
+    # final table held both the old and new value for the same key
+    src = str(tmp_path / "src")
+    schema = "region string, user string, val double"
+    spark.createDataFrame(
+        [("0123", "A", 1.0), ("0123", "B", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("0123", "A", 9.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = streaming.read_event_stream(
+        spark, src, schema=schema, max_files_per_trigger=1
+    )
+    dest = str(tmp_path / "dest")
+    q = streaming.upsert_sink(
+        stream, dest, keys=["region", "user"],
+        checkpoint=str(tmp_path / "ckpt"), trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["region"], r["user"]): r["val"]
+        for r in spark.read.schema(schema).parquet(dest).collect()
+    }
+    assert got == {("0123", "A"): 9.0, ("0123", "B"): 2.0}
+
+
+def test_interval_join_output_chains(spark):
+    # regression: the output carries r_* columns; feeding it back as the
+    # left of a second interval_join used to make r_ts ambiguous
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    once = streaming.interval_join(left, right, keys=["k"])
+    assert once.count() == 1
+    twice = streaming.interval_join(once, right, keys=["k"])
+    assert twice.count() == 1
+    assert len(set(twice.columns)) == len(twice.columns)  # no dup names
+
+
+def test_rocksdb_conf_flag_is_authoritative(spark):
+    on = streaming.rocksdb_state_conf(True)
+    off = streaming.rocksdb_state_conf(False)
+    key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    assert on[key] == "true" and off[key] == "false"

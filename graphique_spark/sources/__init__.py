@@ -46,14 +46,20 @@ def read_parquet(
     reference's startup projection/rename (service.py:22-31): a list selects,
     a mapping selects-and-renames. Hive-style ``key=value`` subdirectories
     are discovered and pruned automatically by Catalyst."""
+    import os
+
     df = spark.read.parquet(path)
-    partitioning = hive_partition_keys(path) if "://" not in path else ()
+    # the metadata fast paths walk with os.* — a glob pattern or a path
+    # resolved against a non-local default FS is readable by Spark but
+    # not walkable, so count()/group() would crash instead of scanning
+    local = "://" not in path and os.path.exists(path)
+    partitioning = hive_partition_keys(path) if local else ()
     if isinstance(columns, Mapping):
         df = df.select(*[df[orig].alias(new) for new, orig in columns.items()])
     elif columns:
         df = df.select(*columns)
     ds = Dataset(df, partitioning=partitioning, source_type="ParquetDataset")
-    if "://" not in path and not columns:
+    if local and not columns:
         # untransformed local root: remember the path so metadata-only fast
         # paths (count, group-by-partition-keys) can read parquet footers
         # instead of scanning data. Any transformation produces a new
@@ -72,36 +78,11 @@ def partition_group_counts(
 
     Driver-side by design: metadata ops touch O(#files) footers, the same
     tradeoff the reference accepts with ``fragments``/``count_rows``."""
-    import os
-    from urllib.parse import unquote
-
-    import pyarrow.parquet as pq
-
+    # one walk for both metadata fast paths: sum the per-file inventory
     groups: dict[tuple, int] = {}
-
-    if os.path.isfile(path):  # single-file root: one footer, no partitions
-        n = pq.ParquetFile(path).metadata.num_rows
-        return [(dict.fromkeys(keys), n)] if n else []
-
-    def walk(current: str, values: dict) -> None:
-        entries = list(os.scandir(current))
-        subdirs = [e for e in entries if e.is_dir() and "=" in e.name]
-        if subdirs:
-            for e in subdirs:
-                key, _, raw = e.name.partition("=")
-                value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-                walk(e.path, {**values, key: value})
-            return
-        n = sum(
-            pq.ParquetFile(e.path).metadata.num_rows
-            for e in entries
-            if e.is_file() and e.name.endswith(".parquet")
-        )
-        if n:
-            group = tuple(values.get(k) for k in keys)
-            groups[group] = groups.get(group, 0) + n
-
-    walk(path, {})
+    for values, _file, n in partition_file_counts(path, keys):
+        group = tuple(values.get(k) for k in keys)
+        groups[group] = groups.get(group, 0) + n
     ordered = sorted(
         groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
     )
@@ -204,7 +185,7 @@ def roots(tables: Mapping[str, Dataset | DataFrame]) -> dict[str, Dataset]:
     return out
 
 
-def normalize_nanos(df: DataFrame, columns: Mapping[str, str] = ()) -> DataFrame:
+def normalize_nanos(df: DataFrame, columns: Sequence[str] = ()) -> DataFrame:
     """Convert nanosecond-timestamp columns (read as long via
     ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps.
 
@@ -331,8 +312,26 @@ def write_zordered(
     Column min/max are collected once (2 scalars per column, metadata-
     cheap for parquet sources) to normalize the key."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    cols = [F.col(c) for c in columns]
+    def numeric(c):
+        # Morton normalization needs a float(min)/float(max) — convert
+        # temporal/boolean columns; reject types with no linear order
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c))
+        if isinstance(dt, T.TimestampType | T.TimestampNTZType):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        if isinstance(dt, T.BooleanType):
+            return F.col(c).cast("int")
+        if isinstance(dt, T.NumericType):
+            return F.col(c)
+        raise ValueError(
+            f"z-order column {c!r} has non-linear type {dt.simpleString()}; "
+            "cast it to a numeric or temporal type first"
+        )
+
+    cols = [numeric(c) for c in columns]
     stats = df.agg(
         *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(cols)],
@@ -358,14 +357,19 @@ def _list_files(spark: SparkSession, root: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(root)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = fs.makeQualified(jpath).toString().rstrip("/") + "/"
     it = fs.listFiles(jpath, True)
     out = []
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if name.startswith(("_", ".")):
+        full = status.getPath().toString()
+        rel = full[len(prefix):] if full.startswith(prefix) else full
+        # every component checked, not just the basename: files under
+        # _manifest/_spark_metadata are hidden from spark.read and must
+        # not count as data here either
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
-        out.append((status.getPath().toString(), status.getLen()))
+        out.append((full, status.getLen()))
     return out
 
 
@@ -434,8 +438,13 @@ def compact_parquet(
         for path, size in files:
             rel = path[len(root_prefix):] if path.startswith(root_prefix) else path
             dirs = rel.rpartition("/")[0]  # drop the filename segment
+            found = dict(re.findall(r"([^/=]+)=([^/]*)", dirs))
+            # key order comes from the CALLER's partition_keys, matching
+            # part_str below — directory-nesting order would silently
+            # mismatch (no partition would ever split) when the caller
+            # lists keys in a different order
             part = tuple(
-                (k, dir_value(v)) for k, v in re.findall(r"([^/=]+)=([^/]*)", dirs)
+                (k, dir_value(found[k])) for k in partition_keys if k in found
             )
             per_part[part] += size
         splits = {
@@ -505,11 +514,22 @@ def table_checksum(df: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     from graphique_spark.llm.dedup import hash60
 
     cols = [c for c in df.columns if c not in by]
-    row_hash = hash60(
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    # length-prefix every field: plain concat_ws is ambiguous (a value
+    # containing the separator shifts field boundaries, and a literal
+    # "\x00" string collides with the NULL marker), so distinct tables
+    # could share a checksum
+    fields = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("\x00"),
         )
-    )
+        for c in cols
+    ]
+    row_hash = hash60(F.concat_ws("\x1f", *fields))
     grouped = df.groupBy(*by) if by else df.groupBy()
     # DECIMAL(38) accumulator: 2^60-bounded row hashes summed over any
     # realistic row count stay < 10^38, where an int64 sum overflows (and
@@ -550,16 +570,20 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
     (empty == intact); each row carries both sides' numbers."""
     from pyspark.sql import functions as F
 
+    from pyspark.errors import AnalysisException
+
     stored = spark.read.parquet(f"{dest}/_manifest")
     try:
         actual = table_checksum(
             spark.read.parquet(dest), [partition_by] if partition_by else []
         )
-    except Exception:
+    except AnalysisException:
         # zero data files (underscore paths are hidden from the read):
         # schema inference raises. The checksum of nothing is the typed
         # empty frame — any stored partition then reports n_actual=null,
-        # which is exactly the "files are gone" mismatch.
+        # which is exactly the "files are gone" mismatch. Narrow catch:
+        # a corrupt footer / permission error must RAISE, not read as
+        # "empty but intact".
         actual = spark.createDataFrame([], stored.schema)
     on = [partition_by] if partition_by else []
     a = actual.select(
@@ -583,7 +607,14 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
             "n_actual", "sum_actual", "n_stored", "sum_stored",
         )
     else:
-        joined = a.crossJoin(s)
+        # constant-key FULL join, not a crossJoin: with zero actual rows a
+        # crossJoin yields zero rows — "no mismatches" for a dataset whose
+        # data is entirely gone
+        joined = (
+            a.withColumn("__k", F.lit(1))
+            .join(s.withColumn("__k", F.lit(1)), "__k", "full")
+            .select("n_actual", "sum_actual", "n_stored", "sum_stored")
+        )
     return joined.where(
         (F.col("n_actual") != F.col("n_stored"))
         | (F.col("sum_actual") != F.col("sum_stored"))

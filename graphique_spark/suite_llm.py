@@ -3317,10 +3317,13 @@ def resample_interpolate(spark, sf_dir):
     SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
            sum(CAST(('0x' || substr(md5(
              concat_ws(chr(31),
-               coalesce(CAST(doc_id AS VARCHAR), chr(0)),
-               coalesce(text, chr(0)),
-               coalesce(lang, chr(0)),
-               coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+               coalesce(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR), chr(0)),
+               coalesce(CAST(length(text) AS VARCHAR) || ':' || text, chr(0)),
+               coalesce(CAST(length(lang) AS VARCHAR) || ':' || lang, chr(0)),
+               coalesce(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(n_chars AS VARCHAR), chr(0)))),
+             1, 15)) AS BIGINT))
              AS checksum
     FROM documents GROUP BY source
     """,

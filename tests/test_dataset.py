@@ -702,3 +702,64 @@ def test_runs_come_back_in_adjacency_order(spark):
     ).repartition(4)
     runs = Dataset(df).runs(by=["state"], order_by=["t"], counts="n").df.collect()
     assert [(r["state"], r["n"]) for r in runs] == [("x", 2), ("y", 1), ("x", 1)]
+
+
+def test_verify_manifest_detects_total_loss_and_checksum_unambiguous(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark import sources
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    dest = str(tmp_path / "t")
+    sources.write_with_manifest(df, dest)
+    assert sources.verify_manifest(spark, dest).count() == 0
+    # delete every data file, keep only _manifest: must REPORT a mismatch
+    # (the crossJoin form returned zero rows — "intact" — for total loss)
+    import os
+
+    for name in os.listdir(dest):
+        p = os.path.join(dest, name)
+        if name != "_manifest" and not name.startswith("."):
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    assert sources.verify_manifest(spark, dest).count() > 0
+
+    # length-prefixed serialization: boundary-shifted rows hash apart
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    ca = sources.table_checksum(a, []).first()["checksum"]
+    cb = sources.table_checksum(b, []).first()["checksum"]
+    assert ca != cb
+    # and a literal \x00 value does not collide with NULL
+    c = spark.createDataFrame([("\x00",)], "x string")
+    d = spark.createDataFrame([(None,)], "x string")
+    assert (
+        sources.table_checksum(c, []).first()["checksum"]
+        != sources.table_checksum(d, []).first()["checksum"]
+    )
+
+
+def test_compact_parquet_partition_key_order_insensitive(spark, tmp_path):
+    from graphique_spark import sources
+
+    src = str(tmp_path / "src")
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 2 AS STRING) AS a", "CAST(id % 3 AS STRING) AS b", "id AS v"
+    )
+    # many small files per (a, b) partition
+    df.repartition(8).write.partitionBy("a", "b").mode("overwrite").parquet(src)
+    dest = str(tmp_path / "dest")
+    # keys in REVERSED order vs the physical nesting: splitting must still
+    # see per-partition sizes (the split_map key used directory order and
+    # never matched, silently disabling splits)
+    stats = sources.compact_parquet(
+        spark, src, dest, target_file_bytes=2048, partition_keys=["b", "a"]
+    )
+    # every partition sized from its own bytes: with ~8 small files per
+    # partition compacted against a 2 KB target, at least one partition
+    # must SPLIT (>1 file), which only happens when the split_map key
+    # matches — the regression returned exactly one file per partition
+    assert stats["files_after"] > 6
+    got = spark.read.parquet(dest).count()
+    assert got == 4000

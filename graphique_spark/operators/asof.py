@@ -49,6 +49,12 @@ def asof_join(
     right_on = right_on or on
     right_by = list(right_by or by)
     by = list(by)
+    if len(by) != len(right_by):
+        # zip() would silently truncate, mapping the wrong key columns
+        # and producing all-null "matches"
+        raise ValueError(
+            f"by has {len(by)} keys but right_by has {len(right_by)}"
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if strategy == "range":
@@ -56,6 +62,12 @@ def asof_join(
 
     payload_cols = [c for c in right.columns if c not in right_by and c != right_on]
     renames = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    # a right row with a NULL `on` has no position on the time axis and
+    # can never be "the nearest" (the range strategy's comparison already
+    # excludes it); left in, it sorts nulls-first and its payload leaks
+    # into every left row before the first real right row
+    right = right.where(F.col(right_on).isNotNull())
 
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(
         "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"

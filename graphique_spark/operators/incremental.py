@@ -103,5 +103,9 @@ def finalize_state(
             cols.append((F.col(f"{alias}__s") / F.col(f"{alias}__n")).alias(alias))
         elif kind == "var":
             n, s, s2 = (F.col(f"{alias}__{x}") for x in ("n", "s", "s2"))
-            cols.append(F.greatest(s2 / n - (s / n) * (s / n), F.lit(0.0)).alias(alias))
+            # when-guard: with n=0 the expression is NULL and F.greatest
+            # SKIPS nulls, returning the 0.0 clamp — an all-null group
+            # must report NULL variance (matching avg), not 0.0
+            var = F.greatest(s2 / n - (s / n) * (s / n), F.lit(0.0))
+            cols.append(F.when(n > 0, var).alias(alias))
     return state.select(*cols)

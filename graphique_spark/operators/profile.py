@@ -64,7 +64,7 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None, exact: bool = T
     slower than two column-pruned scans at sf0.1. ``exact=False`` HLL
     distincts are plain aggregates, so they stay in the single scan."""
     dtypes = dict(df.dtypes)
-    cols = list(columns or df.columns)
+    cols = list(df.columns if columns is None else list(columns))
     aggs = [F.count(F.lit(1)).alias("__n")]
     distinct_aggs = []
     for c in cols:

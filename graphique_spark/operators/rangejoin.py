@@ -52,6 +52,10 @@ def range_join(
             "right/full would duplicate unmatched range rows (one per covered "
             "bucket after the explode)"
         )
+    if bucket_width <= 0:
+        # floor(x/0) is NULL: the bucket equality would silently match
+        # nothing instead of surfacing the config error
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     p = points.withColumn(_PBUCKET, F.floor(F.col(point) / bucket_width))
     r = (
         ranges.filter(F.col(lo) <= F.col(hi))  # prunes inverted + null bounds

@@ -171,7 +171,22 @@ def with_run_ids(
             boundary[pid] = False  # very first row begins run 0
         else:
             prev_last = summary[pids[i - 1]]["last_vals"]
-            differs = any(row["first_vals"][c] != prev_last[c] for c in by)
+
+            def _same(a, b):
+                # mirror Spark's eqNullSafe INCLUDING NaN==NaN (Python's
+                # nan != nan would fabricate a run break at every
+                # partition boundary inside a NaN run)
+                if a is None or b is None:
+                    return a is None and b is None
+                if isinstance(a, float) and isinstance(b, float):
+                    import math
+                    if math.isnan(a) and math.isnan(b):
+                        return True
+                return a == b
+
+            differs = any(
+                not _same(row["first_vals"][c], prev_last[c]) for c in by
+            )
             boundary[pid] = differs or bool(row["first_split"])
         offsets[pid] = running
         running += (row["local_changes"] or 0) + int(boundary[pid])

@@ -29,9 +29,28 @@ _SALT = "__gs_salt"
 
 
 def _det_salt(df: DataFrame, salts: int) -> Column:
-    """Deterministic pseudo-random salt in [0, salts): xxhash64 over all
-    columns (JVM-side, no Python)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    """Deterministic pseudo-random salt in [0, salts): xxhash64 over the
+    hashable columns (map-typed columns crash xxhash64 and are skipped)
+    plus the input partition id — without the partition term, fully
+    duplicate hot-key rows all hash to ONE salt and the skewed key still
+    lands on a single reducer. Stable given a stable input layout."""
+    from pyspark.sql import types as T
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [F.col(c) for c in df.columns if hashable(df.schema[c].dataType)]
+    return F.pmod(
+        F.xxhash64(*cols, F.spark_partition_id()) if cols
+        else F.xxhash64(F.spark_partition_id()),
+        F.lit(salts),
+    )
 
 
 def salted_join(
@@ -101,7 +120,9 @@ def skew_report(
     keys = list(keys)
     from graphique_spark.operators.topk import top_k
 
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    # pinned: the scalar collect below and the returned top-k both read
+    # counts — without the persist the per-key shuffle over df runs twice
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).persist()
     total, n_keys = counts.agg(F.sum("n"), F.count(F.lit(1))).first()
     heavy = top_k(counts, ["-n", *keys], top, ())
     if not n_keys:

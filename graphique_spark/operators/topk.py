@@ -83,7 +83,9 @@ def _global_rank_filter(df: DataFrame, by: Sequence[str], rank: int, dense: bool
     distinct tuples either way, so the running sum is computed on a frame
     already cut to k rows by TakeOrderedAndProject.
     """
-    cols = [k.lstrip("-") for k in by]
+    # same one-char convention sort_keys uses (lstrip would eat every
+    # leading dash of a column literally named "-x")
+    cols = [k[1:] if k.startswith("-") else k for k in by]
     keys = sort_keys(by)
     qualifying = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cnt")).orderBy(*keys).limit(rank)
     if not dense:

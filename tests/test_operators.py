@@ -760,3 +760,91 @@ def test_kll_quantile_labels_distinct_and_unrounded(tables):
     assert {"q29", "q99", "q99_9"} <= set(out.columns)
     [r] = out.collect()
     assert r["q99"] <= r["q99_9"]
+
+
+def test_asof_rejects_mismatched_key_lists(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, "a")], "k long, ts long, v string")
+    # right_by=[] is falsy and falls back to by (documented); a genuinely
+    # mismatched list must raise instead of zip-truncating
+    with pytest.raises(ValueError, match="right_by"):
+        asof_join(left, right, on="ts", by=["k"], right_by=["k", "v"])
+
+
+def test_asof_null_right_on_never_matches(spark):
+    # a right row with NULL `on` has no position on the time axis; before
+    # the guard it sorted nulls-first and leaked its payload into every
+    # left row preceding the first real right row
+    left = spark.createDataFrame([(1,), (6,)], "ts long")
+    right = spark.createDataFrame([(None, "leak"), (5, "real")], "ts long, v string")
+    got = {r["ts"]: r["v"] for r in asof_join(left, right, on="ts").collect()}
+    assert got == {1: None, 6: "real"}
+
+
+def test_incremental_var_all_null_group_is_null(spark):
+    from graphique_spark.operators.incremental import aggregate_state, finalize_state
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 2.0), ("b", 4.0)], "k string, v double"
+    )
+    state = aggregate_state(df, ["k"], {"var": ("var", "v")})
+    got = {r["k"]: r["var"] for r in finalize_state(state, ["k"], {"var": ("var", "v")}).collect()}
+    # all-null group: NULL variance (matching Spark/DuckDB var_pop over
+    # no values), not the 0.0 clamp
+    assert got["a"] is None
+    assert got["b"] == pytest.approx(1.0)
+
+
+def test_profile_empty_columns_means_no_columns(spark):
+    from graphique_spark.operators.profile import profile
+
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    assert profile(df, columns=[]).count() == 0
+    assert profile(df).count() == 2
+
+
+def test_range_join_rejects_nonpositive_bucket_width(spark):
+    from graphique_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(1.0,)], "p double")
+    ranges = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    for width in (0.0, -1.0):
+        with pytest.raises(ValueError, match="bucket_width"):
+            range_join(points, ranges, "p", "lo", "hi", bucket_width=width)
+
+
+def test_run_ids_nan_run_spans_partitions(spark):
+    # an all-NaN run crossing repartitionByRange boundaries must stay ONE
+    # run: the partition-boundary comparison mirrors eqNullSafe (NaN==NaN),
+    # not Python's nan != nan
+    rows = [(i, float("nan")) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    runs = with_run_ids(df, ["v"], ["id"])
+    assert runs.agg(F.count_distinct("_run")).first()[0] == 1
+    # and None runs too (regression guard for the same code path)
+    rows = [(i, None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    assert with_run_ids(df, ["v"], ["id"]).agg(F.count_distinct("_run")).first()[0] == 1
+
+
+def test_det_salt_spreads_duplicate_hot_rows(spark):
+    # fully duplicate hot-key rows must NOT all hash to one salt, or the
+    # skewed key still lands on a single reducer after salting
+    from graphique_spark.operators.skew import _det_salt
+
+    hot = spark.createDataFrame([("hot", 1)] * 640, "k string, v long").repartition(8)
+    n_salts = hot.select(_det_salt(hot, 8).alias("s")).agg(F.count_distinct("s")).first()[0]
+    assert n_salts > 1
+    # map-typed columns are unhashable by xxhash64: skipped, not crashed
+    m = spark.createDataFrame([({"a": 1}, 2)], "m map<string,long>, v long")
+    assert m.select(_det_salt(m, 8).alias("s")).first()["s"] in range(8)
+
+
+def test_rank_filter_column_named_dash(spark):
+    # "--x" = descending on a column literally named "-x"; lstrip("-")
+    # would have resolved it to a nonexistent column "x"
+    from graphique_spark.operators.topk import rank_filter
+
+    df = spark.createDataFrame([(1,), (3,), (3,), (2,)], "`-x` long")
+    got = sorted(r["-x"] for r in rank_filter(df, ["--x"], rank=2).collect())
+    assert got == [3, 3]

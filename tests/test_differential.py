@@ -1015,3 +1015,130 @@ def test_runs_matches_duckdb_gaps_and_islands(spark, rows, use_split):
     finally:
         con.close()
     assert got == want, (use_split, got, want)
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketed point-in-interval) vs DuckDB's native inequality join
+
+
+range_points = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-20, 20)),
+        st.one_of(st.none(), st.floats(-20, 20, allow_nan=False).map(lambda v: round(v, 2))),
+    ),
+    min_size=0,
+    max_size=15,
+)
+range_intervals = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(-20, 20, allow_nan=False).map(lambda v: round(v, 2))),
+        st.one_of(st.none(), st.floats(-20, 20, allow_nan=False).map(lambda v: round(v, 2))),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    pts=range_points,
+    ivs=range_intervals,
+    width=st.sampled_from([0.5, 1.0, 3.0, 7.5, 40.0]),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_range_join_matches_duckdb_inequality(spark, pts, ivs, width, how):
+    """Bucketed range_join vs DuckDB's raw `p >= lo AND p <= hi` join for
+    every supported how, over points/bounds with nulls, negatives, shared
+    boundary values, and bucket widths from much-finer to much-coarser than
+    the intervals. The bucket explode + residual BETWEEN must be invisible:
+    identical matched pairs, identical null-extension, no duplicates."""
+    import duckdb
+
+    from graphique_spark.operators.rangejoin import range_join
+
+    pdata = [(i, p) for i, (_, p) in enumerate(pts)]
+    # point values can repeat; intervals can be inverted (lo > hi) or null
+    rdata = [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)]
+    points = spark.createDataFrame(pdata, "pid int, p double")
+    ranges = spark.createDataFrame(rdata, "rid int, lo double, hi double")
+    out = range_join(points, ranges, "p", "lo", "hi", bucket_width=width, how=how)
+    if how in ("semi", "anti"):
+        got = sorted(r["pid"] for r in out.collect())
+    else:
+        got = sorted((r["pid"], r["rid"]) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({
+        "pid": [d[0] for d in pdata],
+        "p": pd.array([d[1] for d in pdata], dtype="Float64"),
+    }))
+    con.register("ivs", pd.DataFrame({
+        "rid": [d[0] for d in rdata],
+        "lo": pd.array([d[1] for d in rdata], dtype="Float64"),
+        "hi": pd.array([d[2] for d in rdata], dtype="Float64"),
+    }))
+    sql = {
+        "inner": "SELECT pid, rid FROM pts JOIN ivs ON p >= lo AND p <= hi",
+        "left": "SELECT pid, rid FROM pts LEFT JOIN ivs ON p >= lo AND p <= hi",
+        "semi": "SELECT pid FROM pts WHERE EXISTS (SELECT 1 FROM ivs WHERE p >= lo AND p <= hi)",
+        "anti": "SELECT pid FROM pts WHERE NOT EXISTS (SELECT 1 FROM ivs WHERE p >= lo AND p <= hi)",
+    }[how]
+    want = sorted(tuple(r) if how in ("inner", "left") else r[0] for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# top_k / rank_filter vs DuckDB window functions
+
+
+topk_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=topk_rows,
+    k=st.integers(1, 5),
+    desc=st.booleans(),
+    dense=st.booleans(),
+    grouped=st.booleans(),
+)
+def test_rank_filter_matches_duckdb_rank(spark, rows, k, desc, dense, grouped):
+    """rank_filter (global = distinct-tuple semi-join, per-group = keyed
+    window) vs DuckDB RANK()/DENSE_RANK() <= k, with duplicate and NULL sort
+    keys in both directions. The global path's TakeOrderedAndProject +
+    semi-join shape must keep exactly the window-rank tie semantics."""
+    import duckdb
+
+    from graphique_spark.operators.topk import rank_filter
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, g int, v int")
+    by = ["-v"] if desc else ["v"]
+    out = rank_filter(df, by, rank=k, dense=dense, over=["g"] if grouped else ())
+    got = sorted(r["id"] for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({
+        "id": [d[0] for d in data],
+        "g": pd.array([d[1] for d in data], dtype="Int64"),
+        "v": pd.array([d[2] for d in data], dtype="Int64"),
+    }))
+    fn = "DENSE_RANK" if dense else "RANK"
+    # Spark windows default NULLS FIRST asc / NULLS LAST desc; DuckDB
+    # defaults NULLS LAST everywhere, so spell it out
+    order = "v DESC NULLS LAST" if desc else "v ASC NULLS FIRST"
+    part = "PARTITION BY g " if grouped else ""
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM (SELECT id, {fn}() OVER ({part}ORDER BY {order}) rk FROM t) WHERE rk <= {k}"
+        ).fetchall()
+    )
+    assert got == want

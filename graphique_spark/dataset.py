@@ -247,9 +247,13 @@ class Dataset:
         duplicated rows."""
         on = list(on) or self.column_names()
         if keep is None:
-            counted = self.df.groupBy(*on).count()
-            uniq = counted.filter(F.col("count") == 1).drop("count")
-            return self._wrap(self.df.join(uniq, on=on, how="semi"))
+            # window count, not groupBy+semi-join: a plain equi semi join
+            # never matches NULL key values, silently dropping null-keyed
+            # singleton groups (NULL is a group, like Arrow/DuckDB), and
+            # the window is one shuffle where the join shape costs two
+            w_n = Window.partitionBy(*on)
+            out = self.df.withColumn("__n", F.count(F.lit(1)).over(w_n))
+            return self._wrap(out.filter(F.col("__n") == 1).drop("__n"))
         keys = sort_keys(order_by) if order_by else [F.monotonically_increasing_id()]
         if keep == "last":
             # reverse each key's direction by flipping its '-' prefix --

@@ -1142,3 +1142,331 @@ def test_rank_filter_matches_duckdb_rank(spark, rows, k, desc, dense, grouped):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# apply_cdc vs a brute-force fold
+
+cdc_base = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(-5, 5)),
+    ),
+    min_size=0,
+    max_size=10,
+)
+cdc_log = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.integers(0, 3),
+        st.one_of(st.none(), st.sampled_from(["insert", "update", "delete"])),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(base_rows=cdc_base, log_rows=cdc_log)
+def test_apply_cdc_matches_bruteforce_fold(spark, base_rows, log_rows):
+    """apply_cdc vs a driver-side reference fold: per null-safe key the
+    max-(seq, op, payload) log row wins (Spark struct-max = field-by-field,
+    NULL smallest), only an explicit 'delete' removes, a NULL op must keep
+    the row, and duplicate/NULL base keys follow the touched set together.
+    The small seq range forces ties so the struct tie-break is exercised."""
+    from graphique_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(base_rows, "k int, v int")
+    log = spark.createDataFrame(log_rows, "k int, v int, seq int, op string")
+    got = sorted(
+        ((r["k"], r["v"]) for r in apply_cdc(base, log, ["k"]).collect()),
+        key=repr,
+    )
+
+    # reference fold: Spark struct comparison orders NULL before any value
+    def null_first(x):
+        return (x is not None, x)
+
+    latest: dict = {}
+    for k, v, seq, op in log_rows:
+        key = (null_first(seq), null_first(op), null_first(v))
+        if k not in latest or key > latest[k][0]:
+            latest[k] = (key, op, v)
+    want = [(k, v) for k, v in base_rows if k not in latest]
+    want += [(k, v) for k, (_, op, v) in latest.items() if op != "delete"]
+    assert got == sorted(want, key=repr)
+
+
+# ---------------------------------------------------------------------------
+# Dataset.distinct keep first/last/None (+counts) vs a brute-force grouper
+
+distinct_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=distinct_rows,
+    keep=st.sampled_from(["first", "last", None]),
+    desc=st.booleans(),
+    counts=st.booleans(),
+)
+def test_distinct_keep_matches_bruteforce(spark, rows, keep, desc, counts):
+    """Dataset.distinct vs a per-group reference: keep='first'/'last' under
+    an order_by made deterministic by the unique id tiebreak (Spark asc =
+    NULLS FIRST, desc = NULLS LAST — the keep='last' prefix-flip must
+    reverse BOTH direction and null placement), keep=None drops every
+    duplicated group outright, counts adds the full group size."""
+    from graphique_spark.dataset import Dataset
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, g int, v int")
+    order = ["-v", "id"] if desc else ["v", "id"]
+    out = Dataset(df).distinct(
+        on=["g"], keep=keep, counts="n" if counts and keep else None,
+        order_by=order if keep else (),
+    ).df
+    cols = ["id", "g", "v"] + (["n"] if counts and keep else [])
+    got = sorted((tuple(r[c] for c in cols) for r in out.collect()), key=repr)
+
+    groups: dict = {}
+    for i, g, v in data:
+        groups.setdefault(g, []).append((i, g, v))
+    want = []
+    for g, members in groups.items():
+        if keep is None:
+            if len(members) == 1:
+                want.append(members[0])
+            continue
+        # asc: NULLS FIRST then value; desc: negate with NULLS LAST
+        members.sort(
+            key=lambda r: ((r[2] is None, -(r[2] or 0)) if desc else (r[2] is not None, r[2] or 0), r[0])
+        )
+        pick = members[0] if keep == "first" else members[-1]
+        want.append(pick + (len(members),) if counts else pick)
+    assert got == sorted(want, key=repr)
+
+
+# ---------------------------------------------------------------------------
+# Dataset.unnest (offset, keep_empty) vs a brute-force exploder
+
+unnest_rows = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.integers(-3, 3)), max_size=3),
+        ),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=unnest_rows, offset=st.booleans(), keep_empty=st.booleans())
+def test_unnest_matches_bruteforce(spark, rows, offset, keep_empty):
+    """Dataset.unnest vs a reference exploder: NULL *elements* always emit
+    a row, NULL/empty *arrays* emit nothing unless keep_empty (then one
+    all-null row with NULL position), and offset numbers elements 0-based
+    per input row."""
+    from graphique_spark.dataset import Dataset
+
+    data = [(i, arr) for i, (_, arr) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, arr array<int>")
+    out = Dataset(df).unnest("arr", offset="pos" if offset else None,
+                             keep_empty=keep_empty).df
+    cols = ["id"] + (["pos"] if offset else []) + ["arr"]
+    assert [c for c in out.columns] == cols
+    got = sorted((tuple(r[c] for c in cols) for r in out.collect()), key=repr)
+
+    want = []
+    for i, arr in data:
+        if not arr:  # None or []
+            if keep_empty:
+                want.append((i, None, None) if offset else (i, None))
+            continue
+        for p, el in enumerate(arr):
+            want.append((i, p, el) if offset else (i, el))
+    assert got == sorted(want, key=repr)
+
+
+# ---------------------------------------------------------------------------
+# string function surface vs Python str semantics (the reference's contract:
+# capitalize = first-upper-rest-lower, find = str.find 0-based/-1, split =
+# literal separator — graphique_spark/functions/strings.py docstring)
+
+_STR_ALPHABET = " abxyzXY,.é"
+str_values = st.lists(
+    st.one_of(st.none(), st.text(alphabet=_STR_ALPHABET, max_size=8)),
+    min_size=1,
+    max_size=8,
+)
+_needles = st.text(alphabet="abxy,.", min_size=1, max_size=3)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=str_values,
+    needle=_needles,
+    sep=_needles,
+    chars=st.text(alphabet=" xz.", min_size=1, max_size=3),
+    width=st.integers(0, 8),
+    fill=st.sampled_from(["x", "xy", " "]),
+)
+def test_string_functions_match_python(spark, vals, needle, sep, chars, width, fill):
+    """Every strings.py function vs the Python str oracle on the same
+    values: capitalize whole-string (NOT initcap), find 0-based/-1, literal
+    split (regex metacharacters in the separator must be inert), strip
+    char-sets, lpad/rpad truncating fill-cycles (Postgres/DuckDB shape),
+    literal replace, and NULL propagation through all of them."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions import strings as S
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    c = F.col("s")
+    out = df.select(
+        S.capitalize(c).alias("cap"),
+        S.contains(c, needle).alias("has"),
+        S.startswith(c, needle).alias("pre"),
+        S.endswith(c, needle).alias("suf"),
+        S.find(c, needle).alias("idx"),
+        S.length(c).alias("len"),
+        S.lower(c).alias("lo"),
+        S.upper(c).alias("hi"),
+        S.reverse(c).alias("rev"),
+        S.split(c, sep).alias("parts"),
+        S.replace(c, needle, "Z").alias("rep"),
+        S.strip(c, chars).alias("st"),
+        S.lstrip(c, chars).alias("lst"),
+        S.rstrip(c, chars).alias("rst"),
+        S.strip(c).alias("ws"),
+        S.lpad(c, width, fill).alias("lp"),
+        S.rpad(c, width, fill).alias("rp"),
+    ).collect()
+
+    def pad(s, left):
+        if len(s) >= width:
+            return s[:width]
+        p = (fill * width)[: width - len(s)]
+        return p + s if left else s + p
+
+    for v, row in zip(vals, out):
+        if v is None:
+            assert all(row[k] is None for k in row.asDict()), row
+            continue
+        want = {
+            "cap": v[:1].upper() + v[1:].lower(),
+            "has": needle in v,
+            "pre": v.startswith(needle),
+            "suf": v.endswith(needle),
+            "idx": v.find(needle),
+            "len": len(v),
+            "lo": v.lower(),
+            "hi": v.upper(),
+            "rev": v[::-1],
+            "parts": v.split(sep),
+            "rep": v.replace(needle, "Z"),
+            "st": v.strip(chars),
+            "lst": v.lstrip(chars),
+            "rst": v.rstrip(chars),
+            "ws": v.strip(),
+            "lp": pad(v, True),
+            "rp": pad(v, False),
+        }
+        got = {k: row[k] for k in want}
+        assert got == want, (v, {k: (got[k], want[k]) for k in want if got[k] != want[k]})
+
+
+# ---------------------------------------------------------------------------
+# temporal function surface vs Python datetime semantics (UTC session tz)
+
+ts_values = st.lists(
+    st.datetimes(
+        min_value=pd.Timestamp("1971-01-01").to_pydatetime(),
+        max_value=pd.Timestamp("2035-12-31").to_pydatetime(),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(vals=ts_values, unit=st.sampled_from(["second", "minute", "hour", "day"]))
+def test_temporal_functions_match_python(spark, vals, unit):
+    """temporal.py vs the Python datetime oracle at microsecond resolution:
+    calendar parts (ISO week numbering), epoch seconds in the UTC session
+    tz, sub-second extraction, C-style strftime translation, every truncate
+    unit (week = Monday), delta truncating toward zero for sub-month units,
+    and the µs-since-midnight time representation + its TIME roundtrip."""
+    import calendar
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions import temporal as T
+
+    anchor = vals[0]
+    df = spark.createDataFrame([(v,) for v in vals], "t timestamp")
+    c = F.col("t")
+    out = df.select(
+        T.day(c).alias("d"), T.month(c).alias("mo"), T.year(c).alias("y"),
+        T.hour(c).alias("h"), T.minute(c).alias("mi"), T.second(c).alias("s"),
+        T.day_of_year(c).alias("doy"), T.quarter(c).alias("q"),
+        T.week_of_year(c).alias("wk"),
+        T.epoch_seconds(c).alias("ep"),
+        T.microsecond(c).alias("us"), T.millisecond(c).alias("ms"),
+        T.strftime(c, "%Y-%m-%dT%H:%M:%S").alias("iso"),
+        T.strftime(c, "%j %B").alias("jb"),
+        *[T.truncate(c, u).alias(f"tr_{u}") for u in
+          ("year", "quarter", "month", "week", "day", "hour", "minute", "second")],
+        T.delta(F.lit(anchor), c, unit).alias("dl"),
+        T.time_of_day(c).alias("tod"),
+        T.time_string(c).alias("tstr"),
+        T.time_to_micros(T.micros_to_time(T.time_of_day(c))).alias("trip"),
+    ).collect()
+
+    unit_us = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * 10**6
+
+    for v, row in zip(vals, out):
+        tod = (v.hour * 3600 + v.minute * 60 + v.second) * 10**6 + v.microsecond
+        diff_us = (
+            calendar.timegm(v.timetuple()) * 10**6 + v.microsecond
+            - calendar.timegm(anchor.timetuple()) * 10**6 - anchor.microsecond
+        )
+        trunc = {
+            "year": v.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0),
+            "quarter": v.replace(month=(v.month - 1) // 3 * 3 + 1, day=1, hour=0,
+                                 minute=0, second=0, microsecond=0),
+            "month": v.replace(day=1, hour=0, minute=0, second=0, microsecond=0),
+            "week": (v - timedelta(days=v.weekday())).replace(hour=0, minute=0,
+                                                              second=0, microsecond=0),
+            "day": v.replace(hour=0, minute=0, second=0, microsecond=0),
+            "hour": v.replace(minute=0, second=0, microsecond=0),
+            "minute": v.replace(second=0, microsecond=0),
+            "second": v.replace(microsecond=0),
+        }
+        want = {
+            "d": v.day, "mo": v.month, "y": v.year, "h": v.hour, "mi": v.minute,
+            "s": v.second, "doy": v.timetuple().tm_yday, "q": (v.month - 1) // 3 + 1,
+            "wk": v.isocalendar()[1],
+            "ep": calendar.timegm(v.timetuple()),
+            "us": v.microsecond, "ms": v.microsecond // 1000,
+            "iso": v.strftime("%Y-%m-%dT%H:%M:%S"),
+            "jb": v.strftime("%j") + " " + v.strftime("%B"),
+            **{f"tr_{u}": t for u, t in trunc.items()},
+            "dl": int(diff_us / unit_us),  # int() truncates toward zero
+            "tod": tod,
+            "tstr": f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}.{v.microsecond:06d}",
+            "trip": tod,
+        }
+        got = {k: row[k] for k in want}
+        assert got == want, (v, {k: (got[k], want[k]) for k in want if got[k] != want[k]})

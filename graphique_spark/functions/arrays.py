@@ -92,20 +92,27 @@ def arr_index(col: Column, value) -> Column:
 
 
 def value_at(col: Column, offset: int) -> Column:
-    """Element at 0-based offset; negative offsets count from the end."""
-    return F.get(col, offset) if offset >= 0 else F.element_at(col, offset)
+    """Element at 0-based offset; negative offsets count from the end.
+    Out of bounds is NULL in both directions (reference test_models.py
+    value/index pins) — plain ``element_at`` RAISES under ANSI mode for a
+    negative index past the start, so the try_ form is load-bearing."""
+    return F.get(col, offset) if offset >= 0 else F.try_element_at(col, F.lit(offset))
 
 
 def arr_slice(col: Column, offset: int = 0, limit: int | None = None) -> Column:
     """0-based slice with optional length; negative offset from the end
     (reference test_models.py:149-151)."""
-    start = offset + 1 if offset >= 0 else offset
-    if limit is not None:
-        length = F.lit(limit)
-    elif offset >= 0:
-        length = F.greatest(F.size(col) - offset, F.lit(0))
+    if offset >= 0:
+        start: Column | int = offset + 1
+        length = F.lit(limit) if limit is not None else F.greatest(
+            F.size(col) - offset, F.lit(0)
+        )
     else:
-        length = F.lit(-offset)
+        # clamp a negative offset past the start to the array head (Python
+        # slice semantics: [1,2,3][-5:] == [1,2,3]) — a raw negative start
+        # handed to F.slice returns [] once |offset| exceeds the length
+        start = F.greatest(F.size(col) + offset, F.lit(0)) + 1
+        length = F.lit(limit) if limit is not None else F.lit(-offset)
     return F.slice(col, start, length)
 
 

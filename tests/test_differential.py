@@ -1470,3 +1470,84 @@ def test_temporal_functions_match_python(spark, vals, unit):
         }
         got = {k: row[k] for k in want}
         assert got == want, (v, {k: (got[k], want[k]) for k in want if got[k] != want[k]})
+
+
+# ---------------------------------------------------------------------------
+# array function surface vs Python list semantics
+
+arr_values = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.one_of(st.none(), st.integers(-3, 3)), max_size=4),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=arr_values,
+    needle=st.integers(-3, 3),
+    offset=st.integers(-5, 5),
+    limit=st.one_of(st.none(), st.integers(0, 5)),
+)
+def test_array_functions_match_python(spark, vals, needle, offset, limit):
+    """arrays.py vs a Python oracle over nullable elements AND nullable
+    arrays: Kleene alls/anys, null-skipping sums/means/mins/maxs, modes
+    tie-break by (count, element), three-valued contains, 0-based index
+    with -1-absent, value_at negative offsets (out-of-bounds = NULL, never
+    an ANSI error), Python-clamping slice, and null-skipping join."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions import arrays as A
+
+    df = spark.createDataFrame([(v,) for v in vals], "a array<int>")
+    c = F.col("a")
+    out = df.select(
+        A.alls(c.cast("array<boolean>")).alias("al"),
+        A.anys(c.cast("array<boolean>")).alias("an"),
+        A.arr_length(c).alias("n"),
+        A.maxs(c).alias("mx"), A.mins(c).alias("mn"),
+        A.sums(c).alias("sm"), A.means(c).alias("me"),
+        A.modes(c).alias("md"),
+        A.arr_contains(c, needle).alias("has"),
+        A.arr_index(c, needle).alias("idx"),
+        A.value_at(c, offset).alias("at"),
+        A.arr_slice(c, offset, limit).alias("sl"),
+        A.arr_join(c.cast("array<string>"), ",").alias("j"),
+    ).collect()
+
+    for v, row in zip(vals, out):
+        if v is None:
+            assert all(row[k] is None for k in row.asDict()), row
+            continue
+        nn = [x for x in v if x is not None]
+        bools = [None if x is None else bool(x) for x in v]
+        # Kleene: any false decides alls, any true decides anys; else
+        # a null element makes the answer unknown
+        al = False if False in bools else (None if None in bools else True)
+        an = True if True in bools else (None if None in bools else False)
+        if offset >= 0:
+            at = v[offset] if offset < len(v) else None
+        else:
+            at = v[offset] if -offset <= len(v) else None
+        lo = max(len(v) + offset, 0) if offset < 0 else offset
+        sl = v[lo:] if limit is None else v[lo:lo + limit]
+        if offset < 0 and limit is None:
+            sl = sl[: -offset]
+        want = {
+            "al": al, "an": an, "n": len(v),
+            "mx": max(nn, default=None), "mn": min(nn, default=None),
+            "sm": float(sum(nn)) if nn else None,
+            "me": sum(nn) / len(nn) if nn else None,
+            "md": max(((nn.count(x), x) for x in set(nn)), default=(0, None))[1],
+            "has": True if needle in v else (None if None in v else False),
+            "idx": v.index(needle) if needle in v else -1,
+            "at": at,
+            "sl": sl,
+            "j": ",".join(str(x) for x in nn),
+        }
+        got = {k: row[k] for k in want}
+        assert got == want, (v, offset, limit,
+                             {k: (got[k], want[k]) for k in want if got[k] != want[k]})

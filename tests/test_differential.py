@@ -1551,3 +1551,167 @@ def test_array_functions_match_python(spark, vals, needle, offset, limit):
         got = {k: row[k] for k in want}
         assert got == want, (v, offset, limit,
                              {k: (got[k], want[k]) for k in want if got[k] != want[k]})
+
+
+# ---------------------------------------------------------------------------
+# numeric bucket (ibis-bucket semantics) vs an independent bisect oracle,
+# and the cumulative window functions vs a running fold
+
+bucket_edges = st.lists(
+    st.integers(-6, 6), min_size=2, max_size=5, unique=True
+).map(sorted)
+
+
+def _bisect_bucket(x, edges, closed, close_extreme, under, over):
+    """Independent oracle: binary-search the half-open interval grid, then
+    patch the close_extreme outermost edge and the under/over catch-alls
+    (NOT the when-chain shape the implementation uses)."""
+    import bisect
+
+    n = len(edges) - 1
+    base = 1 if under else 0
+    if closed == "left":
+        if edges[0] <= x < edges[-1]:
+            return bisect.bisect_right(edges, x) - 1 + base
+        if x == edges[-1] and close_extreme:
+            return n - 1 + base
+    else:
+        if edges[0] < x <= edges[-1]:
+            return bisect.bisect_left(edges, x) - 1 + base
+        if x == edges[0] and close_extreme:
+            return base
+    if under and (x < edges[0] or (x == edges[0] and closed == "right" and not close_extreme)):
+        return 0
+    if over and (x > edges[-1] or (x == edges[-1] and closed == "left" and not close_extreme)):
+        return n + base
+    return None
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-8, 8)), min_size=1, max_size=20),
+    edges=bucket_edges,
+    closed=st.sampled_from(["left", "right"]),
+    close_extreme=st.booleans(),
+    under=st.booleans(),
+    over=st.booleans(),
+)
+def test_bucket_matches_bisect_oracle(spark, vals, edges, closed,
+                                      close_extreme, under, over):
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions.numeric import bucket
+
+    data = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id int, v int")
+    out = df.select(
+        "id",
+        bucket(F.col("v"), edges, closed, close_extreme, under, over).alias("b"),
+    ).collect()
+    got = {r["id"]: r["b"] for r in out}
+    for i, v in data:
+        want = None if v is None else _bisect_bucket(
+            v, edges, closed, close_extreme, under, over
+        )
+        assert got[i] == want, (v, edges, closed, close_extreme, under, over,
+                                got[i], want)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=15))
+def test_cumulatives_match_running_fold(spark, vals):
+    """cumsum/cummean/cummax/cummin vs a running fold: rows-frame prefix
+    aggregates in id order, NULLs skipped (not poisoning) but still
+    emitting a row, leading NULLs giving NULL prefixes."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.functions import numeric as N
+
+    data = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id int, v int")
+    out = df.select(
+        "id",
+        N.cumsum(F.col("v"), ["id"]).alias("cs"),
+        N.cummean(F.col("v"), ["id"]).alias("cme"),
+        N.cummax(F.col("v"), ["id"]).alias("cmx"),
+        N.cummin(F.col("v"), ["id"]).alias("cmn"),
+    ).collect()
+    got = {r["id"]: (r["cs"], r["cme"], r["cmx"], r["cmn"]) for r in out}
+    seen = []
+    for i, v in data:
+        if v is not None:
+            seen.append(v)
+        want = (
+            sum(seen) if seen else None,
+            sum(seen) / len(seen) if seen else None,
+            max(seen, default=None),
+            min(seen, default=None),
+        )
+        assert got[i] == want, (i, vals, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# group(order:) first-seen ordering, take positional, slice negative offset
+# vs order-preserving folds
+
+rowvals = st.lists(
+    st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(-5, 5))),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rowvals, counts=st.booleans())
+def test_group_first_seen_matches_fold(spark, rows, counts):
+    """group(order:) vs an insertion-ordered fold: groups come back sorted
+    by their first row index (the two-phase zipWithIndex path, no global
+    sort), with null-skipping sums and group sizes riding along."""
+    from graphique_spark.dataset import Dataset
+    from graphique_spark.inputs import Agg
+
+    df = spark.createDataFrame(rows, "g int, v int")
+    out = Dataset(df).group(
+        by=["g"], aggregate=[Agg("sum", "v", alias="sv")],
+        counts="n" if counts else None, order="ord",
+    ).df.collect()
+    got = [(r["g"], r["sv"]) + ((r["n"],) if counts else ()) + (r["ord"],) for r in out]
+
+    folded: dict = {}
+    for i, (g, v) in enumerate(rows):
+        ent = folded.setdefault(g, {"sv": None, "n": 0, "ord": i})
+        ent["n"] += 1
+        if v is not None:
+            ent["sv"] = (ent["sv"] or 0) + v
+    want = [
+        (g, e["sv"]) + ((e["n"],) if counts else ()) + (e["ord"],)
+        for g, e in sorted(folded.items(), key=lambda kv: kv[1]["ord"])
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(st.integers(-9, 9), min_size=1, max_size=12),
+    data=st.data(),
+)
+def test_take_and_slice_match_python(spark, rows, data):
+    """take = pyarrow take semantics (duplicates repeat, request order
+    preserved); slice = contiguous rows with Python negative-offset
+    counting from the end."""
+    from graphique_spark.dataset import Dataset
+
+    n = len(rows)
+    indices = data.draw(st.lists(st.integers(0, n - 1), max_size=10))
+    offset = data.draw(st.integers(-n - 2, n + 2))
+    limit = data.draw(st.one_of(st.none(), st.integers(0, n + 2)))
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], "id int, v int")
+    ds = Dataset(df)
+    got_take = [r["id"] for r in ds.take(indices).df.collect()]
+    assert got_take == indices
+
+    got_slice = [r["id"] for r in ds.slice(offset, limit).df.collect()]
+    start = max(n + offset, 0) if offset < 0 else offset
+    want_ids = list(range(n))[start:] if limit is None else list(range(n))[start:start + limit]
+    assert got_slice == want_ids, (offset, limit, got_slice, want_ids)

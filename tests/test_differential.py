@@ -1715,3 +1715,117 @@ def test_take_and_slice_match_python(spark, rows, data):
     start = max(n + offset, 0) if offset < 0 else offset
     want_ids = list(range(n))[start:] if limit is None else list(range(n))[start:start + limit]
     assert got_slice == want_ids, (offset, limit, got_slice, want_ids)
+
+
+# ---------------------------------------------------------------------------
+# data-quality validate vs a brute-force rule checker
+
+quality_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-4, 4)),
+        st.one_of(st.none(), st.text(alphabet="abcx", max_size=3)),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=quality_rows,
+    lo=st.integers(-3, 0),
+    hi=st.integers(0, 3),
+    allowed=st.lists(st.integers(-4, 4), min_size=1, max_size=4),
+    refvals=st.lists(st.integers(-4, 4), min_size=0, max_size=5),
+)
+def test_quality_validate_matches_bruteforce(spark, rows, lo, hi, allowed, refvals):
+    """validate() vs a per-rule brute force: NULLs violate range/regexp/
+    isin/foreign_key (never silently pass), unique counts surplus rows per
+    duplicated key with NULL as a key value, predicate NULLs coalesce to
+    violations, and the report keeps the declared rule order."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.operators.quality import Rule, validate
+
+    df = spark.createDataFrame(rows, "v int, s string")
+    ref = spark.createDataFrame([(x,) for x in refvals], "v int")
+    rules = [
+        Rule("r0", "not_null", column="v"),
+        Rule("r1", "in_range", column="v", lo=lo, hi=hi),
+        Rule("r2", "matches", column="s", pattern="[ab]+"),
+        Rule("r3", "isin", column="v", values=allowed),
+        Rule("r4", "predicate", expr=F.col("v") > 0),
+        Rule("r5", "unique", columns=["v"]),
+        Rule("r6", "foreign_key", column="v", ref=ref, ref_column="v"),
+    ]
+    got = [
+        (r["rule"], r["violations"], r["checked"], r["passed"])
+        for r in validate(df, rules).collect()
+    ]
+
+    import re
+
+    n = len(rows)
+    vs = [v for v, _ in rows]
+    ss = [s for _, s in rows]
+    groups: dict = {}
+    for v in vs:
+        groups[v] = groups.get(v, 0) + 1
+    viol = {
+        "r0": sum(v is None for v in vs),
+        "r1": sum(v is None or not (lo <= v <= hi) for v in vs),
+        "r2": sum(s is None or not re.fullmatch("[ab]+", s) for s in ss),
+        "r3": sum(v is None or v not in allowed for v in vs),
+        "r4": sum(not (v is not None and v > 0) for v in vs),
+        "r5": sum(c - 1 for c in groups.values() if c > 1),
+        "r6": sum(v is None or v not in refvals for v in vs),
+    }
+    want = [(k, viol[k], n, viol[k] == 0) for k in sorted(viol)]
+    assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a brute-force multiset classifier
+
+diff_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.sampled_from(["", "a", "b"])),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(old_rows=diff_rows, new_rows=diff_rows, include_unchanged=st.booleans())
+def test_snapshot_diff_matches_bruteforce(spark, old_rows, new_rows, include_unchanged):
+    """snapshot_diff vs a Python multiset classifier: NULL keys must match
+    each other (never read as added+removed), NULL values stay distinct
+    from empty string, and duplicate keys compare as fingerprint multisets
+    (a copy count change alone reads as changed)."""
+    from graphique_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(old_rows, "k int, v string")
+    new = spark.createDataFrame(new_rows, "k int, v string")
+    out = snapshot_diff(old, new, ["k"], include_unchanged=include_unchanged)
+    got = sorted(((r["k"], r["change"]) for r in out.collect()), key=repr)
+
+    def multisets(rows):
+        m: dict = {}
+        for k, v in rows:
+            m.setdefault(k, []).append(v)
+        return {k: sorted(vs, key=repr) for k, vs in m.items()}
+
+    om, nm = multisets(old_rows), multisets(new_rows)
+    want = []
+    for k in set(om) | set(nm):
+        if k not in nm:
+            want.append((k, "removed"))
+        elif k not in om:
+            want.append((k, "added"))
+        elif om[k] != nm[k]:
+            want.append((k, "changed"))
+        elif include_unchanged:
+            want.append((k, "unchanged"))
+    assert got == sorted(want, key=repr)

@@ -1829,3 +1829,47 @@ def test_snapshot_diff_matches_bruteforce(spark, old_rows, new_rows, include_unc
         elif include_unchanged:
             want.append((k, "unchanged"))
     assert got == sorted(want, key=repr)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH: exact duplicates are ALWAYS candidates, and every reported
+# jaccard equals the exact shingle-set jaccard
+
+mh_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=1, max_size=30), min_size=2, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=mh_texts, dup_of=st.integers(0, 10**6))
+def test_minhash_exact_dupes_always_candidates(spark, texts, dup_of):
+    """The LSH pigeonhole guarantee: identical texts have identical
+    signatures, so every band key collides and the pair MUST surface as a
+    candidate with jaccard exactly 1.0 — and every reported jaccard must
+    equal the exact shingle-set jaccard (the banding only prunes, never
+    distorts)."""
+    from graphique_spark.llm.dedup import minhash_candidates
+
+    k = 5
+    planted = texts[dup_of % len(texts)]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), planted)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_candidates(df, k=k).collect()
+    }
+
+    def shingles(t):
+        return {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    sets = {i: shingles(t) for i, t in rows}
+    # recall guarantee on exact dupes
+    for i, ti in rows:
+        for j, tj in rows:
+            if i < j and ti == tj:
+                assert got.get((i, j)) == 1.0, (i, j, got)
+    # precision of the reported metric on every surfaced pair
+    for (a, b), jac in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert jac == inter / union, (a, b, jac, inter, union)

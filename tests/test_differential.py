@@ -1873,3 +1873,94 @@ def test_minhash_exact_dupes_always_candidates(spark, texts, dup_of):
         inter = len(sets[a] & sets[b])
         union = len(sets[a] | sets[b])
         assert jac == inter / union, (a, b, jac, inter, union)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT path extraction vs a Python json oracle
+
+_leaf = st.one_of(
+    st.integers(-1000, 1000),
+    st.text(alphabet="abc", max_size=4),
+    st.booleans(),
+)
+_doc = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(
+        _leaf,
+        st.lists(_leaf, max_size=3),
+        st.dictionaries(st.sampled_from(["x", "y"]), _leaf, max_size=2),
+    ),
+    max_size=3,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=6), data=st.data())
+def test_variant_paths_match_json_oracle(spark, docs, data):
+    """shred_variant / variant_field vs Python dict navigation: typed leaf
+    extraction at $.k, $.k.x and $.k[i], missing paths and type mismatches
+    yielding NULL (never an error) in the non-strict default."""
+    import json
+
+    from graphique_spark.functions.variant import shred_variant, to_variant
+
+    key = data.draw(st.sampled_from(["a", "b", "c"]))
+    sub = data.draw(st.sampled_from(["x", "y"]))
+    idx = data.draw(st.integers(0, 2))
+
+    rows = [(i, json.dumps(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, js string").select(
+        "id", to_variant("js").alias("v")
+    )
+    fields = {
+        "f_int": (f"$.{key}", "int"),
+        "f_str": (f"$.{key}", "string"),
+        "f_bool": (f"$.{key}", "boolean"),
+        "f_sub": (f"$.{key}.{sub}", "int"),
+        "f_arr": (f"$.{key}[{idx}]", "int"),
+    }
+    out = {r["id"]: r for r in shred_variant(df, "v", fields).collect()}
+
+    def as_type(v, t):
+        # try_variant_get follows SQL try_cast coercions (probed): bools
+        # cast to 1/0, numeric strings parse, everything renders as string
+        # (containers as compact JSON), non-numeric strings null out
+        if v is None:
+            return None
+        if t == "int":
+            if type(v) is bool:
+                return int(v)
+            if type(v) is int:
+                return v
+            if type(v) is str and (v.isdigit() or (v[:1] == "-" and v[1:].isdigit())):
+                return int(v)
+            return None
+        if t == "boolean":
+            if type(v) is bool:
+                return v
+            if type(v) is int:
+                return v != 0
+            return None
+        if t == "string":
+            if type(v) is bool:
+                return "true" if v else "false"
+            if isinstance(v, (dict, list)):
+                # VARIANT normalizes object key order; compare parsed
+                return ("__json__", v)
+            return str(v)
+        return None
+
+    for i, d in enumerate(docs):
+        v = d.get(key)
+        row = out[i]
+        assert row["f_int"] == as_type(v, "int"), (d, key, row["f_int"])
+        want_s = as_type(v, "string")
+        if isinstance(want_s, tuple):
+            assert json.loads(row["f_str"]) == want_s[1], (d, key, row["f_str"])
+        else:
+            assert row["f_str"] == want_s, (d, key, row["f_str"])
+        assert row["f_bool"] == as_type(v, "boolean"), (d, key, row["f_bool"])
+        sub_v = v.get(sub) if isinstance(v, dict) else None
+        assert row["f_sub"] == as_type(sub_v, "int"), (d, key, sub, row["f_sub"])
+        arr_v = v[idx] if isinstance(v, list) and idx < len(v) else None
+        assert row["f_arr"] == as_type(arr_v, "int"), (d, key, idx, row["f_arr"])

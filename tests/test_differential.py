@@ -394,7 +394,13 @@ def _win_case(shape):
     if kind == "rank":
         func, use_over, desc, zero = shape[1:]
         over = ["p"] if use_over else []
-        by = ["-o"] if desc else ["o"]
+        # ties exercised for the tie-STABLE functions (rank/denseRank/
+        # percentRank/cumeDist give equal outputs for equal keys); plain
+        # row_number assigns arbitrary distinct numbers within a tie in
+        # BOTH engines, so it needs the unique id tiebreak to be
+        # comparable (this flaked under load before the tiebreak)
+        tiebreak = [] if func != "rowNumber" else ["id"]
+        by = (["-o"] if desc else ["o"]) + tiebreak
         spec = {func: True, "over": over, "by": by, "zeroBased": zero}
         name = {
             "rowNumber": "row_number()", "rank": "rank()",

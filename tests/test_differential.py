@@ -1970,3 +1970,46 @@ def test_variant_paths_match_json_oracle(spark, docs, data):
         assert row["f_sub"] == as_type(sub_v, "int"), (d, key, sub, row["f_sub"])
         arr_v = v[idx] if isinstance(v, list) and idx < len(v) else None
         assert row["f_arr"] == as_type(arr_v, "int"), (d, key, idx, row["f_arr"])
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram vs a NumPy-style interpolated-quantile oracle
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=2, max_size=40),
+    buckets=st.integers(2, 6),
+)
+def test_equidepth_histogram_matches_quantile_oracle(spark, vals, buckets):
+    """equidepth_histogram vs a Python oracle computing the same linear
+    interpolated quantile boundaries (pos = q*(n-1), bound = lo + g*(hi-lo))
+    and the same strict-below bucket rule: identical bucket ids, per-bucket
+    min/max, and counts — including collapsed buckets under heavy ties."""
+    import math
+
+    from graphique_spark.functions.numeric import equidepth_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n"])
+        for r in equidepth_histogram(df, "x", buckets).collect()
+    )
+
+    s = sorted(vals)
+    n = len(s)
+    bounds = []
+    for i in range(1, buckets):
+        pos = (i / buckets) * (n - 1)
+        f = math.floor(pos)
+        g = pos - f
+        bounds.append(s[f] + g * (s[min(f + 1, n - 1)] - s[f]))
+    per: dict = {}
+    for v in vals:
+        b = sum(bd < v for bd in bounds)
+        ent = per.setdefault(b, [v, v, 0])
+        ent[0] = min(ent[0], v)
+        ent[1] = max(ent[1], v)
+        ent[2] += 1
+    want = sorted((b, lo, hi, c) for b, (lo, hi, c) in per.items())
+    assert got == want, (vals, buckets, bounds, got, want)

@@ -2013,3 +2013,80 @@ def test_equidepth_histogram_matches_quantile_oracle(spark, vals, buckets):
         ent[2] += 1
     want = sorted((b, lo, hi, c) for b, (lo, hi, c) in per.items())
     assert got == want, (vals, buckets, bounds, got, want)
+
+
+# ---------------------------------------------------------------------------
+# top_k (global and per-group limits) and fill/drop null vs Python folds
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.one_of(st.none(), st.integers(-9, 9))),
+        min_size=0, max_size=16,
+    ),
+    k=st.integers(0, 5),
+    desc=st.booleans(),
+    grouped=st.booleans(),
+)
+def test_top_k_matches_python_sort(spark, rows, k, desc, grouped):
+    """top_k vs a Python sort: '-' prefix = DESC NULLS LAST (asc = NULLS
+    FIRST), limit applied globally or per group, limit=0 = empty (never
+    1-per-group), the unique id tiebreak making row identity checkable."""
+    from graphique_spark.operators.topk import top_k
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, g int, v int")
+    by = ["-v", "id"] if desc else ["v", "id"]
+    out = top_k(df, by, k, ["g"] if grouped else ())
+    got = sorted(r["id"] for r in out.collect())
+
+    def key(r):
+        i, g, v = r
+        return ((v is None, -(v or 0)) if desc else (v is not None, v or 0), i)
+
+    if grouped:
+        per: dict = {}
+        for r in data:
+            per.setdefault(r[1], []).append(r)
+        want = [r[0] for rs in per.values() for r in sorted(rs, key=key)[:k]]
+    else:
+        want = [r[0] for r in sorted(data, key=key)[:k]]
+    assert got == sorted(want), (k, desc, grouped, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.integers(0, 3))),
+        min_size=0, max_size=12,
+    ),
+    fill=st.integers(-1, 9),
+    how=st.sampled_from(["any", "all"]),
+    subset=st.sampled_from([None, ["a"], ["a", "b"]]),
+)
+def test_fill_drop_null_match_python(spark, rows, fill, how, subset):
+    from graphique_spark.dataset import Dataset
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, a int, b int")
+    ds = Dataset(df)
+    filled = {
+        r["id"]: (r["a"], r["b"])
+        for r in ds.fill_null(fill, subset=subset).df.collect()
+    }
+    kept = sorted(r["id"] for r in ds.drop_null(subset=subset, how=how).df.collect())
+
+    # subset=None means ALL columns — including the never-null id, so
+    # how='all' can then never drop a row (Spark na.drop semantics)
+    cols = subset or ["id", "a", "b"]
+    for i, a, b in data:
+        wa = fill if a is None and "a" in cols else a
+        wb = fill if b is None and "b" in cols else b
+        assert filled[i] == (wa, wb), (i, filled[i], (wa, wb))
+    test = (lambda vs: any(v is None for v in vs)) if how == "any" else (
+        lambda vs: all(v is None for v in vs))
+    want = [i for i, a, b in data
+            if not test([{"id": i, "a": a, "b": b}[c] for c in cols])]
+    assert kept == want

@@ -533,10 +533,17 @@ def table_checksum(df: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     grouped = df.groupBy(*by) if by else df.groupBy()
     # DECIMAL(38) accumulator: 2^60-bounded row hashes summed over any
     # realistic row count stay < 10^38, where an int64 sum overflows (and
-    # ANSI mode turns that overflow into a runtime error) beyond ~16k rows
+    # ANSI mode turns that overflow into a runtime error) beyond ~16k rows.
+    # The PUBLISHED checksum is the sum mod 2^61, cast to int64: every
+    # consumer (pandas, Arrow, JSON) holds int64 exactly, whereas a
+    # DECIMAL(38)/HUGEINT silently lossy-casts to float64 in pandas.
+    # mod distributes over +, so commutativity / map-side combine survive.
+    total = F.sum(row_hash.cast("decimal(38,0)"))
     return grouped.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(row_hash.cast("decimal(38,0)")).cast("decimal(38,0)").alias("checksum"),
+        F.pmod(total, F.lit(1 << 61).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("checksum"),
     )
 
 

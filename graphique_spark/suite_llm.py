@@ -3189,20 +3189,32 @@ def entity_clusters(spark, sf_dir):
                  (x + y + c.c + doc_id) % 256))) AS vals
       FROM img, (SELECT unnest([0, 1, 2]) AS c) c
     )
-    SELECT doc_id, CAST(channel AS INT) AS channel,
-           list_transform(generate_series(0, 15), b ->
-             CAST(len(list_filter(vals, v -> v // 16 = b)) AS BIGINT)) AS counts
-    FROM px
+    SELECT doc_id, CAST(channel AS INT) AS channel, CAST(b.b AS INT) AS bin,
+           CAST(len(list_filter(vals, v -> v // 16 = b.b)) AS BIGINT) AS cnt
+    FROM px, (SELECT unnest(generate_series(0, 15)) AS b) b
     """,
 )
 def image_channel_histograms(spark, sf_dir):
     """16-bin per-channel intensity histograms over REALLY-decoded PPM
     pixels (np.bincount per channel, Arrow-batched) — the color-feature
     pass behind exposure audits and cheap visual clustering. The oracle
-    rebuilds the gradient pixels and bins them in SQL."""
+    rebuilds the gradient pixels and bins them in SQL. The gate shape is
+    scalar rows (doc_id, channel, bin, cnt) — posexploded from the
+    operator's count array, which pandas-based canonicalizers can't
+    hash."""
     docs = table(spark, sf_dir, "documents").df.where(F.col("doc_id") < 50)
     blobs = multimodal.attach_image_blobs(docs.select("doc_id"))
-    return multimodal.channel_histograms(blobs, bins=16)
+    hist = multimodal.channel_histograms(blobs, bins=16)
+    return hist.select(
+        "doc_id",
+        F.col("channel").cast("int").alias("channel"),
+        F.posexplode("counts").alias("bin", "cnt"),
+    ).select(
+        "doc_id",
+        "channel",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
 
 
 @query(
@@ -3315,7 +3327,7 @@ def resample_interpolate(spark, sf_dir):
     "table_checksum_audit",
     """
     SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-           sum(CAST(('0x' || substr(md5(
+           CAST(sum(CAST(('0x' || substr(md5(
              concat_ws(chr(31),
                coalesce(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
                         || ':' || CAST(doc_id AS VARCHAR), chr(0)),
@@ -3324,6 +3336,7 @@ def resample_interpolate(spark, sf_dir):
                coalesce(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
                         || ':' || CAST(n_chars AS VARCHAR), chr(0)))),
              1, 15)) AS BIGINT))
+             % 2305843009213693952 AS BIGINT)
              AS checksum
     FROM documents GROUP BY source
     """,
@@ -3331,9 +3344,12 @@ def resample_interpolate(spark, sf_dir):
 def table_checksum_audit(spark, sf_dir):
     """Content checksum per source — the order-insensitive, engine-portable
     integrity number `write_with_manifest` stores next to data: sum of
-    md5-derived 60-bit row hashes (DECIMAL accumulator; commutative, so it
-    map-side combines and survives any repartitioning). Any engine with
-    md5 reproduces it — which is exactly what this oracle does."""
+    md5-derived 60-bit row hashes mod 2^61, published as int64 (the
+    DECIMAL accumulator is internal; the bounded form survives pandas /
+    Arrow / JSON exactly, where HUGEINT/DECIMAL lossy-cast to float64).
+    Commutative, so it map-side combines and survives any repartitioning.
+    Any engine with md5 reproduces it — which is exactly what this oracle
+    does."""
     from graphique_spark.sources import table_checksum
 
     docs = table(spark, sf_dir, "documents").df
@@ -4455,16 +4471,30 @@ def lm_bigram_perplexity(spark, sf_dir):
     )
 
 
-@query("similarity_ivf_trained")
+@query(
+    "similarity_ivf_trained",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(3 * count(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
 def similarity_ivf_trained(spark, sf_dir):
     """End-to-end trained-centroid IVF: Spark ML KMeans centroids
     (fit_centroids, fixed seed) -> batch IVF probe (ivf_knn_join: corpus
     cells assigned map-side, queries exploded to their nprobe cells, one
     cell EQUI-join instead of the exact kNN's corpus x queries product) ->
     recall@3 against the exact knn_join ground truth. One audit row:
-    (n_queries, n_truth, n_hits, mean_recall, min_recall). No SQL oracle —
-    KMeans isn't expressible in DuckDB; correctness is the rows-only
-    driver check plus the pytest recall floor (tests/test_llm.py)."""
+    (n_queries, n_truth, recall_ok). The deterministic halves (query
+    count, exact-kNN truth size = 3 per query) are oracle-computed; the
+    KMeans-dependent recall — not expressible in DuckDB — is published as
+    a FLOORED boolean (mean recall@3 >= 0.8 probing half the cells), so
+    the oracle's literal TRUE is a real gate: a recall collapse reds the
+    driver row. The tight 0.9 floor and per-query detail live in pytest
+    (tests/test_llm.py::test_ivf_knn_join_recall_and_full_probe_exactness;
+    observed mean at sf0.01 is 0.9167 — the 0.8 gate floor leaves a
+    two-miss buffer against float-summation-order drift in KMeans)."""
     emb = table(spark, sf_dir, "embeddings").df
     qs = emb.filter(F.col("vec_id") < 8)
     cents = similarity.fit_centroids(emb, 16, max_iter=8, seed=0)
@@ -4488,9 +4518,7 @@ def similarity_ivf_trained(spark, sf_dir):
     return per_q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.sum("n_truth").cast("bigint").alias("n_truth"),
-        fround(F.sum(F.col("recall") * F.col("n_truth")), 0).cast("bigint").alias("n_hits"),
-        fround(F.avg("recall"), 4).alias("mean_recall"),
-        fround(F.min("recall"), 4).alias("min_recall"),
+        (F.avg("recall") >= F.lit(0.8)).alias("recall_ok"),
     )
 
 

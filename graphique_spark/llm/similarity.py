@@ -43,6 +43,39 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine over PRE-CAST double arrays with PRE-COMPUTED norms: one
+    array aggregate (the dot) per evaluation instead of three. The pair
+    stage of every kNN/LSH join evaluates cosine |pairs| times while the
+    norms only vary per ROW — hoisting them before the join removes 2/3
+    of the higher-order-function work from the hot path. Same try_divide
+    NULL-on-zero-norm contract as :func:`cosine_similarity`."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
+def _cos_lit(v: Column, vn: Column, vec: Sequence[float]) -> Column:
+    """Cosine of a pre-cast double vector (norm ``vn``) against a
+    driver-side literal vector: the literal's norm is a Python float, so
+    each row evaluates ONE array aggregate — centroid-assignment loops
+    (k cells per row) otherwise recompute the row norm k times and fold
+    a dim-length literal aggregate per cell."""
+    import math
+
+    n = math.sqrt(sum(float(x) * float(x) for x in vec))
+    cv = F.array(*[F.lit(float(x)) for x in vec])
+    return F.try_divide(dot(v, cv), vn * F.lit(n))
+
+
+def _with_vec_norm(
+    df: DataFrame, vec_col: str, v_name: str, n_name: str
+) -> DataFrame:
+    """Attach the pre-cast double vector and its norm as columns — the
+    per-row hoist :func:`_cos_pre` / :func:`_cos_lit` consume."""
+    return df.withColumn(v_name, F.col(vec_col).cast("array<double>")).withColumn(
+        n_name, norm(F.col(v_name))
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -55,10 +88,10 @@ def brute_force_topk(
     Plan shape: scan → per-row expression → TakeOrderedAndProject. No
     shuffle of the embeddings themselves; scales linearly with executors.
     """
-    q = F.array(*[F.lit(float(v)) for v in query])
-    sim = cosine_similarity(F.col(vec_col), q)
+    d = _with_vec_norm(df, vec_col, "__v", "__n")
+    sim = _cos_lit(F.col("__v"), F.col("__n"), query)
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        d.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -187,16 +220,15 @@ def ivf_topk(
     # the struct so F.greatest resolves equal-similarity ties to the
     # SMALLEST cid — the same preference the driver ranking above uses
     # (duplicate centroids otherwise assign a cell the probe never picks)
+    d = _with_vec_norm(df, vec_col, "__v", "__n")
     cells = []
     for cid, cvec in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = cosine_similarity(F.col(vec_col), cv)
+        sim = _cos_lit(F.col("__v"), F.col("__n"), cvec)
         cells.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
     cell = -(F.greatest(*cells) if len(cells) > 1 else cells[0])["nc"]
-    q = F.array(*[F.lit(float(v)) for v in query])
-    qsim = cosine_similarity(F.col(vec_col), q)
+    qsim = _cos_lit(F.col("__v"), F.col("__n"), query)
     return (
-        df.withColumn("__cell", cell)
+        d.withColumn("__cell", cell)
         .filter(F.col("__cell").isin(probe))
         .select(F.col(id_col), qsim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -222,13 +254,19 @@ def knn_join(
     cross-joining.
     Returns (query_id, vec_id, cosine) with rank <= k per query.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    q = _with_vec_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")),
+        "__q",
+        "__qv",
+        "__qn",
+    ).select("query_id", "__qv", "__qn")
+    c = _with_vec_norm(corpus, vec_col, "__cv", "__cn")
+    scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        _cos_pre(F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -270,32 +308,39 @@ def ivf_knn_join(
                 ]
             ),
         )
-    cells = []
-    for cid, cvec in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
-        cells.append(
-            F.struct(
-                cosine_similarity(F.col(vec_col), cv).alias("s"),
-                F.lit(cid).alias("c"),
-            )
-        )
-    nearest = (F.greatest(*cells) if len(cells) > 1 else cells[0])["c"]
+    def _cells(v: Column, vn: Column) -> list[Column]:
+        return [
+            F.struct(_cos_lit(v, vn, cvec).alias("s"), F.lit(cid).alias("c"))
+            for cid, cvec in centroids
+        ]
+
+    corp = _with_vec_norm(corpus, vec_col, "__cv", "__cn")
+    ccells = _cells(F.col("__cv"), F.col("__cn"))
+    nearest = (F.greatest(*ccells) if len(ccells) > 1 else ccells[0])["c"]
     # per-query probe list: rank every centroid by similarity, keep nprobe
-    probe_arr = F.slice(
-        F.reverse(F.array_sort(F.array(*cells))), 1, int(nprobe)
+    qpre = _with_vec_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")),
+        "__q",
+        "__qv",
+        "__qn",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+    qcells = _cells(F.col("__qv"), F.col("__qn"))
+    probe_arr = F.slice(F.reverse(F.array_sort(F.array(*qcells))), 1, int(nprobe))
+    q = qpre.select(
+        "query_id",
+        "__qv",
+        "__qn",
         F.explode(F.transform(probe_arr, lambda s: s["c"])).alias("__cell"),
     )
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__cv"), nearest.alias("__cell")
+    assigned = corp.select(
+        F.col(id_col), F.col("__cv"), F.col("__cn"), nearest.alias("__cell")
     )
     scored = assigned.join(F.broadcast(q), on="__cell").select(
         "query_id",
         F.col(id_col),
-        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        _cos_pre(F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -340,28 +385,44 @@ def _bucketed_pairs(
     if num_planes is None:
         import math
 
+        # two cheap jobs, NOT one merged agg: count() answers from parquet
+        # row-group metadata and first() early-exits after one row — a
+        # combined agg(count, first) would full-scan the vector column
         n = df.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
     first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
+    lead = None if first is None else first[0]
+    if lead is None:
         # empty corpus (or all-NULL vectors): typed empty pair frame
         return df.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("cosine"),
         ).limit(0)
-    planes = [_hyperplane(p, len(first[0])) for p in range(num_planes)]
+    planes = [_hyperplane(p, len(lead)) for p in range(num_planes)]
     from graphique_spark.llm.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
-    docs = df.select(
+    pre = _with_vec_norm(df, vec_col, "__v", "__n")
+    docs = pre.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.col("__v").alias("v"),
+        F.col("__n").alias("nrm"),
+        lsh_bucket(F.col("__v"), planes).alias("bucket"),
     )
-    left = docs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = docs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    left = docs.select(
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    right = docs.select(
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = _cos_pre(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"))
     return (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -463,11 +524,14 @@ def lsh_ann_topk_indexed(
     planes = [_hyperplane(p, len(query)) for p in range(num_planes)]
     query_bucket = _py_bucket(query, planes)
     probe = [query_bucket ^ m for m in _probe_masks(num_planes, probe_radius)]
-    q = F.array(*[F.lit(float(v)) for v in query])
-    sim = cosine_similarity(F.col(vec_col), q)
+    sim = _cos_lit(F.col("__v"), F.col("__n"), query)
     return (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(probe))
+        _with_vec_norm(
+            spark.read.parquet(path).filter(F.col("bucket").isin(probe)),
+            vec_col,
+            "__v",
+            "__n",
+        )
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -500,14 +564,22 @@ def knn_join_lsh(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
-    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    c = _with_vec_norm(corpus, vec_col, "__cv", "__cn").withColumn(
+        "bucket", lsh_bucket(F.col("__cv"), planes)
+    )
     masks = _probe_masks(num_planes, probe_radius)
     q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        _with_vec_norm(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")),
+            "__q",
+            "__qv",
+            "__qn",
+        )
         .withColumn("__qb", lsh_bucket(F.col("__qv"), planes))
         .select(
             "query_id",
             "__qv",
+            "__qn",
             F.explode(
                 F.array(*[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("bucket"),
@@ -516,7 +588,9 @@ def knn_join_lsh(
     scored = c.join(F.broadcast(q), on="bucket").select(
         "query_id",
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        _cos_pre(F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -547,7 +621,6 @@ def lsh_ann_topk(
     """
     dim = len(query)
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
-    q = F.array(*[F.lit(float(v)) for v in query])
     # _py_bucket matches Spark's aggregate HOF bit-for-bit (already relied
     # on by lsh_ann_topk_indexed's partition probing) — no Spark job needed
     query_bucket = _py_bucket(query, planes)
@@ -557,9 +630,10 @@ def lsh_ann_topk(
     probe_buckets = sorted(
         query_bucket ^ m for m in _probe_masks(num_planes, probe_radius)
     )
-    sim = cosine_similarity(F.col(vec_col), q)
+    sim = _cos_lit(F.col("__v"), F.col("__n"), query)
     return (
-        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        _with_vec_norm(df, vec_col, "__v", "__n")
+        .withColumn("bucket", lsh_bucket(F.col("__v"), planes))
         .filter(F.col("bucket").isin(probe_buckets))
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -591,14 +665,16 @@ def assign_clusters(
         return df.withColumn("cluster", F.lit(0)).withColumn(
             "cos_to_centroid", F.lit(0.0)
         ).limit(0)
+    pre = _with_vec_norm(df, vec_col, "__v", "__n")
     cands = []
     for cid, cvec in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = cosine_similarity(F.col(vec_col), lit_vec)
+        cos = _cos_lit(F.col("__v"), F.col("__n"), cvec)
         cands.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
-    return df.withColumn("cluster", best["cid"]).withColumn(
-        "cos_to_centroid", best["cos"]
+    return (
+        pre.withColumn("cluster", best["cid"])
+        .withColumn("cos_to_centroid", best["cos"])
+        .drop("__v", "__n")
     )
 
 

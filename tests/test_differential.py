@@ -2090,3 +2090,276 @@ def test_fill_drop_null_match_python(spark, rows, fill, how, subset):
     want = [i for i, a, b in data
             if not test([{"id": i, "a": a, "b": b}[c] for c in cols])]
     assert kept == want
+
+
+# ---------------------------------------------------------------------------
+# GraphQL DOCUMENT-level differential: random filter -> group -> order/slice
+# chains rendered two ways — as a GraphQL document executed through the full
+# service stack (parse -> resolvers -> Dataset ops -> collect) and as an
+# independent ANSI-SQL rendering run in DuckDB over the same rows. The
+# grammar-level differentials above cover each operator in isolation; this
+# one covers the RESOLVER COMPOSITION: argument plumbing, Undefined
+# defaults, chained _wrap state, and column(name){values} readback.
+# ---------------------------------------------------------------------------
+
+_CHAIN_OPS = ["lt", "le", "gt", "ge"]
+_CHAIN_AGGS = [("sum", "sum"), ("min", "min"), ("max", "max"), ("nunique", "count(DISTINCT %s)")]
+
+chain_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),   # g: group key
+        st.one_of(st.none(), st.integers(-5, 5)),  # v: value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@st.composite
+def chain_spec(draw):
+    spec = {}
+    filters = []
+    for col in ("g", "v"):
+        kind = draw(st.sampled_from(["none", "eqlist", "nelist", "cmp"]))
+        if kind == "eqlist":
+            filters.append((col, "eq", draw(st.lists(st.integers(-2, 3), max_size=3))))
+        elif kind == "nelist":
+            filters.append((col, "ne", draw(st.lists(st.integers(-2, 3), min_size=1, max_size=3))))
+        elif kind == "cmp":
+            filters.append((col, draw(st.sampled_from(_CHAIN_OPS)), draw(st.integers(-2, 3))))
+    spec["filters"] = filters
+    if draw(st.booleans()):
+        spec["group"] = {
+            "by": draw(st.sampled_from([["g"], []])),
+            "counts": draw(st.sampled_from(["n", None])),
+            "aggs": draw(
+                st.lists(st.sampled_from(_CHAIN_AGGS), min_size=0, max_size=2, unique=True)
+            ),
+        }
+        # a group with neither counts nor aggregates only yields the keys
+        if not spec["group"]["counts"] and not spec["group"]["aggs"]:
+            spec["group"]["counts"] = "n"
+    else:
+        spec["group"] = None
+    if draw(st.booleans()):
+        spec["order"] = {
+            "desc": draw(st.booleans()),
+            "limit": draw(st.sampled_from([None, 0, 1, 3])),
+        }
+        if spec["order"]["limit"] is None and draw(st.booleans()):
+            spec["slice"] = {
+                "offset": draw(st.integers(0, 3)),
+                "limit": draw(st.sampled_from([None, 2])),
+            }
+        else:
+            spec["slice"] = None
+    else:
+        spec["order"] = None
+        spec["slice"] = None
+    return spec
+
+
+def _chain_cols(spec):
+    """Output column names after the (optional) group stage."""
+    if spec["group"] is None:
+        return ["g", "v", "u"]
+    g = spec["group"]
+    cols = list(g["by"])
+    if g["counts"]:
+        cols.append(g["counts"])
+    cols += [f"a_{kind}" for kind, _ in g["aggs"]]
+    return cols
+
+
+def _chain_sort_keys(spec):
+    """Total-order sort keys: the primary direction key plus unique
+    tiebreaks (u ungrouped; the full output row grouped)."""
+    cols = _chain_cols(spec)
+    primary = cols[0] if spec["group"] else "v"
+    tiebreaks = [c for c in (["u"] if spec["group"] is None else cols) if c != primary]
+    return primary, tiebreaks
+
+
+def _chain_graphql(spec):
+    def filt_arg(col, op, val):
+        if op in ("eq", "ne"):
+            return f"{col}: {{{op}: {list(val)}}}"
+        return f"{col}: {{{op}: {val}}}"
+
+    doc = None
+    reads = " ".join(
+        f'c_{c}: column(name: "{c}") {{ values }}' for c in _chain_cols(spec)
+    ) + " count"
+    inner = reads
+    if spec["slice"]:
+        s = spec["slice"]
+        lim = "" if s["limit"] is None else f", limit: {s['limit']}"
+        inner = f"slice(offset: {s['offset']}{lim}) {{ {inner} }}"
+    if spec["order"]:
+        primary, tiebreaks = _chain_sort_keys(spec)
+        by = [("-" if spec["order"]["desc"] else "") + primary] + tiebreaks
+        lim = "" if spec["order"]["limit"] is None else f", limit: {spec['order']['limit']}"
+        by_s = ", ".join(f'"{b}"' for b in by)
+        inner = f"order(by: [{by_s}]{lim}) {{ {inner} }}"
+    if spec["group"] is not None:
+        g = spec["group"]
+        by_s = ", ".join(f'"{b}"' for b in g["by"])
+        parts = [f"by: [{by_s}]"]
+        if g["counts"]:
+            parts.append(f'counts: "{g["counts"]}"')
+        if g["aggs"]:
+            aggs = ", ".join(
+                f'{kind}: [{{name: "v", alias: "a_{kind}"}}]' for kind, _ in g["aggs"]
+            )
+            parts.append(f"aggregate: {{{aggs}}}")
+        inner = f"group({', '.join(parts)}) {{ {inner} }}"
+    if spec["filters"]:
+        args = ", ".join(filt_arg(c, o, v) for c, o, v in spec["filters"])
+        inner = f"filter({args}) {{ {inner} }}"
+    doc = f"{{ {inner} }}"
+    return doc
+
+
+def _chain_sql(spec):
+    where = []
+    for col, op, val in spec["filters"]:
+        if op == "eq":
+            if len(val) == 0:
+                where.append("FALSE")
+            elif len(val) == 1:
+                where.append(f"{col} = {val[0]}")
+            else:
+                where.append(f"{col} IN ({', '.join(map(str, val))})")
+        elif op == "ne":
+            if len(val) == 1:
+                where.append(f"{col} <> {val[0]}")
+            elif val:
+                where.append(f"{col} NOT IN ({', '.join(map(str, val))})")
+        else:
+            sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
+            where.append(f"{col} {sym} {val}")
+    where_s = (" WHERE " + " AND ".join(where)) if where else ""
+    if spec["group"] is not None:
+        g = spec["group"]
+        sel = list(g["by"])
+        if g["counts"]:
+            sel.append(f"CAST(count(*) AS BIGINT) AS {g['counts']}")
+        for kind, sql_fn in g["aggs"]:
+            expr = sql_fn % "v" if "%s" in sql_fn else f"{sql_fn}(v)"
+            sel.append(f"CAST({expr} AS BIGINT) AS a_{kind}")
+        group_s = (" GROUP BY " + ", ".join(g["by"])) if g["by"] else ""
+        core = f"SELECT {', '.join(sel)} FROM t{where_s}{group_s}"
+    else:
+        core = f"SELECT g, v, u FROM t{where_s}"
+    order_s = ""
+    if spec["order"]:
+        primary, tiebreaks = _chain_sort_keys(spec)
+        # Spark: asc = NULLS FIRST, desc = NULLS LAST; DuckDB defaults to
+        # NULLS LAST everywhere — make it explicit
+        head = (
+            f"{primary} DESC NULLS LAST" if spec["order"]["desc"]
+            else f"{primary} ASC NULLS FIRST"
+        )
+        keys = [head] + [f"{t} ASC NULLS FIRST" for t in tiebreaks]
+        order_s = " ORDER BY " + ", ".join(keys)
+        if spec["order"]["limit"] is not None:
+            order_s += f" LIMIT {spec['order']['limit']}"
+    slice_s = ""
+    if spec["slice"]:
+        s = spec["slice"]
+        if s["limit"] is not None:
+            slice_s = f" LIMIT {s['limit']} OFFSET {s['offset']}"
+        else:
+            slice_s = f" OFFSET {s['offset']}"
+    return core + order_s + slice_s
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=chain_rows, spec=chain_spec())
+def test_graphql_chain_matches_duckdb(spark, rows, spec):
+    import duckdb
+
+    from graphique_spark.service import GraphQLService
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, v long, u long")
+    service = GraphQLService(df)
+
+    out = service.execute(_chain_graphql(spec))
+    node = out
+    if spec["filters"]:
+        node = node["filter"]
+    if spec["group"] is not None:
+        node = node["group"]
+    if spec["order"]:
+        node = node["order"]
+    if spec["slice"]:
+        node = node["slice"]
+    cols = _chain_cols(spec)
+    values = [node[f"c_{c}"]["values"] for c in cols]
+    got_rows = list(zip(*values)) if any(values) else []
+    assert all(node["count"] == len(v) for v in values)
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(data, columns=["g", "v", "u"]).astype("Int64")
+    con.register("t", pdf)
+    want_rows = [
+        tuple(None if pd.isna(x) else int(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x for x in r)
+        for r in con.execute(_chain_sql(spec)).fetchall()
+    ]
+
+    norm = lambda r: tuple("N" if x is None else str(x) for x in r)
+    if spec["order"]:
+        assert [norm(r) for r in got_rows] == [norm(r) for r in want_rows], (
+            spec, _chain_graphql(spec), _chain_sql(spec))
+    else:
+        assert sorted(norm(r) for r in got_rows) == sorted(norm(r) for r in want_rows), (
+            spec, _chain_graphql(spec), _chain_sql(spec))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.integers(-5, 5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    shape=st.sampled_from(["rollup", "cube"]),
+    two_keys=st.booleans(),
+)
+def test_rollup_cube_match_duckdb(spark, rows, shape, two_keys):
+    """Grouping-set shapes vs DuckDB GROUP BY ROLLUP/CUBE: NULL key values
+    coexist with subtotal NULLs in the output, so this pins the multiset
+    semantics (a real-NULL group and a subtotal row are distinct ROWS even
+    when they print alike)."""
+    import duckdb
+
+    from graphique_spark.dataset import Dataset
+    from graphique_spark.inputs import Agg
+
+    by = ["a", "b"] if two_keys else ["a"]
+    df = spark.createDataFrame(rows, "a long, b long, v long")
+    ds = Dataset(df)
+    out = getattr(ds, shape)(by, aggregate=[Agg("sum", "v", alias="sv")], counts="n")
+    got = sorted(
+        tuple("N" if x is None else str(x) for x in (*[r[c] for c in by], r["sv"], r["n"]))
+        for r in out.df.collect()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["a", "b", "v"]).astype(
+        {"a": "Int64", "b": "Int64", "v": "int64"}
+    ))
+    keys = ", ".join(by)
+    want = sorted(
+        tuple("N" if x is None else str(int(x)) for x in r)
+        for r in con.execute(
+            f"SELECT {keys}, CAST(sum(v) AS BIGINT) AS sv, "
+            f"CAST(count(*) AS BIGINT) AS n FROM t GROUP BY {shape.upper()}({keys})"
+        ).fetchall()
+    )
+    assert got == want, (shape, by, got, want)

@@ -2363,3 +2363,139 @@ def test_rollup_cube_match_duckdb(spark, rows, shape, two_keys):
         ).fetchall()
     )
     assert got == want, (shape, by, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-sampling differentials: every sampler derives selection from
+# md5(id) — no RNG — so an independent Python reimplementation of the same
+# spec (hashlib instead of Spark's md5/conv expressions) must select the
+# EXACT same rows. This pins the hash plumbing (cast-to-string form, 60-bit
+# truncation, pmod vs %, round-half-up thresholds) that a fixed oracle query
+# exercises at only one data shape.
+# ---------------------------------------------------------------------------
+
+
+def _py_hash60(value) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+
+
+sample_ids = st.lists(st.integers(0, 10_000), min_size=1, max_size=20, unique=True)
+
+
+@settings(**SETTINGS)
+@given(
+    ids=sample_ids,
+    k=st.integers(0, 8),
+    wexp=st.lists(st.integers(-1, 4), min_size=1, max_size=20),
+)
+def test_weighted_sample_matches_python_ares(spark, ids, k, wexp):
+    """A-Res weighted reservoir (top-k by u^(1/w)) vs a pure-Python fold.
+    Weights <= 0 must be excluded entirely, never ranked."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import text
+
+    data = [(i, float(w)) for i, w in zip(ids, wexp)]
+    df = spark.createDataFrame(data, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in text.weighted_sample(df, k, F.col("w")).collect())
+
+    keyed = [
+        (((_py_hash60(i) + 1) / 2.0**60) ** (1.0 / w), i)
+        for i, w in data
+        if w > 0
+    ]
+    want = sorted(i for _, i in sorted(keyed, key=lambda t: -t[0])[:k])
+    assert got == want, (k, data, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 2)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(0, 4),
+)
+def test_group_sample_k_matches_python(spark, rows, k):
+    """k-per-group md5-rank sample vs a Python groupby + sort fold."""
+    import hashlib
+    from collections import defaultdict
+
+    from graphique_spark.llm import text
+
+    df = spark.createDataFrame(rows, "doc_id long, grp long")
+    got = sorted(r["doc_id"] for r in text.group_sample_k(df, "grp", k).collect())
+
+    groups = defaultdict(list)
+    for i, g in rows:
+        groups[g].append((hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = sorted(
+        i for members in groups.values()
+        for _, i in sorted(members)[:k]
+    )
+    assert got == want, (k, rows, got, want)
+
+
+@settings(**SETTINGS)
+@given(ids=sample_ids, n_shards=st.integers(1, 7))
+def test_split_and_shard_match_python(spark, ids, n_shards):
+    """assign_split bucket-by-cumulative-weight and shard_assignment
+    modulo vs direct Python md5 arithmetic."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import text
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in text.shard_assignment(
+            df.withColumn("split", text.assign_split(F.col("doc_id"))), n_shards
+        ).collect()
+    }
+    for i in ids:
+        u = _py_hash60(i) / 2.0**60
+        split = "train" if u < 0.98 else ("val" if u < 0.99 else "test")
+        shard = _py_hash60(i) % n_shards
+        assert out[i] == (split, shard), (i, u, out[i], (split, shard))
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=24, unique_by=lambda t: t[0],
+    ),
+    wa=st.integers(0, 3),
+    wb=st.integers(0, 3),
+    wc=st.integers(1, 3),
+)
+def test_mixture_sample_matches_python(spark, rows, wa, wb, wc):
+    """Source-mixture downsampling vs an independent Python rebuild of the
+    threshold arithmetic (feasible-total bound, round-half-up, zero-weight
+    exclusion) and the pmod keep-filter."""
+    from graphique_spark.llm import text
+
+    weights = {"a": float(wa), "b": float(wb), "c": float(wc)}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r["doc_id"] for r in text.mixture_sample(df, weights).collect()
+    )
+
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    wsum = sum(weights.values())
+    shares = {s: weights[s] / wsum for s in counts}
+    feasible = [counts[s] / shares[s] for s in counts if shares[s] > 0]
+    n_total = min(feasible) if feasible else 0.0
+    thresholds = {
+        s: (0 if shares[s] <= 0
+            else int(min(1.0, shares[s] * n_total / counts[s]) * 1_000_000 + 0.5))
+        for s in counts
+    }
+    want = sorted(
+        i for i, s in rows if _py_hash60(i) % 1_000_000 < thresholds[s]
+    )
+    assert got == want, (weights, counts, thresholds, got, want)

@@ -667,3 +667,68 @@ def test_rocksdb_conf_flag_is_authoritative(spark):
     off = streaming.rocksdb_state_conf(False)
     key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     assert on[key] == "true" and off[key] == "false"
+
+
+def test_windowed_agg_drops_rows_older_than_watermark(spark, tmp_path):
+    """Watermark semantics e2e: a row whose event time is older than the
+    late-event watermark must be EXCLUDED from the windowed aggregate.
+
+    Since Spark 3.4 (SPARK-40925, multi-stateful-operator support) late
+    events are filtered against the PREVIOUS batch's watermark while
+    state eviction uses the current one — so the drop guarantee lags one
+    micro-batch. Three batches: batch 0 advances max event time to
+    04:00; batch 1 turns that into the eviction watermark (03:00);
+    batch 2's 00:30 row is then older than the late-event watermark and
+    must vanish, while its 03:45 row still lands. Update-mode memory
+    sink: each batch emits only changed windows, so a leaked late row
+    would surface as an extra update for the first window."""
+    import datetime
+    import time as _time
+
+    from graphique_spark import streaming as st
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp"
+    batches = [
+        [(1, at(0)), (2, at(240))],  # max 04:00 -> watermark 03:00 after b0
+        [(3, at(210))],              # watermark-for-late becomes 03:00 at b2
+        [(4, at(30)), (5, at(225))],  # 00:30 < 03:00 -> dropped; 03:45 kept
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: file source must see batch order
+
+    stream = st.read_event_stream(spark, src, schema=schema)
+    agg = st.tumbling_counts(
+        stream, duration="1 hour", streaming=True, watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gs_late_drop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        got = sorted(
+            (r["window_start"], r["n"])
+            for r in spark.sql("SELECT * FROM gs_late_drop").collect()
+        )
+        # one update per changed window per batch; event 4 never counted —
+        # the 00:00 window must never re-emit with n=2
+        assert got == [
+            (at(0), 1),       # batch 0
+            (at(180), 1),     # batch 1: 03:30 row
+            (at(180), 2),     # batch 2: 03:45 joins the 03:00 window
+            (at(240), 1),     # batch 0
+        ], got
+    finally:
+        for active in spark.streams.active:
+            active.stop()

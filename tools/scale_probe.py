@@ -29,6 +29,27 @@ def multiplied(spark, name: str, times: int):
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def multiplied_explode(spark, name: str, times: int):
+    """``times``× rows via a per-row explode instead of a ``times``-leg
+    union: one scan leg, so the PLAN stays constant-size at multipliers
+    where union-based multiplication OOMs the driver on expression
+    canonicalization (measured: url_pipeline at 256 legs exhausts an 8g
+    heap before the job starts). The file is read once, so scan IO is not
+    multiplied — compute/shuffle work is — which is the right regime for
+    big-multiplier probes of agg/join stages. Rows duplicate exactly
+    (ids not remapped)."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.sources import NANO_COLUMNS, normalize_nanos
+
+    base = normalize_nanos(
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet"), NANO_COLUMNS.get(name, ())
+    )
+    return base.withColumn(
+        "__copy", F.explode(F.lit(list(range(times))))
+    ).drop("__copy")
+
+
 def multiplied_docs_distinct(spark, times: int):
     """``times`` copies of documents with DISTINCT content per copy: each
     copy Caesar-rotates the alphabet, so cross-copy shingle sets are
@@ -327,7 +348,10 @@ def main() -> None:
     def url_pipeline(mult):
         from graphique_spark.llm import web
 
-        docs = multiplied(spark, "documents", mult).select(
+        # explode-based multiplication beyond 64: a mult-leg union OOMs
+        # the driver on plan canonicalization before any work starts
+        mk = multiplied_explode if mult > 64 else multiplied
+        docs = mk(spark, "documents", mult).select(
             F.col("doc_id"),
             F.concat(
                 F.lit("https://"),

@@ -2115,9 +2115,42 @@ chain_rows = st.lists(
 )
 
 
+_chain_leaf = st.one_of(
+    st.sampled_from(["g", "v"]).map(lambda c: _node("name", c)),
+    st.integers(-2, 2).map(lambda x: _node("value", x)),
+)
+
+
+def _chain_expr(depth):
+    if depth <= 0:
+        return _chain_leaf
+    sub = _chain_expr(depth - 1)
+    return st.one_of(
+        _chain_leaf,
+        st.tuples(
+            st.sampled_from(["add", "sub", "mul"]),
+            st.lists(sub, min_size=2, max_size=3),
+        ).map(lambda t: _node(t[0], t[1])),
+        st.lists(sub, min_size=1, max_size=3).map(lambda l: _node("coalesce", l)),
+    )
+
+
+def _gql_input(v):
+    """Render a Python value as a GraphQL input literal (the inverse of
+    what graphql-core parses — NOT JSON: keys are bare)."""
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_gql_input(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_gql_input(x) for x in v) + "]"
+    if isinstance(v, str):
+        return '"' + v + '"'
+    return repr(v)
+
+
 @st.composite
 def chain_spec(draw):
     spec = {}
+    spec["project"] = draw(st.one_of(st.none(), _chain_expr(2)))
     filters = []
     for col in ("g", "v"):
         kind = draw(st.sampled_from(["none", "eqlist", "nelist", "cmp"]))
@@ -2159,10 +2192,16 @@ def chain_spec(draw):
     return spec
 
 
+def _chain_value_col(spec):
+    """Aggregation input: the projected column when a project stage ran."""
+    return "w" if spec.get("project") else "v"
+
+
 def _chain_cols(spec):
     """Output column names after the (optional) group stage."""
     if spec["group"] is None:
-        return ["g", "v", "u"]
+        base = ["g", "v", "u"]
+        return base + (["w"] if spec.get("project") else [])
     g = spec["group"]
     cols = list(g["by"])
     if g["counts"]:
@@ -2208,14 +2247,18 @@ def _chain_graphql(spec):
         if g["counts"]:
             parts.append(f'counts: "{g["counts"]}"')
         if g["aggs"]:
+            vc = _chain_value_col(spec)
             aggs = ", ".join(
-                f'{kind}: [{{name: "v", alias: "a_{kind}"}}]' for kind, _ in g["aggs"]
+                f'{kind}: [{{name: "{vc}", alias: "a_{kind}"}}]' for kind, _ in g["aggs"]
             )
             parts.append(f"aggregate: {{{aggs}}}")
         inner = f"group({', '.join(parts)}) {{ {inner} }}"
     if spec["filters"]:
         args = ", ".join(filt_arg(c, o, v) for c, o, v in spec["filters"])
         inner = f"filter({args}) {{ {inner} }}"
+    if spec.get("project"):
+        expr = _gql_input(spec["project"])
+        inner = f'project(columns: [{{alias: "w", expr: {expr}}}]) {{ {inner} }}'
     doc = f"{{ {inner} }}"
     return doc
 
@@ -2239,18 +2282,25 @@ def _chain_sql(spec):
             sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
             where.append(f"{col} {sym} {val}")
     where_s = (" WHERE " + " AND ".join(where)) if where else ""
+    vc = _chain_value_col(spec)
+    src = (
+        f"(SELECT g, v, u, ({to_sql(spec['project'])}) AS w FROM t) t2"
+        if spec.get("project")
+        else "t"
+    )
     if spec["group"] is not None:
         g = spec["group"]
         sel = list(g["by"])
         if g["counts"]:
             sel.append(f"CAST(count(*) AS BIGINT) AS {g['counts']}")
         for kind, sql_fn in g["aggs"]:
-            expr = sql_fn % "v" if "%s" in sql_fn else f"{sql_fn}(v)"
+            expr = sql_fn % vc if "%s" in sql_fn else f"{sql_fn}({vc})"
             sel.append(f"CAST({expr} AS BIGINT) AS a_{kind}")
         group_s = (" GROUP BY " + ", ".join(g["by"])) if g["by"] else ""
-        core = f"SELECT {', '.join(sel)} FROM t{where_s}{group_s}"
+        core = f"SELECT {', '.join(sel)} FROM {src}{where_s}{group_s}"
     else:
-        core = f"SELECT g, v, u FROM t{where_s}"
+        cols = ", ".join(_chain_cols(spec))
+        core = f"SELECT {cols} FROM {src}{where_s}"
     order_s = ""
     if spec["order"]:
         primary, tiebreaks = _chain_sort_keys(spec)
@@ -2287,6 +2337,8 @@ def test_graphql_chain_matches_duckdb(spark, rows, spec):
 
     out = service.execute(_chain_graphql(spec))
     node = out
+    if spec.get("project"):
+        node = node["project"]
     if spec["filters"]:
         node = node["filter"]
     if spec["group"] is not None:

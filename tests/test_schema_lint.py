@@ -47,3 +47,17 @@ def test_no_driver_hostile_output_columns(schemas):
         "queries returning Array/Map/Struct/Decimal columns (the driver's "
         f"pandas canonicalizer cannot hash these): {offenders}"
     )
+
+
+def test_every_query_is_oracle_paired():
+    """199/199: every registered query has a DuckDB oracle SQL string (the
+    last unpaired one, similarity_ivf_trained, gained a floored-boolean
+    oracle in round 7). A new query without an oracle only gets the
+    driver's weak rows-only check — this keeps the full-strength gate the
+    default."""
+    from graphique_spark.suite import ORACLES, QUERIES
+    import graphique_spark.suite_llm  # noqa: F401
+    import graphique_spark.suite_streaming  # noqa: F401
+
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries without a DuckDB oracle: {missing}"

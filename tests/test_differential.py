@@ -2161,6 +2161,7 @@ def chain_spec(draw):
         elif kind == "cmp":
             filters.append((col, draw(st.sampled_from(_CHAIN_OPS)), draw(st.integers(-2, 3))))
     spec["filters"] = filters
+    spec["distinct"] = draw(st.sampled_from([None, "first", "last"]))
     if draw(st.booleans()):
         spec["group"] = {
             "by": draw(st.sampled_from([["g"], []])),
@@ -2253,6 +2254,11 @@ def _chain_graphql(spec):
             )
             parts.append(f"aggregate: {{{aggs}}}")
         inner = f"group({', '.join(parts)}) {{ {inner} }}"
+    if spec.get("distinct"):
+        inner = (
+            f'distinct(on: ["g"], keep: "{spec["distinct"]}", '
+            f'orderBy: ["v", "u"]) {{ {inner} }}'
+        )
     if spec["filters"]:
         args = ", ".join(filt_arg(c, o, v) for c, o, v in spec["filters"])
         inner = f"filter({args}) {{ {inner} }}"
@@ -2283,11 +2289,25 @@ def _chain_sql(spec):
             where.append(f"{col} {sym} {val}")
     where_s = (" WHERE " + " AND ".join(where)) if where else ""
     vc = _chain_value_col(spec)
+    base_cols = "g, v, u" + (", w" if spec.get("project") else "")
     src = (
         f"(SELECT g, v, u, ({to_sql(spec['project'])}) AS w FROM t) t2"
         if spec.get("project")
         else "t"
     )
+    base = f"SELECT {base_cols} FROM {src}{where_s}"
+    if spec.get("distinct"):
+        # Spark keep='first' sorts asc NULLS FIRST; 'last' flips every key
+        # to desc NULLS LAST — render DuckDB's window order explicitly
+        order = (
+            "v ASC NULLS FIRST, u ASC NULLS FIRST"
+            if spec["distinct"] == "first"
+            else "v DESC NULLS LAST, u DESC NULLS LAST"
+        )
+        base = (
+            f"SELECT {base_cols} FROM ({base}) d QUALIFY "
+            f"row_number() OVER (PARTITION BY g ORDER BY {order}) = 1"
+        )
     if spec["group"] is not None:
         g = spec["group"]
         sel = list(g["by"])
@@ -2297,10 +2317,9 @@ def _chain_sql(spec):
             expr = sql_fn % vc if "%s" in sql_fn else f"{sql_fn}({vc})"
             sel.append(f"CAST({expr} AS BIGINT) AS a_{kind}")
         group_s = (" GROUP BY " + ", ".join(g["by"])) if g["by"] else ""
-        core = f"SELECT {', '.join(sel)} FROM {src}{where_s}{group_s}"
+        core = f"SELECT {', '.join(sel)} FROM ({base}) b{group_s}"
     else:
-        cols = ", ".join(_chain_cols(spec))
-        core = f"SELECT {cols} FROM {src}{where_s}"
+        core = base
     order_s = ""
     if spec["order"]:
         primary, tiebreaks = _chain_sort_keys(spec)
@@ -2341,6 +2360,8 @@ def test_graphql_chain_matches_duckdb(spark, rows, spec):
         node = node["project"]
     if spec["filters"]:
         node = node["filter"]
+    if spec.get("distinct"):
+        node = node["distinct"]
     if spec["group"] is not None:
         node = node["group"]
     if spec["order"]:

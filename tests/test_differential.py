@@ -2572,3 +2572,141 @@ def test_mixture_sample_matches_python(spark, rows, wa, wb, wc):
         i for i, s in rows if _py_hash60(i) % 1_000_000 < thresholds[s]
     )
     assert got == want, (weights, counts, thresholds, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Text-metric differentials over adversarial strings: token counting,
+# punctuation ratio, word-length stats, normalization, chunking, and
+# per-doc word entropy vs pure-Python reimplementations of the same spec.
+# The fixed oracle queries exercise these on clean corpus prose; hypothesis
+# feeds empties, whitespace runs, CRLF, unicode letters and lone punctuation
+# — the inputs where round 6 found real bugs (CRLF token fabrication,
+# zero-division). The alphabet deliberately EXCLUDES \x0b/\f/\xa0, where
+# Java, RE2 and Python disagree on what \s means.
+# ---------------------------------------------------------------------------
+
+_TEXT_ALPHABET = list("ab z.!?,;:09") + ["\t", "\n", "\r", "é", "中", "  "]
+
+text_strings = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(_TEXT_ALPHABET), max_size=20).map("".join),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_tokens(s):
+    import re
+
+    return [t for t in re.split(r"[ \t\n\r]+", s) if t != ""]
+
+
+@settings(**SETTINGS)
+@given(vals=text_strings)
+def test_text_metrics_match_python(spark, vals):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import text
+
+    data = [(i, s) for i, s in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, s string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.token_count(F.col("s")).alias("tok"),
+            text.punct_ratio(F.col("s")).alias("punct"),
+            text.mean_word_length(F.col("s")).alias("mwl"),
+            text.normalize_text(F.col("s")).alias("norm"),
+        ).collect()
+    }
+    for i, s in data:
+        row = got[i]
+        if s is None:
+            assert row["tok"] is None and row["norm"] is None, (s, dict(row.asDict()))
+            continue
+        toks = _py_tokens(s)
+        assert row["tok"] == len(toks), (repr(s), row["tok"], toks)
+        want_punct = (
+            None if len(s) == 0 else len(re.findall(r"[.!?,;:]", s)) / len(s)
+        )
+        assert (row["punct"] is None) == (want_punct is None), (repr(s), row["punct"])
+        if want_punct is not None:
+            assert abs(row["punct"] - want_punct) < 1e-12, (repr(s), row["punct"], want_punct)
+        words = re.findall(r"[A-Za-z]+", s)
+        want_mwl = sum(map(len, words)) / len(words) if words else None
+        assert (row["mwl"] is None) == (want_mwl is None), (repr(s), row["mwl"])
+        if want_mwl is not None:
+            assert abs(row["mwl"] - want_mwl) < 1e-12, (repr(s), row["mwl"], want_mwl)
+        lowered = s.lower()
+        stripped = re.sub(r"[^a-z0-9 \t\n\r]", "", lowered)
+        want_norm = re.sub(r"[ \t\n\r]+", " ", stripped).strip()
+        assert row["norm"] == want_norm, (repr(s), repr(row["norm"]), repr(want_norm))
+
+
+@settings(**SETTINGS)
+@given(
+    vals=text_strings,
+    size=st.integers(2, 6),
+    overlap=st.integers(0, 3),
+)
+def test_chunk_text_matches_python(spark, vals, size, overlap):
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import text
+
+    overlap = min(overlap, size - 1)
+    data = [(i, s) for i, s in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, s string")
+    got = {
+        r["id"]: r["ch"]
+        for r in df.select(
+            "id", text.chunk_text(F.col("s"), size, overlap).alias("ch")
+        ).collect()
+    }
+    step = size - overlap
+    for i, s in data:
+        if s is None:
+            assert got[i] is None, (i, got[i])
+            continue
+        # mirror Spark's split(trim(s), '\\s+') exactly: trim strips
+        # SPACES only, split('') yields [''], and leading \t/\n leave a
+        # leading '' element — chunk_text counts those as (empty) words
+        import math
+        import re as _re
+
+        words = _re.split(r"[ \t\n\r]+", s.strip(" "))
+
+        n_chunks = max(math.ceil((len(words) - overlap) / step), 1)
+        want = [
+            " ".join(words[k * step : k * step + size]) for k in range(n_chunks)
+        ]
+        assert got[i] == want, (repr(s), size, overlap, got[i], want)
+
+
+@settings(**SETTINGS)
+@given(vals=text_strings)
+def test_word_entropy_matches_python(spark, vals):
+    import math
+    from collections import Counter
+
+    from graphique_spark.llm import text
+
+    data = [(i, s) for i, s in enumerate(vals)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.word_entropy(df).collect()}
+    for i, s in data:
+        toks = _py_tokens(s) if s is not None else []
+        if not toks:
+            assert i not in got, (repr(s), got.get(i))  # no-word docs drop out
+            continue
+        counts = Counter(toks)
+        total = sum(counts.values())
+        want = -sum((c / total) * math.log(c / total) for c in counts.values())
+        row = got[i]
+        assert row["n_words"] == total and row["n_unique_words"] == len(counts)
+        assert abs(row["entropy"] - want) < 1e-9, (repr(s), row["entropy"], want)

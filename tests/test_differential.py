@@ -2710,3 +2710,69 @@ def test_word_entropy_matches_python(spark, vals):
         row = got[i]
         assert row["n_words"] == total and row["n_unique_words"] == len(counts)
         assert abs(row["entropy"] - want) < 1e-9, (repr(s), row["entropy"], want)
+
+
+word_strings = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "of", "to", "a", "xyz", "b09", ".", "!?", "é中", "theé"]
+            ),
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(vals=word_strings)
+def test_stopword_quality_and_bpe_match_python(spark, vals):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import text
+
+    data = [(i, s) for i, s in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, s string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.stopword_ratio(F.col("s")).alias("stop"),
+            text.quality_score(F.col("s")).alias("q"),
+            text.bpe_ish_token_count(F.col("s")).alias("bpe"),
+        ).collect()
+    }
+    # Java's \b is empirically UNICODE-aware in Spark ('theé' has NO
+    # boundary before 'é', so 'the' does not match) — Python's unicode
+    # \b agrees; re.ASCII would not. (RE2's ASCII-only \b differs on
+    # such inputs — the suite's DuckDB oracles never feed it non-ASCII
+    # adjacent to stopwords.)
+    stop_re = re.compile(r"\b(?:the|and|of|to|a)\b")
+    bpe_re = re.compile(r"[A-Za-z]{1,6}|[0-9]|[^ \t\n\rA-Za-z0-9]", re.ASCII)
+    for i, s in data:
+        row = got[i]
+        if s is None:
+            assert row["stop"] is None and row["bpe"] is None, dict(row.asDict())
+            continue
+        toks = _py_tokens(s)
+        hits = len(stop_re.findall(s.lower()))
+        want_stop = hits / len(toks) if toks else None
+        assert (row["stop"] is None) == (want_stop is None), (repr(s), row["stop"])
+        if want_stop is not None:
+            assert abs(row["stop"] - want_stop) < 1e-12, (repr(s), row["stop"], want_stop)
+        assert row["bpe"] == len(bpe_re.findall(s)), (repr(s), row["bpe"])
+        # quality_score: composite of the independently-mirrored parts
+        length_ok = min(len(s) / 500.0, 1.0)
+        stop_term = min((want_stop or 0.0) * 5.0, 1.0)
+        words = re.findall(r"[A-Za-z]+", s, re.ASCII)
+        mwl = sum(map(len, words)) / len(words) if words else None
+        wlen_ok = 1.0 if (mwl is not None and 3 <= mwl <= 8) else 0.5
+        punct = len(re.findall(r"[.!?,;:]", s)) / len(s) if len(s) else None
+        punct_ok = 1.0 if (punct is not None and punct < 0.1) else 0.5
+        want_q = (length_ok + stop_term + wlen_ok + punct_ok) / 4.0
+        assert abs(row["q"] - want_q) < 1e-12, (repr(s), row["q"], want_q)

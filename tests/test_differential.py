@@ -2776,3 +2776,36 @@ def test_stopword_quality_and_bpe_match_python(spark, vals):
         punct_ok = 1.0 if (punct is not None and punct < 0.1) else 0.5
         want_q = (length_ok + stop_term + wlen_ok + punct_ok) / 4.0
         assert abs(row["q"] - want_q) < 1e-12, (repr(s), row["q"], want_q)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-5, 5)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    n_parts=st.integers(1, 6),
+    desc=st.booleans(),
+)
+def test_partitioned_cumsum_matches_running_fold(spark, rows, n_parts, desc):
+    """Two-phase global cumsum (range repartition + local window +
+    driver-computed partition offsets) vs a plain Python running fold over
+    the sorted rows. The input is pre-shuffled across a random partition
+    count so the range-repartition + offset bookkeeping actually has
+    boundaries to get wrong."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.operators.sequence import partitioned_cumsum
+
+    df = spark.createDataFrame(rows, "k long, v long").repartition(n_parts)
+    key = "-k" if desc else "k"
+    got = {
+        r["k"]: r["cs"]
+        for r in partitioned_cumsum(df, F.col("v"), [key], "cs").collect()
+    }
+
+    running, want = 0, {}
+    for k, v in sorted(rows, reverse=desc):
+        running += v
+        want[k] = running
+    assert got == want, (n_parts, desc, got, want)

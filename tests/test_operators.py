@@ -848,3 +848,30 @@ def test_rank_filter_column_named_dash(spark):
     df = spark.createDataFrame([(1,), (3,), (3,), (2,)], "`-x` long")
     got = sorted(r["-x"] for r in rank_filter(df, ["--x"], rank=2).collect())
     assert got == [3, 3]
+
+
+def test_with_run_ids_nan_run_spans_partition_boundaries(spark):
+    """A NaN run crossing range-partition boundaries must stay ONE run:
+    the driver-side boundary stitch mirrors eqNullSafe INCLUDING NaN==NaN
+    (Python's nan != nan would fabricate a break at every boundary inside
+    a NaN run). 60 ordered rows over 4 shuffle partitions guarantee the
+    middle NaN block straddles at least one boundary."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark.operators.sequence import with_run_ids
+
+    nan = float("nan")
+    vals = [1.0] * 10 + [nan] * 30 + [2.0] * 10 + [None] * 10
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g double").repartition(5)
+    out = with_run_ids(df, by=["g"], order_by=["id"]).collect()
+    by_run = {}
+    for r in out:
+        by_run.setdefault(r["_run"], []).append(r["id"])
+    runs = [sorted(ids) for _, ids in sorted(by_run.items())]
+    assert runs == [
+        list(range(0, 10)),
+        list(range(10, 40)),   # the NaN block: one run, never split
+        list(range(40, 50)),
+        list(range(50, 60)),   # the NULL block: one run (eqNullSafe)
+    ], runs

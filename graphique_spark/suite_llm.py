@@ -2778,19 +2778,22 @@ def corpus_term_drift(spark, sf_dir):
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            floor({_cos_frag("a.v", "c.v")} * 1000000 + 0.5) / 1000000 AS cosine
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_cos_frag("a.v", "c.v")} >= 0.5 AND {_cos_frag("a.v", "c.v")} < 0.9
+    WHERE {_cos_frag("a.v", "c.v")} >= 0.3 AND {_cos_frag("a.v", "c.v")} < 0.9
     """,
 )
 def hard_negative_mining(spark, sf_dir):
     """Contrastive hard negatives: same-LSH-bucket pairs in the
-    similar-but-not-duplicate cosine band [0.5, 0.9) — the training pairs
+    similar-but-not-duplicate cosine band [0.3, 0.9) — the training pairs
     that define a retriever's decision boundary, mined from the same
-    blocked pair stream as the dedup pass."""
+    blocked pair stream as the dedup pass. The floor sits at 0.3 (not the
+    0.5 a production miner might pick) so the band is non-empty at the
+    sf0.01 correctness gate: at 0.5 the same-bucket pair stream has zero
+    rows there and the oracle match is value-blind (0-vs-0)."""
     emb = table(spark, sf_dir, "embeddings").df
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    out = similarity.hard_negatives(base, lo=0.5, hi=0.9, num_planes=_PLANES)
+    out = similarity.hard_negatives(base, lo=0.3, hi=0.9, num_planes=_PLANES)
     return out.withColumn("cosine", fround(F.col("cosine"), 6))
 
 

@@ -1672,3 +1672,15 @@ def test_multimodal_degenerate_blobs(spark):
     named = df.withColumnRenamed("doc_id", "image_id")
     cols = multimodal.decode_images(named, id_col="image_id", skip_invalid=True).columns
     assert cols[0] == "image_id"
+
+
+def test_hard_negatives_band_nonempty_at_gate_scale(spark):
+    # the suite query's [0.3, 0.9) band must carry rows at sf0.01 — the
+    # driver's correctness gate compares values, and an empty band makes
+    # the oracle match vacuous (0-rows-vs-0-rows, round-7 verdict item 3)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.hard_negatives(emb, lo=0.3, hi=0.9, num_planes=4).collect()
+    assert len(out) > 0
+    assert all(0.3 <= r["cosine"] < 0.9 for r in out)

@@ -76,21 +76,51 @@ def main() -> None:
         pass
     spark.catalog.clearCache()
 
+    # Median-of-N timing (default 3): a single-run suite total on this box
+    # swings 173-262s on identical code (documented r04-r07), so one sample
+    # per query cannot detect even a 30% real regression. Passes run
+    # INTERLEAVED (q1..qN, then q1..qN again) so temporally-local box noise
+    # (a GC storm, a background process) lands in at most one sample per
+    # query instead of all of them; the per-query median then discards it.
+    # SPARK_GRAFT_BENCH_BUDGET (seconds of MEASURED time, default 900)
+    # truncates later passes gracefully if the box is slow — queries keep
+    # whatever samples they have (median of fewer).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    failed: set[str] = set()
+    measured = 0.0
+    for rep in range(repeats):
+        for name, fn in queries.items():
+            if name in failed:
+                continue
+            if rep > 0 and measured > budget:
+                break
+            start = time.perf_counter()
+            try:
+                # noop sink: materializes every column/row, no count() shortcuts
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                failed.add(name)
+                continue
+            elapsed = time.perf_counter() - start
+            measured += elapsed
+            samples[name].append(round(elapsed, 3))
+            # queries are self-contained: drop persisted blocks (two-phase
+            # operators pin partition snapshots) so cache pressure from one
+            # query can't distort later timings
+            spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        start = time.perf_counter()
-        try:
-            # noop sink: materializes every column/row, no count() shortcuts
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+    for name, vals in samples.items():
+        if name in failed or not vals:
             timings[name] = -1.0
             continue
-        timings[name] = round(time.perf_counter() - start, 3)
-        # queries are self-contained: drop persisted blocks (two-phase
-        # operators pin partition snapshots) so cache pressure from one
-        # query can't distort later timings
-        spark.catalog.clearCache()
+        vals = sorted(vals)
+        mid = len(vals) // 2
+        median = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+        timings[name] = round(median, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -100,6 +130,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # methodology marker (round 8+): value = SUM OF PER-QUERY MEDIANS
+        # over `repeats` interleaved passes, not single-run wall — r07 and
+        # earlier BENCH files are single-run and not directly comparable
+        "estimator": f"median_of_{repeats}",
+        "samples": samples,
     }
     # The driver records only a 2000-char tail of stdout and JSON-parses it;
     # the full per-query map at 180+ queries is ~6 KB, so a single big line
@@ -126,6 +161,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            "estimator": f"median_of_{repeats}",
             "queries": {},
         }
     )
@@ -136,6 +172,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            "estimator": f"median_of_{repeats}",
             "queries": dict(list(slowest.items())[:keep]),
         }
         candidate = json.dumps(compact)

@@ -547,6 +547,12 @@ def table_checksum(df: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     )
 
 
+#: checksum-algorithm version stamped into every ``_manifest`` (see
+#: :func:`write_with_manifest`); bump when ``table_checksum``'s published
+#: form changes so old manifests fail loud instead of reading as corrupt
+MANIFEST_FORMAT_VERSION = 2
+
+
 def write_with_manifest(
     df: DataFrame, dest: str, partition_by: str | None = None
 ) -> None:
@@ -568,6 +574,16 @@ def write_with_manifest(
     # definition the schema of the (zero) bytes written
     written = df.sparkSession.read.schema(df.schema).parquet(dest)
     manifest = table_checksum(written, [partition_by] if partition_by else [])
+    # format_version stamps the CHECKSUM ALGORITHM (2 = sum of 60-bit row
+    # hashes mod 2^61 published as int64; 1 = the unversioned DECIMAL(38)
+    # sum written before round 7). verify_manifest refuses to diff across
+    # versions: without the stamp, an algorithm change is indistinguishable
+    # from corruption — every pre-change manifest would read as "tampered".
+    from pyspark.sql import functions as F
+
+    manifest = manifest.withColumn(
+        "format_version", F.lit(MANIFEST_FORMAT_VERSION)
+    )
     manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
 
 
@@ -580,6 +596,26 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
     from pyspark.errors import AnalysisException
 
     stored = spark.read.parquet(f"{dest}/_manifest")
+    # versioned manifests only: an unversioned (pre-round-7 DECIMAL-sum) or
+    # future-format manifest must raise a FORMAT error here, not surface as
+    # a wall of checksum "mismatches" downstream (ADVICE r07) — the caller
+    # can tell "re-write the manifest" apart from "data corrupted"
+    if "format_version" not in stored.columns:
+        raise ValueError(
+            f"{dest}/_manifest has no format_version column: it predates "
+            f"manifest format v{MANIFEST_FORMAT_VERSION} (the checksum "
+            "algorithm changed from a DECIMAL(38) sum to sum mod 2^61 as "
+            "int64). Re-write it with write_with_manifest; diffing across "
+            "formats would report intact data as corrupted."
+        )
+    versions = [r[0] for r in stored.select("format_version").distinct().collect()]
+    if versions != [MANIFEST_FORMAT_VERSION]:
+        raise ValueError(
+            f"{dest}/_manifest format_version {versions} != supported "
+            f"[{MANIFEST_FORMAT_VERSION}]: refusing to diff checksums "
+            "computed by a different algorithm. Re-write the manifest."
+        )
+    stored = stored.drop("format_version")
     try:
         actual = table_checksum(
             spark.read.parquet(dest), [partition_by] if partition_by else []

@@ -763,3 +763,31 @@ def test_compact_parquet_partition_key_order_insensitive(spark, tmp_path):
     assert stats["files_after"] > 6
     got = spark.read.parquet(dest).count()
     assert got == 4000
+
+
+def test_verify_manifest_rejects_foreign_format(spark, tmp_path):
+    # an unversioned (pre-v2 DECIMAL-sum) or future-version manifest must
+    # raise a FORMAT error, not report intact data as corrupted — without
+    # the version stamp a checksum-algorithm change is indistinguishable
+    # from tampering (round-7 ADVICE)
+    import pytest as _pytest
+
+    from graphique_spark.sources import verify_manifest, write_with_manifest
+
+    dest = str(tmp_path / "vm")
+    write_with_manifest(spark.range(100).select(F.col("id").alias("a")), dest)
+    assert verify_manifest(spark, dest).count() == 0
+
+    stored = spark.read.parquet(f"{dest}/_manifest")
+    rows, schema = stored.collect(), stored.schema
+    legacy = spark.createDataFrame(rows, schema).drop("format_version")
+    legacy.write.mode("overwrite").parquet(f"{dest}/_manifest")
+    with _pytest.raises(ValueError, match="format_version"):
+        verify_manifest(spark, dest)
+
+    future = spark.createDataFrame(rows, schema).withColumn(
+        "format_version", F.lit(99)
+    )
+    future.write.mode("overwrite").parquet(f"{dest}/_manifest")
+    with _pytest.raises(ValueError, match="format_version"):
+        verify_manifest(spark, dest)

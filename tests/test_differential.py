@@ -2809,3 +2809,235 @@ def test_partitioned_cumsum_matches_running_fold(spark, rows, n_parts, desc):
         running += v
         want[k] = running
     assert got == want, (n_parts, desc, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Chain fuzzer, stage kinds the composition test above doesn't cover:
+# join (multi-root resolution, inner/left, broadcast), window expressions
+# inside project (rank family / cumulative + framed aggregates / lag), and
+# unnest (offset, keepEmpty). Together with test_graphql_chain_matches_duckdb
+# (filter/project/group/order/distinct/slice) the fuzzed grammar covers the
+# resolver surface the reference's e2e service tests exercise
+# (reference test_service.py:222-268, 321-356).
+# ---------------------------------------------------------------------------
+
+_WIN_KINDS = ("rowNumber", "rank", "denseRank", "sum", "max", "sum_framed", "lag")
+
+
+@st.composite
+def join_window_spec(draw):
+    spec = {}
+    if draw(st.booleans()):
+        keys = draw(st.lists(st.integers(0, 3), unique=True, max_size=4))
+        spec["join"] = {
+            "how": draw(st.sampled_from(["inner", "left"])),
+            "broadcast": draw(st.booleans()),
+            # unique right keys (the dim-table case): row counts are stable
+            # and (v, u) stays a total order inside window partitions
+            "rmap": {k: draw(st.integers(-3, 3)) for k in keys},
+            # a NULL-keyed right row must never match (Spark equi-join and
+            # SQL '=' agree NULL != NULL)
+            "null_row": draw(st.booleans()),
+        }
+    else:
+        spec["join"] = None
+    if draw(st.booleans()):
+        spec["window"] = {
+            "kind": draw(st.sampled_from(_WIN_KINDS)),
+            "desc": draw(st.booleans()),
+            "zero": draw(st.booleans()),
+            "lag_default": draw(st.one_of(st.none(), st.integers(-2, 2))),
+        }
+    else:
+        spec["window"] = None
+    spec["filter_ge"] = draw(st.one_of(st.none(), st.integers(-2, 2)))
+    return spec
+
+
+def _jw_cols(spec):
+    cols = ["g", "v", "u"]
+    if spec["join"]:
+        cols.append("j")
+    if spec["window"]:
+        cols.append("w")
+    return cols
+
+
+def _jw_graphql(spec):
+    reads = " ".join(
+        f'c_{c}: column(name: "{c}") {{ values }}' for c in _jw_cols(spec)
+    ) + " count"
+    inner = f'order(by: ["u"]) {{ {reads} }}'
+    if spec["filter_ge"] is not None:
+        inner = f"filter(v: {{ge: {spec['filter_ge']}}}) {{ {inner} }}"
+    if spec["window"]:
+        w = spec["window"]
+        # rank/denseRank: order by v ALONE so genuine ties are exercised
+        # (both are deterministic under ties; row_number and the ROWS-framed
+        # aggregates need the unique u tiebreak to stay order-stable)
+        by = ("-v" if w["desc"] else "v",) + (
+            () if w["kind"] in ("rank", "denseRank") else ("u",)
+        )
+        by_s = ", ".join(f'"{b}"' for b in by)
+        parts = [f'over: ["g"], by: [{by_s}]']
+        kind = w["kind"]
+        if kind in ("rowNumber", "rank", "denseRank"):
+            parts.append(f"{kind}: true, zeroBased: {str(w['zero']).lower()}")
+        elif kind in ("sum", "max"):
+            parts.append(f'{kind}: {{name: "v"}}')
+        elif kind == "sum_framed":
+            parts.append('sum: {name: "v"}, preceding: 1, following: 0')
+        else:  # lag
+            parts.append('lag: {name: "v"}')
+            if w["lag_default"] is not None:
+                parts.append(f"default: {w['lag_default']}")
+        win = "{window: {" + ", ".join(parts) + "}}"
+        inner = f'project(columns: [{{alias: "w", expr: {win}}}]) {{ {inner} }}'
+    if spec["join"]:
+        j = spec["join"]
+        inner = (
+            f'join(right: "r", keys: ["g"], how: "{j["how"]}", '
+            f"broadcast: {str(j['broadcast']).lower()}) {{ {inner} }}"
+        )
+    return f"{{ t {{ {inner} }} }}"
+
+
+def _jw_sql(spec):
+    cols = "t.g AS g, t.v AS v, t.u AS u"
+    src = "t"
+    if spec["join"]:
+        kw = {"inner": "JOIN", "left": "LEFT JOIN"}[spec["join"]["how"]]
+        src = f"t {kw} r ON t.g = r.g"
+        cols += ", r.j AS j"
+    base = f"SELECT {cols} FROM {src}"
+    if spec["window"]:
+        w = spec["window"]
+        # Spark: asc = NULLS FIRST, desc = NULLS LAST; render explicitly
+        tie = "" if w["kind"] in ("rank", "denseRank") else ", u ASC NULLS FIRST"
+        ord_s = (
+            f"v DESC NULLS LAST{tie}" if w["desc"]
+            else f"v ASC NULLS FIRST{tie}"
+        )
+        over = f"PARTITION BY g ORDER BY {ord_s}"
+        kind = w["kind"]
+        if kind in ("rowNumber", "rank", "denseRank"):
+            fn = {"rowNumber": "row_number", "rank": "rank", "denseRank": "dense_rank"}[kind]
+            winsql = f"{fn}() OVER ({over})" + (" - 1" if w["zero"] else "")
+        elif kind in ("sum", "max"):
+            # ordered + unframed windowed aggregate = cumulative ROWS frame
+            winsql = (
+                f"{kind}(v) OVER ({over} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+        elif kind == "sum_framed":
+            winsql = (
+                f"sum(v) OVER ({over} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+            )
+        else:
+            d = w["lag_default"]
+            winsql = f"lag(v, 1, {'NULL' if d is None else d}) OVER ({over})"
+        base = f"SELECT *, CAST({winsql} AS BIGINT) AS w FROM ({base}) b"
+    where_s = (
+        f" WHERE v >= {spec['filter_ge']}" if spec["filter_ge"] is not None else ""
+    )
+    return (
+        f"SELECT {', '.join(_jw_cols(spec))} FROM ({base}) q{where_s} "
+        "ORDER BY u ASC NULLS FIRST"
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=chain_rows, spec=join_window_spec())
+def test_graphql_join_window_chain_matches_duckdb(spark, rows, spec):
+    import duckdb
+
+    from graphique_spark.service import GraphQLService
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, v long, u long")
+    rdata = []
+    if spec["join"]:
+        rdata = sorted(spec["join"]["rmap"].items())
+        if spec["join"]["null_row"]:
+            rdata = rdata + [(None, 9)]
+    rdf = spark.createDataFrame(rdata, "g long, j long")
+    service = GraphQLService({"t": df, "r": rdf})
+
+    node = service.execute(_jw_graphql(spec))["t"]
+    for stage in ("join", "project", "filter", "order"):
+        if stage in node:
+            node = node[stage]
+    cols = _jw_cols(spec)
+    values = [node[f"c_{c}"]["values"] for c in cols]
+    got = list(zip(*values)) if any(values) else []
+    assert all(node["count"] == len(v) for v in values)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["g", "v", "u"]).astype("Int64"))
+    con.register("r", pd.DataFrame(rdata, columns=["g", "j"]).astype("Int64"))
+    want = con.execute(_jw_sql(spec)).fetchall()
+
+    norm = lambda r: tuple(
+        "N" if x is None else str(int(x)) for x in r
+    )
+    assert [norm(r) for r in got] == [norm(r) for r in want], (
+        spec, _jw_graphql(spec), _jw_sql(spec))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.one_of(
+                st.none(),
+                st.lists(st.one_of(st.none(), st.integers(-3, 3)), max_size=4),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    offset=st.booleans(),
+    keep_empty=st.booleans(),
+    filter_ge=st.one_of(st.none(), st.integers(-1, 2)),
+)
+def test_graphql_unnest_chain_matches_python(spark, rows, offset, keep_empty, filter_ge):
+    """unnest through the service stack vs a direct Python re-derivation:
+    explode vs explode_outer (null/empty arrays), posexplode's 0-based
+    offset column, and a filter stage AFTER the unnest."""
+    from graphique_spark.service import GraphQLService
+
+    data = [(g, arr, i) for i, (g, arr) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, arr array<bigint>, u long")
+    service = GraphQLService(df)  # single-root mode: fields at top level
+
+    args = 'name: "arr"' + (', offset: "pos"' if offset else "") + (
+        ", keepEmpty: true" if keep_empty else ""
+    )
+    cols = ["g", "u"] + (["pos"] if offset else []) + ["arr"]
+    reads = " ".join(
+        f'c_{c}: column(name: "{c}") {{ values }}' for c in cols
+    ) + " count"
+    inner = reads
+    if filter_ge is not None:
+        inner = f"filter(g: {{ge: {filter_ge}}}) {{ {inner} }}"
+    node = service.execute(f"{{ unnest({args}) {{ {inner} }} }}")["unnest"]
+    if filter_ge is not None:
+        node = node["filter"]
+    values = [node[f"c_{c}"]["values"] for c in cols]
+    got = list(zip(*values)) if any(values) else []
+    assert all(node["count"] == len(v) for v in values)
+
+    want = []
+    for g, arr, u in data:
+        if filter_ge is not None and (g is None or g < filter_ge):
+            continue
+        if not arr:  # None or empty
+            if keep_empty:
+                want.append((g, u) + ((None,) if offset else ()) + (None,))
+        else:
+            for i, x in enumerate(arr):
+                want.append((g, u) + ((i,) if offset else ()) + (x,))
+
+    norm = lambda r: tuple("N" if x is None else str(x) for x in r)
+    assert sorted(norm(r) for r in got) == sorted(norm(r) for r in want)

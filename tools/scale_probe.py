@@ -381,8 +381,100 @@ def main() -> None:
         )
         return docs.select(F.length(web.html_text(html)).alias("L"))
 
+    def emb_near_dups(mult):
+        from graphique_spark.llm import similarity
+
+        # adaptive plane count (the default): bucket count grows with the
+        # corpus so within-bucket pair work stays ~linear in rows
+        return similarity.embedding_near_dups(
+            jittered_embeddings(spark, mult), threshold=0.9
+        )
+
+    def knn_lsh(mult):
+        from graphique_spark.llm import similarity
+
+        emb = jittered_embeddings(spark, mult)
+        queries = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 32
+        )
+        # fixed 32-query batch against a mult-x corpus: cost should track
+        # bucket occupancy (linear in corpus), never |corpus| x |queries|
+        return similarity.knn_join_lsh(emb, queries, k=10, num_planes=4)
+
+    def assign(mult):
+        from graphique_spark.llm import similarity
+
+        return similarity.assign_clusters(
+            jittered_embeddings(spark, mult), num_clusters=16
+        ).select("vec_id", "cluster", "cos_to_centroid")
+
+    def asof(mult):
+        from graphique_spark.operators.asof import asof_join
+
+        ev = multiplied(spark, "events", mult)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+        )
+        return asof_join(
+            clicks, purchases, on="ts", right_on="pts", by=["user_id"],
+            direction="backward",
+        )
+
+    def entity(mult):
+        import string
+
+        from graphique_spark.operators.entity import blocked_fuzzy_pairs
+
+        letters = string.ascii_lowercase
+        base = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            "p_partkey", "p_name"
+        )
+        copies = []
+        for c in range(mult):
+            rot = letters[c % 26:] + letters[: c % 26]
+            # NEW ids per copy with distinct digit suffixes (key*mult + c):
+            # the suffix blocking key spreads over the grown id space, so
+            # block sizes stay ~constant and true match count stays linear
+            # — the "corpus grew with new entities" regime. (A +c*10M
+            # offset would keep last-4 digits identical across copies and
+            # fake quadratic block growth no blocking scheme could avoid.)
+            copies.append(
+                base.select(
+                    (F.col("p_partkey") * mult + c).alias("p_partkey"),
+                    F.translate(F.col("p_name"), letters, rot).alias("p_name"),
+                )
+            )
+        from functools import reduce
+
+        recs = reduce(lambda a, b: a.unionByName(b), copies)
+        keyed = recs.select(
+            F.col("p_partkey").alias("rid"),
+            F.concat_ws("#", "p_name", "p_partkey").alias("k"),
+        )
+        corrupted = keyed.where(F.col("rid") % 7 == 0).select(
+            (F.col("rid") + 500_000_000).alias("rid"),
+            F.concat(
+                F.substring("k", 1, 2), F.expr("substring(k, 4)")
+            ).alias("k"),
+        )
+        return blocked_fuzzy_pairs(
+            keyed.unionByName(corrupted),
+            key="k",
+            block=F.substring(F.col("k"), -4, 4),
+            id_col="rid",
+            max_distance=2,
+        )
+
     probes = {
         "q1": q1,
+        "asof_join": asof,
+        "entity_fuzzy": entity,
+        "embedding_near_dups": emb_near_dups,
+        "knn_join_lsh": knn_lsh,
+        "assign_clusters": assign,
         "url_pipeline": url_pipeline,
         "html_extract": html_extract,
         "basket": basket,
@@ -412,6 +504,22 @@ def main() -> None:
         "skew_salted": skew_salted,
         "skew_join_aqe": skew_join_aqe,
     }
+    # Fixture provenance per probe (ADVICE r07): union-based fixtures
+    # multiply scan IO; explode-based ones read the file once (compute/
+    # shuffle-only regime); caesar/jitter fixtures additionally make copies
+    # content-DISTINCT so true pair counts stay linear. Factors are only
+    # comparable across rounds within the same fixture kind.
+    fixtures = {
+        "entity_fuzzy": "caesar-remapped-ids-union",
+        "minhash": "caesar-union",
+        "ngram": "caesar-union",
+        "components": "caesar-union",
+        "embedding_near_dups": "jitter-union",
+        "knn_join_lsh": "jitter-union",
+        "assign_clusters": "jitter-union",
+        "star_cc_chain": "synthetic-range",
+        "url_pipeline": "union" if times <= 64 else "explode",
+    }
     only = argv
     if only:
         probes = {k: v for k, v in probes.items() if k in only}
@@ -431,12 +539,141 @@ def main() -> None:
             f"t_{times}x_sec": round(tn, 2),
             "scaling_factor": round(tn / t1, 2),
             "ideal": float(times),
+            "fixture": fixtures.get(name, "union"),
         }
         print(f"{name}: 1x={t1:.2f}s {times}x={tn:.2f}s factor={tn / t1:.2f} (ideal {times})")
 
-    if not only:
+    if not only or "ann" in only:
         report["ann"] = ann_probes(spark, times)
+        report["ann"]["fixture"] = "jitter-union"
+    if "streaming" in only:
+        report["streaming_upsert"] = streaming_upsert_probe(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
+
+
+def streaming_upsert_probe(spark, times: int):
+    """Commit-cost scaling for the foreachBatch upsert sink (the suite's
+    two most expensive entries, ``stream_upsert_totals`` /
+    ``stream_cdc_snapshot``, share this machinery). Two claims:
+
+    * rows: ``times``x the rows AND distinct keys per micro-batch, batch
+      count fixed at 3 — wall factor should sit well under ``times``
+      (per-batch state commit + partition rewrite overhead dominates at
+      sf0.1 batch sizes).
+    * history: 12 PARTITION-LOCAL micro-batches (batch b carries only
+      cohort-b keys — the date-partitioned ingest pattern at 100 TB), so
+      the stored table grows 12x over the run while each batch touches one
+      partition. The LAST batches must not be slower than the EARLY ones:
+      the merge reads only the partitions the batch touches, never table
+      history. (A batch that sprayed keys over every cohort would re-read
+      the whole table by design — that regime is the `rows` probe's.)
+      Reported as ``late_vs_early_batch_ratio`` over per-batch
+      triggerExecution times from the streaming progress log.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark import streaming as st
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+
+    def run(mult: int, nbatches: int, tag: str, partition_local: bool = False):
+        workdir = os.path.join(tempfile.gettempdir(), f"gs_probe_upsert_{tag}")
+        shutil.rmtree(workdir, ignore_errors=True)
+        ev = base
+        if mult > 1:
+            # remap BOTH ids per copy: mult-x rows, mult-x distinct keys,
+            # so state rows and changed-key batch output scale too (same-id
+            # copies would only inflate the pre-agg, not the sink's work)
+            ev = (
+                ev.withColumn("__c", F.explode(F.lit(list(range(mult)))))
+                .select(
+                    (F.col("event_id") * mult + F.col("__c")).alias("event_id"),
+                    (F.col("user_id") + F.col("__c") * 1_000_000).alias("user_id"),
+                    "value",
+                )
+            )
+        src = f"{workdir}/src"
+        ev.withColumn(
+            "__b", F.pmod(F.col("event_id"), F.lit(nbatches)).cast("int")
+        ).repartition(nbatches, "__b").write.partitionBy("__b").mode(
+            "overwrite"
+        ).parquet(src)
+        stream = st.read_event_stream(
+            spark,
+            src,
+            schema="event_id bigint, user_id bigint, value double, __b int",
+            max_files_per_trigger=1,
+        )
+        if partition_local:
+            # batch b carries ONLY cohort-b keys: the table grows by one
+            # new hive partition per batch, and the merge's touched-
+            # partition read stays one partition no matter how much
+            # history has accumulated
+            cohort = F.col("__b").cast("bigint")
+            user = F.col("user_id") + F.col("__b").cast("bigint") * 1_000_000
+        else:
+            cohort = F.col("user_id") % 8
+            user = F.col("user_id")
+        totals = stream.groupBy(
+            cohort.alias("cohort"), user.alias("user_id")
+        ).agg(F.count(F.lit(1)).alias("events_n"), F.sum("value").alias("value_sum"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        try:
+            q = st.upsert_sink(
+                totals,
+                dest=f"{workdir}/table",
+                keys=["cohort", "user_id"],
+                checkpoint=f"{workdir}/ckpt",
+                available_now=True,
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        wall = time.perf_counter() - t0
+        batch_ms = [
+            p["durationMs"]["triggerExecution"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0 and "durationMs" in p
+        ]
+        shutil.rmtree(workdir, ignore_errors=True)
+        return round(wall, 2), batch_ms
+
+    out = {}
+    t1, _ = run(1, 3, "base")
+    tn, _ = run(times, 3, "rows")
+    out["rows_scaled"] = {
+        "t_1x_sec": t1,
+        f"t_{times}x_sec": tn,
+        "scaling_factor": round(tn / t1, 2),
+        "ideal": float(times),
+        "batches": 3,
+        "fixture": "explode-remapped-keys",
+    }
+    print(f"streaming rows {times}x: 1x={t1:.2f}s {times}x={tn:.2f}s factor={tn / t1:.2f}")
+
+    _, batch_ms = run(1, 12, "hist", partition_local=True)
+    early = sum(batch_ms[1:4]) / 3 if len(batch_ms) >= 12 else None
+    late = sum(batch_ms[-3:]) / 3 if len(batch_ms) >= 12 else None
+    out["history_12_batches"] = {
+        "per_batch_ms": batch_ms,
+        "early_mean_ms": round(early, 1) if early else None,
+        "late_mean_ms": round(late, 1) if late else None,
+        # flat == commit cost tracks batch size, not accumulated history
+        # (batch 0 excluded from `early`: it carries state-store init)
+        "late_vs_early_batch_ratio": round(late / early, 2) if early else None,
+        "fixture": "12 partition-local single-file micro-batches (table grows 12x over the run)",
+    }
+    if early:
+        print(f"streaming history: early={early:.0f}ms late={late:.0f}ms ratio={late / early:.2f}")
+    return out
 
 
 def jittered_embeddings(spark, mult: int):

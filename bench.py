@@ -82,11 +82,14 @@ def main() -> None:
     # INTERLEAVED (q1..qN, then q1..qN again) so temporally-local box noise
     # (a GC storm, a background process) lands in at most one sample per
     # query instead of all of them; the per-query median then discards it.
-    # SPARK_GRAFT_BENCH_BUDGET (seconds of MEASURED time, default 900)
-    # truncates later passes gracefully if the box is slow — queries keep
-    # whatever samples they have (median of fewer).
+    # SPARK_GRAFT_BENCH_BUDGET (seconds of MEASURED time, default 450)
+    # truncates later passes gracefully — queries keep whatever samples
+    # they have (median of fewer; pass 1 always covers every query). The
+    # default keeps total wall near ~550s so an unattended driver run
+    # can't hit a harness timeout; raise it for full 3-sample medians
+    # (~700s wall at sf0.1).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
     samples: dict[str, list[float]] = {name: [] for name in queries}
     failed: set[str] = set()
     measured = 0.0

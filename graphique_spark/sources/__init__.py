@@ -609,7 +609,9 @@ def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = N
             "formats would report intact data as corrupted."
         )
     versions = [r[0] for r in stored.select("format_version").distinct().collect()]
-    if versions != [MANIFEST_FORMAT_VERSION]:
+    # zero stored rows (an empty write's manifest) carry no checksums to
+    # mis-diff — any version vacuously matches
+    if versions and versions != [MANIFEST_FORMAT_VERSION]:
         raise ValueError(
             f"{dest}/_manifest format_version {versions} != supported "
             f"[{MANIFEST_FORMAT_VERSION}]: refusing to diff checksums "

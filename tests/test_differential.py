@@ -2821,7 +2821,15 @@ def test_partitioned_cumsum_matches_running_fold(spark, rows, n_parts, desc):
 # (reference test_service.py:222-268, 321-356).
 # ---------------------------------------------------------------------------
 
-_WIN_KINDS = ("rowNumber", "rank", "denseRank", "sum", "max", "sum_framed", "lag")
+_WIN_KINDS = (
+    "rowNumber", "rank", "denseRank", "sum", "max", "sum_framed", "lag",
+    "lead", "ntile", "percentRank", "cumeDist", "sub", "lt",
+)
+#: rank-family kinds that are deterministic under ties — their windows
+#: order by v alone so genuine tie behavior is exercised
+_WIN_TIE_KINDS = ("rank", "denseRank", "percentRank", "cumeDist")
+#: kinds producing non-integer output and how to normalize them
+_WIN_FLOAT_KINDS = ("percentRank", "cumeDist")
 
 
 @st.composite
@@ -2846,7 +2854,10 @@ def join_window_spec(draw):
             "kind": draw(st.sampled_from(_WIN_KINDS)),
             "desc": draw(st.booleans()),
             "zero": draw(st.booleans()),
+            # shared by lag/lead/sub (boolean pairwise keeps default=None:
+            # a non-bool fill would change the column type)
             "lag_default": draw(st.one_of(st.none(), st.integers(-2, 2))),
+            "ntile_n": draw(st.integers(2, 4)),
         }
     else:
         spec["window"] = None
@@ -2872,23 +2883,29 @@ def _jw_graphql(spec):
         inner = f"filter(v: {{ge: {spec['filter_ge']}}}) {{ {inner} }}"
     if spec["window"]:
         w = spec["window"]
-        # rank/denseRank: order by v ALONE so genuine ties are exercised
-        # (both are deterministic under ties; row_number and the ROWS-framed
-        # aggregates need the unique u tiebreak to stay order-stable)
+        # rank-family kinds: order by v ALONE so genuine ties are exercised
+        # (deterministic under ties; row_number, ntile, pairwise and the
+        # ROWS-framed aggregates need the unique u tiebreak to stay stable)
         by = ("-v" if w["desc"] else "v",) + (
-            () if w["kind"] in ("rank", "denseRank") else ("u",)
+            () if w["kind"] in _WIN_TIE_KINDS else ("u",)
         )
         by_s = ", ".join(f'"{b}"' for b in by)
         parts = [f'over: ["g"], by: [{by_s}]']
         kind = w["kind"]
         if kind in ("rowNumber", "rank", "denseRank"):
             parts.append(f"{kind}: true, zeroBased: {str(w['zero']).lower()}")
+        elif kind in ("percentRank", "cumeDist"):
+            parts.append(f"{kind}: true")
+        elif kind == "ntile":
+            parts.append(f"ntile: {w['ntile_n']}")
         elif kind in ("sum", "max"):
             parts.append(f'{kind}: {{name: "v"}}')
         elif kind == "sum_framed":
             parts.append('sum: {name: "v"}, preceding: 1, following: 0')
-        else:  # lag
-            parts.append('lag: {name: "v"}')
+        elif kind == "lt":
+            parts.append('lt: {name: "v"}')
+        else:  # lag / lead / sub — offset-1 vs-lagged kinds with a default
+            parts.append(f'{kind}: {{name: "v"}}')
             if w["lag_default"] is not None:
                 parts.append(f"default: {w['lag_default']}")
         win = "{window: {" + ", ".join(parts) + "}}"
@@ -2913,16 +2930,23 @@ def _jw_sql(spec):
     if spec["window"]:
         w = spec["window"]
         # Spark: asc = NULLS FIRST, desc = NULLS LAST; render explicitly
-        tie = "" if w["kind"] in ("rank", "denseRank") else ", u ASC NULLS FIRST"
+        tie = "" if w["kind"] in _WIN_TIE_KINDS else ", u ASC NULLS FIRST"
         ord_s = (
             f"v DESC NULLS LAST{tie}" if w["desc"]
             else f"v ASC NULLS FIRST{tie}"
         )
         over = f"PARTITION BY g ORDER BY {ord_s}"
         kind = w["kind"]
+        cast = "BIGINT"
         if kind in ("rowNumber", "rank", "denseRank"):
             fn = {"rowNumber": "row_number", "rank": "rank", "denseRank": "dense_rank"}[kind]
             winsql = f"{fn}() OVER ({over})" + (" - 1" if w["zero"] else "")
+        elif kind in ("percentRank", "cumeDist"):
+            fn = {"percentRank": "percent_rank", "cumeDist": "cume_dist"}[kind]
+            winsql = f"{fn}() OVER ({over})"
+            cast = "DOUBLE"
+        elif kind == "ntile":
+            winsql = f"ntile({w['ntile_n']}) OVER ({over})"
         elif kind in ("sum", "max"):
             # ordered + unframed windowed aggregate = cumulative ROWS frame
             winsql = (
@@ -2933,10 +2957,19 @@ def _jw_sql(spec):
             winsql = (
                 f"sum(v) OVER ({over} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
             )
+        elif kind == "lt":
+            winsql = f"(v < lag(v, 1) OVER ({over}))"
+            cast = "BOOLEAN"
+        elif kind == "sub":
+            d = w["lag_default"]
+            winsql = f"(v - lag(v, 1) OVER ({over}))"
+            if d is not None:
+                winsql = f"coalesce({winsql}, {d})"
         else:
             d = w["lag_default"]
-            winsql = f"lag(v, 1, {'NULL' if d is None else d}) OVER ({over})"
-        base = f"SELECT *, CAST({winsql} AS BIGINT) AS w FROM ({base}) b"
+            fn = {"lag": "lag", "lead": "lead"}[kind]
+            winsql = f"{fn}(v, 1, {'NULL' if d is None else d}) OVER ({over})"
+        base = f"SELECT *, CAST({winsql} AS {cast}) AS w FROM ({base}) b"
     where_s = (
         f" WHERE v >= {spec['filter_ge']}" if spec["filter_ge"] is not None else ""
     )
@@ -2977,9 +3010,16 @@ def test_graphql_join_window_chain_matches_duckdb(spark, rows, spec):
     con.register("r", pd.DataFrame(rdata, columns=["g", "j"]).astype("Int64"))
     want = con.execute(_jw_sql(spec)).fetchall()
 
-    norm = lambda r: tuple(
-        "N" if x is None else str(int(x)) for x in r
-    )
+    def norm1(x):
+        if x is None:
+            return "N"
+        if isinstance(x, bool):
+            return str(x)
+        if isinstance(x, float):
+            return f"{x:.12g}"
+        return str(int(x))
+
+    norm = lambda r: tuple(norm1(x) for x in r)
     assert [norm(r) for r in got] == [norm(r) for r in want], (
         spec, _jw_graphql(spec), _jw_sql(spec))
 

@@ -468,8 +468,38 @@ def main() -> None:
             max_distance=2,
         )
 
+    def kll(mult):
+        from graphique_spark.operators import sketch
+
+        li = multiplied(spark, "lineitem", mult)
+        per = sketch.kll_quantiles(
+            li, "l_extendedprice", by=["l_returnflag", "l_linestatus"],
+            q=(0.5, 0.99),
+        )
+        # the operational story: rollup via sketch MERGE, never a re-scan
+        return sketch.kll_merge_quantiles(per.drop("q50", "q99"), by=[], q=(0.5, 0.99))
+
+    def rjoin(mult):
+        from graphique_spark.operators.rangejoin import range_join
+
+        li = multiplied(spark, "lineitem", mult).select(
+            "l_orderkey", F.col("l_extendedprice").alias("price")
+        )
+        bands = spark.range(0, 60).select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 1000.0).alias("lo"),
+            (F.col("id") * 1000.0 + 1500.0).alias("hi"),
+        )
+        return (
+            range_join(li, bands, point="price", lo="lo", hi="hi", bucket_width=1000.0)
+            .groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     probes = {
         "q1": q1,
+        "kll_sketch": kll,
+        "range_join": rjoin,
         "asof_join": asof,
         "entity_fuzzy": entity,
         "embedding_near_dups": emb_near_dups,
@@ -511,6 +541,7 @@ def main() -> None:
     # comparable across rounds within the same fixture kind.
     fixtures = {
         "entity_fuzzy": "caesar-remapped-ids-union",
+        "incremental_dedup": "caesar-union index, fixed-size batch",
         "minhash": "caesar-union",
         "ngram": "caesar-union",
         "components": "caesar-union",
@@ -548,7 +579,53 @@ def main() -> None:
         report["ann"]["fixture"] = "jitter-union"
     if "streaming" in only:
         report["streaming_upsert"] = streaming_upsert_probe(spark, times)
+    if "incremental" in only:
+        report["incremental_dedup"] = incremental_dedup_probe(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
+
+
+def incremental_dedup_probe(spark, times: int):
+    """Rolling-corpus dedup: a FIXED-SIZE daily batch probed against a
+    PERSISTED MinHash index that grows ``times``-x (the llm/dedup.py:215
+    100 TB pattern — you never re-pair the corpus). Index build/write is
+    untimed prep; the timed query's wall must track the batch, not the
+    index, because the index side is filtered map-side against the
+    broadcast batch band keys — zero shuffles of index data. The index is
+    persisted parquet as the docstring requires: probing the raw
+    Caesar-union index PLAN instead re-shingles the corpus once per
+    consumer (measured 47.6s vs 3.4s at 1x)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark.llm import dedup
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 11 == 0
+    )
+    out = {"fixture": "caesar-union index (persisted parquet), fixed-size batch"}
+    tmp = tempfile.mkdtemp(prefix="gs_probe_incr_")
+    walls = {}
+    for mult in (1, times):
+        dest = f"{tmp}/idx_{mult}"
+        dedup.minhash_index(multiplied_docs_distinct(spark, mult)).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        pidx = spark.read.parquet(dest)
+        t0 = time.perf_counter()
+        dedup.incremental_minhash_dedup(batch, pidx, min_jaccard=0.5).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        walls[mult] = round(time.perf_counter() - t0, 2)
+        print(f"incremental_dedup {mult}x index: t={walls[mult]}s")
+    out["t_1x_sec"] = walls[1]
+    out[f"t_{times}x_sec"] = walls[times]
+    out["scaling_factor"] = round(walls[times] / walls[1], 2)
+    out["ideal"] = float(times)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def streaming_upsert_probe(spark, times: int):

@@ -2862,10 +2862,25 @@ def join_window_spec(draw):
     else:
         spec["window"] = None
     spec["filter_ge"] = draw(st.one_of(st.none(), st.integers(-2, 2)))
+    # optional group AFTER join/window/filter: composition of the new
+    # stage kinds with aggregation (sums only integer-typed columns —
+    # float sums differ by accumulation order across engines)
+    spec["group_after"] = draw(st.booleans())
     return spec
 
 
+def _jw_group_value_col(spec):
+    """The column the group-after stage sums: the window output when it is
+    integer-typed, else the join column, else v."""
+    w = spec["window"]
+    if w and w["kind"] not in _WIN_FLOAT_KINDS + ("lt",):
+        return "w"
+    return "j" if spec["join"] else "v"
+
+
 def _jw_cols(spec):
+    if spec.get("group_after"):
+        return ["g", "n", "sv"]
     cols = ["g", "v", "u"]
     if spec["join"]:
         cols.append("j")
@@ -2878,7 +2893,15 @@ def _jw_graphql(spec):
     reads = " ".join(
         f'c_{c}: column(name: "{c}") {{ values }}' for c in _jw_cols(spec)
     ) + " count"
-    inner = f'order(by: ["u"]) {{ {reads} }}'
+    if spec.get("group_after"):
+        vc = _jw_group_value_col(spec)
+        inner = (
+            f'group(by: ["g"], counts: "n", '
+            f'aggregate: {{sum: [{{name: "{vc}", alias: "sv"}}]}}) '
+            f'{{ order(by: ["g"]) {{ {reads} }} }}'
+        )
+    else:
+        inner = f'order(by: ["u"]) {{ {reads} }}'
     if spec["filter_ge"] is not None:
         inner = f"filter(v: {{ge: {spec['filter_ge']}}}) {{ {inner} }}"
     if spec["window"]:
@@ -2973,6 +2996,13 @@ def _jw_sql(spec):
     where_s = (
         f" WHERE v >= {spec['filter_ge']}" if spec["filter_ge"] is not None else ""
     )
+    if spec.get("group_after"):
+        vc = _jw_group_value_col(spec)
+        return (
+            f"SELECT g, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum({vc}) AS BIGINT) AS sv FROM ({base}) q{where_s} "
+            "GROUP BY g ORDER BY g ASC NULLS FIRST"
+        )
     return (
         f"SELECT {', '.join(_jw_cols(spec))} FROM ({base}) q{where_s} "
         "ORDER BY u ASC NULLS FIRST"
@@ -2997,7 +3027,7 @@ def test_graphql_join_window_chain_matches_duckdb(spark, rows, spec):
     service = GraphQLService({"t": df, "r": rdf})
 
     node = service.execute(_jw_graphql(spec))["t"]
-    for stage in ("join", "project", "filter", "order"):
+    for stage in ("join", "project", "filter", "group", "order"):
         if stage in node:
             node = node[stage]
     cols = _jw_cols(spec)

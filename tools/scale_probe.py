@@ -77,6 +77,48 @@ def multiplied_docs_distinct(spark, times: int):
     return reduce(lambda a, b: a.unionByName(b), copies)
 
 
+def multiplied_docs_distinct_explode(spark, times: int):
+    """``times``x documents with per-copy Caesar-rotated content via ONE
+    explode leg: a 26-branch CASE on ``__c % 26`` picks the rotation, so
+    the plan stays constant-size at multipliers where a ``times``-leg
+    union OOMs driver plan canonicalization. Identical content semantics
+    to :func:`multiplied_docs_distinct` (incl. the %26 clone wrap beyond
+    26 copies — each doc gains ~times/26 exact clones, keeping pair
+    output LINEAR in the corpus). Scan IO is NOT multiplied (one leg) —
+    compute/shuffle work is.
+
+    Do NOT replace the rotation with a word-salt (suffixing words with the
+    copy index): dedup shingles are CHARACTER 5-grams, and a shared salt
+    at every word boundary fabricates cross-doc similarity — measured
+    21.8M pairs vs Caesar's 2k at 8x, quadratic in the corpus."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    letters = string.ascii_lowercase
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exploded = (
+        base.withColumn("__c", F.explode(F.lit(list(range(times)))))
+        # spread (doc, copy) pairs across tasks BEFORE the rotation: the
+        # explode otherwise lands all `times` copies in the handful of
+        # scan partitions and a single task OOMs on the expanded text
+        .repartition(256, "doc_id", "__c")
+    )
+    rot_expr = None
+    for c in range(min(times, 26)):
+        rot = letters[c:] + letters[:c]
+        branch = F.translate(F.col("text"), letters, rot)
+        if rot_expr is None:
+            rot_expr = F.when(F.col("__c") % 26 == c, branch)
+        else:
+            rot_expr = rot_expr.when(F.col("__c") % 26 == c, branch)
+    return exploded.select(
+        # bigint copy index: int32 * 10M overflows ANSI at copy 215+
+        (F.col("doc_id") + F.col("__c").cast("bigint") * 10_000_000).alias("doc_id"),
+        rot_expr.alias("text"),
+    )
+
+
 def main() -> None:
     argv = sys.argv[1:]
     # N is optional even when probes are named: "scale_probe.py components"
@@ -91,7 +133,13 @@ def main() -> None:
         SparkSession.builder.appName("scale-probe")
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
+        # probes push 128-256x synthetic corpora through one local JVM
+        # (32 concurrent tasks share the heap); the box has 128 GiB
+        .config("spark.driver.memory", "24g")
+        # local mode: localCheckpoint blocks live in the driver process, so
+        # a 256x materialized signature set (~2 GB) trips the default 1g
+        # result-size guard even though nothing is collect()ed
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in DEFAULT_CONF.items():
@@ -129,22 +177,28 @@ def main() -> None:
         w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
         return orders.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
 
+    def docs_distinct(mult):
+        # Caesar union up to 64 legs; CASE-selected Caesar explode beyond
+        # (one scan leg — a 256-leg union OOMs driver plan canonicalization)
+        mk = multiplied_docs_distinct if mult <= 64 else multiplied_docs_distinct_explode
+        return mk(spark, mult)
+
     def minhash(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied_docs_distinct(spark, mult)
+        docs = docs_distinct(mult)
         return dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.5)
 
     def ngram(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied_docs_distinct(spark, mult)
+        docs = docs_distinct(mult)
         return dedup.ngram_jaccard_pairs(docs, min_jaccard=0.7)
 
     def components(mult):
         from graphique_spark.llm import dedup
 
-        docs = multiplied_docs_distinct(spark, mult)
+        docs = docs_distinct(mult)
         pairs = dedup.minhash_candidates(docs, num_hashes=16, bands=4, min_jaccard=0.7)
         # explicit method: the probe measures the DISTRIBUTED path, not the
         # small-graph union-find fast path the auto default would take
@@ -542,9 +596,9 @@ def main() -> None:
     fixtures = {
         "entity_fuzzy": "caesar-remapped-ids-union",
         "incremental_dedup": "caesar-union index, fixed-size batch",
-        "minhash": "caesar-union",
-        "ngram": "caesar-union",
-        "components": "caesar-union",
+        "minhash": "caesar-union" if times <= 64 else "caesar-case-explode",
+        "ngram": "caesar-union" if times <= 64 else "caesar-case-explode",
+        "components": "caesar-union" if times <= 64 else "caesar-case-explode",
         "embedding_near_dups": "jitter-union",
         "knn_join_lsh": "jitter-union",
         "assign_clusters": "jitter-union",

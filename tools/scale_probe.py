@@ -635,6 +635,8 @@ def main() -> None:
         report["streaming_upsert"] = streaming_upsert_probe(spark, times)
     if "incremental" in only:
         report["incremental_dedup"] = incremental_dedup_probe(spark, times)
+    if "streaming_cdc" in only:
+        report["streaming_cdc"] = streaming_cdc_probe(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
 
 
@@ -679,6 +681,95 @@ def incremental_dedup_probe(spark, times: int):
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def streaming_cdc_probe(spark, times: int):
+    """History-flatness probe for the streaming CDC-apply sink (the
+    upsert probe's twin — together they cover the two most expensive
+    suite entries): 12 partition-local micro-batches of an op log (batch
+    b inserts cohort-b keys, then updates a fifth and deletes a seventh of
+    them within the same batch), so the materialized snapshot grows 12x
+    over the run while each batch's apply_cdc reads exactly one partition.
+    Late batches must not be slower than early ones."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark import streaming as st
+
+    nbatches = 12
+    workdir = os.path.join(tempfile.gettempdir(), "gs_probe_cdc_hist")
+    shutil.rmtree(workdir, ignore_errors=True)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    base = orders.withColumn("__b", F.pmod(key, F.lit(nbatches)).cast("int")).select(
+        F.col("__b").cast("bigint").alias("cohort"),
+        (key * nbatches + F.col("__b")).alias("k"),
+        F.col("o_totalprice").alias("v"),
+        "__b",
+    )
+    log = (
+        base.select("cohort", "k", "v", F.lit(1).alias("seq"), F.lit("insert").alias("op"), "__b")
+        .unionByName(
+            base.where(key % 5 == 0).select(
+                "cohort", "k", (F.col("v") + 100.0).alias("v"),
+                F.lit(2).alias("seq"), F.lit("update").alias("op"), "__b",
+            )
+        )
+        .unionByName(
+            base.where(key % 7 == 0).select(
+                "cohort", "k", F.lit(None).cast("double").alias("v"),
+                F.lit(3).alias("seq"), F.lit("delete").alias("op"), "__b",
+            )
+        )
+    )
+    src = f"{workdir}/src"
+    log.repartition(nbatches, "__b").write.partitionBy("__b").mode(
+        "overwrite"
+    ).parquet(src)
+    stream = st.read_event_stream(
+        spark,
+        src,
+        schema="cohort bigint, k bigint, v double, seq int, op string, __b int",
+        max_files_per_trigger=1,
+    ).drop("__b")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = st.cdc_sink(
+            stream,
+            dest=f"{workdir}/table",
+            keys=["cohort", "k"],
+            checkpoint=f"{workdir}/ckpt",
+            seq_col="seq",
+            op_col="op",
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    batch_ms = [
+        p["durationMs"]["triggerExecution"]
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    shutil.rmtree(workdir, ignore_errors=True)
+    early = sum(batch_ms[1:4]) / 3 if len(batch_ms) >= nbatches else None
+    late = sum(batch_ms[-3:]) / 3 if len(batch_ms) >= nbatches else None
+    out = {
+        "per_batch_ms": batch_ms,
+        "early_mean_ms": round(early, 1) if early else None,
+        "late_mean_ms": round(late, 1) if late else None,
+        "late_vs_early_batch_ratio": round(late / early, 2) if early else None,
+        "fixture": "12 partition-local op-log micro-batches (snapshot grows 12x over the run)",
+    }
+    if early:
+        print(f"streaming cdc history: early={early:.0f}ms late={late:.0f}ms ratio={late / early:.2f}")
     return out
 
 

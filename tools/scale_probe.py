@@ -350,6 +350,13 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n_ab"))
         )
 
+    def li_mult(mult):
+        # plain duplication is fine for the skew probes (the hot key is by
+        # construction); explode beyond 16x keeps input synthesis cheap —
+        # union-leg synthesis dominated the 64x budget in r07
+        mk = multiplied_explode if mult > 16 else multiplied
+        return mk(spark, "lineitem", mult)
+
     def skew_salted(mult):
         # adversarial skew: ONE hot key owns ~20% of all rows (l_orderkey
         # % 5 == 0), the rest spread over ~1000 keys. The salted two-phase
@@ -358,7 +365,7 @@ def main() -> None:
         # 20% of the data through one task.
         from graphique_spark.operators.skew import two_phase_agg
 
-        li = multiplied(spark, "lineitem", mult).select(
+        li = li_mult(mult).select(
             F.when(F.col("l_orderkey") % 5 == 0, F.lit("HOT"))
             .otherwise(F.concat(F.lit("k"), (F.col("l_orderkey") % 997).cast("string")))
             .alias("k"),
@@ -372,7 +379,7 @@ def main() -> None:
     def skew_join_aqe(mult):
         # skewed JOIN under AQE: the hot fact key meets a small dim; AQE's
         # skew-split plus the broadcast threshold keep task p99 bounded
-        li = multiplied(spark, "lineitem", mult).select(
+        li = li_mult(mult).select(
             F.when(F.col("l_orderkey") % 5 == 0, F.lit(0))
             .otherwise(F.col("l_orderkey") % 997)
             .alias("k"),
@@ -390,9 +397,12 @@ def main() -> None:
     def containment(mult):
         from graphique_spark.llm import dedup
 
-        return dedup.containment_pairs(
-            multiplied(spark, "documents", mult), min_containment=0.8
-        )
+        # duplicate-heavy fixture keeps output growth super-linear by
+        # construction; the probe still measures operator scaling because
+        # the prefix filter bounds the pair space (see 16x note). Explode
+        # beyond 16x so input synthesis doesn't dominate the budget.
+        mk = multiplied_explode if mult > 16 else multiplied
+        return dedup.containment_pairs(mk(spark, "documents", mult), min_containment=0.8)
 
     def inverted(mult):
         from graphique_spark.llm import text as t
@@ -604,6 +614,9 @@ def main() -> None:
         "assign_clusters": "jitter-union",
         "star_cc_chain": "synthetic-range",
         "url_pipeline": "union" if times <= 64 else "explode",
+        "skew_salted": "union" if times <= 16 else "explode",
+        "skew_join_aqe": "union" if times <= 16 else "explode",
+        "containment": "union" if times <= 16 else "explode",
     }
     only = argv
     if only:

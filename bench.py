@@ -137,6 +137,10 @@ def main() -> None:
         # over `repeats` interleaved passes, not single-run wall — r07 and
         # earlier BENCH files are single-run and not directly comparable
         "estimator": f"median_of_{repeats}",
+        # actual per-query sample counts: the measured-time budget truncates
+        # later passes, so tail queries can have fewer samples than the
+        # estimator label suggests; bench_diff warns on unequal counts
+        "n_samples": {name: len(vals) for name, vals in samples.items()},
         "samples": samples,
     }
     # The driver records only a 2000-char tail of stdout and JSON-parses it;
@@ -169,6 +173,7 @@ def main() -> None:
         }
     )
     while keep > 0:
+        kept = dict(list(slowest.items())[:keep])
         compact = {
             "metric": "suite_total_wall",
             "value": total,
@@ -176,7 +181,8 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "estimator": f"median_of_{repeats}",
-            "queries": dict(list(slowest.items())[:keep]),
+            "n_samples": {name: len(samples[name]) for name in kept},
+            "queries": kept,
         }
         candidate = json.dumps(compact)
         if len(candidate) <= 1800:

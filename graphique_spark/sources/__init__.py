@@ -587,6 +587,40 @@ def write_with_manifest(
     manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
 
 
+def rewrite_manifest(
+    spark: SparkSession, dest: str, partition_by: str | None = None
+) -> None:
+    """Migrate a dataset's ``_manifest`` to the current format WITHOUT
+    re-writing the data files: recompute counts + checksums from the bytes
+    on disk and stamp :data:`MANIFEST_FORMAT_VERSION`. This is the
+    operator's path out of :func:`verify_manifest`'s cross-version refusal
+    (a pre-versioned or old-algorithm manifest) when the data itself is
+    intact — at 100 TB, re-writing data to refresh a metadata artifact is
+    not an option (ADVICE r08).
+
+    Note this TRUSTS the current files: any corruption present at rewrite
+    time is baked into the new checksums. Run the old-format verifier (or
+    an external audit) first if the data's integrity is itself in doubt.
+    """
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql import functions as F
+
+    try:
+        current = spark.read.parquet(dest)
+    except AnalysisException as exc:
+        raise ValueError(
+            f"{dest} has no readable data files to recompute a manifest "
+            "from (empty partitioned writes carry their schema only at "
+            "write time). Re-create it with write_with_manifest."
+        ) from exc
+    manifest = table_checksum(current, [partition_by] if partition_by else [])
+    manifest = manifest.withColumn(
+        "format_version", F.lit(MANIFEST_FORMAT_VERSION)
+    )
+    manifest.write.mode("overwrite").parquet(f"{dest}/_manifest")
+
+
 def verify_manifest(spark: SparkSession, dest: str, partition_by: str | None = None):
     """Recompute counts + checksums of ``dest`` and diff against its
     stored ``_manifest``. Returns a DataFrame of mismatching partitions

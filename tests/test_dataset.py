@@ -619,6 +619,50 @@ def test_write_with_manifest_empty_partitioned_frame(spark, tmp_path):
     assert verify_manifest(spark, dest, partition_by="bucket").count() == 0
 
 
+def test_rewrite_manifest_migrates_old_format_in_place(spark, tmp_path):
+    # ADVICE r08: verify_manifest's cross-version refusal is operationally
+    # one-way without a migration path that doesn't re-write the data
+    import pytest
+
+    from graphique_spark.sources import (
+        rewrite_manifest, verify_manifest, write_with_manifest,
+    )
+
+    dest = str(tmp_path / "migrate")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    write_with_manifest(df, dest, partition_by="bucket")
+    # simulate a pre-versioned manifest: strip the format_version column
+    # (materialize before the self-overwrite — a lazy read-then-overwrite
+    # of the same path deletes its own input files mid-job)
+    old = spark.read.parquet(f"{dest}/_manifest").drop("format_version")
+    rows, schema = old.collect(), old.schema
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{dest}/_manifest"
+    )
+    with pytest.raises(ValueError, match="format_version"):
+        verify_manifest(spark, dest, partition_by="bucket").count()
+    # migrate: recompute from the bytes on disk, no data re-write
+    import glob as _glob
+
+    files_before = sorted(_glob.glob(f"{dest}/bucket=*/*.parquet"))
+    rewrite_manifest(spark, dest, partition_by="bucket")
+    assert sorted(_glob.glob(f"{dest}/bucket=*/*.parquet")) == files_before
+    assert verify_manifest(spark, dest, partition_by="bucket").count() == 0
+
+
+def test_rewrite_manifest_no_data_files_raises(spark, tmp_path):
+    import pytest
+
+    from graphique_spark.sources import rewrite_manifest
+
+    dest = str(tmp_path / "nodata")
+    (tmp_path / "nodata").mkdir()
+    with pytest.raises(ValueError, match="no readable data files"):
+        rewrite_manifest(spark, dest)
+
+
 def test_verify_manifest_null_partition_intact(spark, tmp_path):
     from graphique_spark.sources import verify_manifest, write_with_manifest
 

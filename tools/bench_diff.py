@@ -8,9 +8,12 @@ exceeds the threshold in either direction. The default threshold 1.4 sits
 just above the measured median-of-3 noise floor on this box (back-to-back
 sf0.1 runs: per-query median ratio 1.15, p90 1.28 — see README bench
 note); under the old single-run bench individual queries swung 3.4x, so
-nothing under ~3x was signal. Queries under ``min_sec`` (default 0.3s) are
-skipped — fixed scheduling overhead dominates them and their ratios are
-meaningless.
+nothing under ~3x was signal. Queries where BOTH sides sit under
+``min_sec`` (default 0.3s) are skipped — fixed scheduling overhead
+dominates them and their ratios are meaningless — but a query that
+crosses the floor in either direction still flags. When both files carry
+``n_samples`` maps, queries compared across unequal sample counts get a
+note (budget-truncated tails are medians of fewer, colder samples).
 
 Exit code 1 when regressions (new slower than old) are found, so the diff
 can gate a CI step; speedups are listed but don't fail.
@@ -44,10 +47,19 @@ def main() -> int:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(oq) & set(nq))
     regressions, speedups = [], []
+    on, nn = old.get("n_samples", {}), new.get("n_samples", {})
     for name in shared:
         a, b = oq[name], nq[name]
-        if a < min_sec or b < min_sec or a <= 0 or b <= 0:
+        # skip only when BOTH sides sit under the noise floor: a regression
+        # that crosses it (0.25s -> 4.0s) must still flag
+        if max(a, b) < min_sec or a <= 0 or b <= 0:
             continue
+        if name in on and name in nn and on[name] != nn[name]:
+            print(
+                f"note: {name} compared across unequal sample counts "
+                f"({on[name]} vs {nn[name]}) — truncated-tail medians "
+                "include the cold pass-1 sample and bias slower"
+            )
         if b / a >= threshold:
             regressions.append((b / a, name, a, b))
         elif a / b >= threshold:

@@ -720,22 +720,28 @@ def streaming_cdc_probe(spark, times: int):
         "o_orderkey", "o_totalprice"
     )
     key = F.col("o_orderkey")
+    # carry the update/delete cohort flags THROUGH the select: filtering on
+    # o_orderkey after it's dropped only resolves via Spark's
+    # missing-reference analyzer rule for Filter, which is fragile across
+    # engine versions (ADVICE r08)
     base = orders.withColumn("__b", F.pmod(key, F.lit(nbatches)).cast("int")).select(
         F.col("__b").cast("bigint").alias("cohort"),
         (key * nbatches + F.col("__b")).alias("k"),
         F.col("o_totalprice").alias("v"),
+        (key % 5 == 0).alias("__upd"),
+        (key % 7 == 0).alias("__del"),
         "__b",
     )
     log = (
         base.select("cohort", "k", "v", F.lit(1).alias("seq"), F.lit("insert").alias("op"), "__b")
         .unionByName(
-            base.where(key % 5 == 0).select(
+            base.where("__upd").select(
                 "cohort", "k", (F.col("v") + 100.0).alias("v"),
                 F.lit(2).alias("seq"), F.lit("update").alias("op"), "__b",
             )
         )
         .unionByName(
-            base.where(key % 7 == 0).select(
+            base.where("__del").select(
                 "cohort", "k", F.lit(None).cast("double").alias("v"),
                 F.lit(3).alias("seq"), F.lit("delete").alias("op"), "__b",
             )

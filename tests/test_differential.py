@@ -3111,3 +3111,137 @@ def test_graphql_unnest_chain_matches_python(spark, rows, offset, keep_empty, fi
 
     norm = lambda r: tuple("N" if x is None else str(x) for x in r)
     assert sorted(norm(r) for r in got) == sorted(norm(r) for r in want)
+
+
+# ---------------------------------------------------------------------------
+# Streaming late-data parity: randomized out-of-order / late / boundary-
+# jittered micro-batches through the REAL file source + watermark path vs a
+# pure-Python simulation of Spark's documented late-event semantics.
+#
+# The simulation was pinned empirically (round 9) and matches the
+# example-based test in test_streaming.py:
+#   * the watermark active during batch b lags one batch: it is
+#     max event time over batches 0..b-2, minus the delay (the stats of
+#     batch b-1 only feed the watermark committed AFTER b-1 finishes)
+#   * for a windowed aggregation the late filter is PER (row, window)
+#     on the window-struct key, not per row on ts: a row still counts
+#     toward any containing window whose window_end > watermark, and is
+#     dropped only for windows with window_end <= watermark (so one late
+#     row can be half-kept under a sliding window)
+#   * no eviction modeling is needed for FINAL counts: a kept (row,
+#     window) pair has window_end > wm(b) >= every earlier batch's
+#     watermark (both the filter and eviction in batch b' use the same
+#     wm(b')), so kept rows never land in evicted state and per-window
+#     counts are monotone — the final count is just the count of
+#     surviving (row, window) pairs (and "last update" == max update in
+#     the memory sink).
+# Batch order is forced WITHOUT sleeps by pinning each data file's mtime
+# to a distinct increasing epoch (the file source orders by mtime).
+# ---------------------------------------------------------------------------
+
+_stream_event = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(0, 10),                # hours-ish granularity: minutes*60
+    st.sampled_from([-1, 0, 1]),       # ms jitter to probe exact boundaries
+)
+_stream_batches = st.lists(
+    st.lists(_stream_event, min_size=1, max_size=6), min_size=1, max_size=4
+)
+import itertools as _it  # noqa: E402
+
+_stream_counter = _it.count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_stream_batches, grouped=st.booleans(), sliding=st.booleans())
+def test_streaming_late_data_parity(spark, batches, grouped, sliding):
+    import datetime
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    delay_ms = 3_600_000           # watermark "1 hour"
+    dur_ms = 3_600_000             # window "1 hour"
+    slide_ms = 1_800_000 if sliding else dur_ms
+
+    def ts_of(hour_ish, jitter_ms):
+        # 6-minute grid over ~10 hours, so windows genuinely collide and
+        # late rows genuinely cross the watermark
+        return t0 + datetime.timedelta(minutes=hour_ish * 36, milliseconds=jitter_ms)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="wmfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen_files = set()
+        for b, rows in enumerate(batches):
+            data = [(k, ts_of(h, j)) for (k, h, j) in rows]
+            spark.createDataFrame(data, "k string, ts timestamp").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen_files:
+                    seen_files.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        stream = stx.read_event_stream(spark, src, schema="k string, ts timestamp")
+        by = ["k"] if grouped else None
+        if sliding:
+            agg = stx.sliding_counts(
+                stream, duration="1 hour", slide="30 minutes", by=by,
+                streaming=True, watermark="1 hour",
+            )
+        else:
+            agg = stx.tumbling_counts(
+                stream, duration="1 hour", by=by, streaming=True, watermark="1 hour"
+            )
+        name = f"wm_fuzz_{next(_stream_counter)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            key = (ms(r["window_start"]), r["k"] if grouped else None)
+            got[key] = max(got.get(key, 0), r["n"])  # counts are monotone
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # pure-Python simulation of the documented semantics
+    want: dict = {}
+    max_hist: list[int] = []  # max event-time ms through batch b
+    for b, rows in enumerate(batches):
+        late_wm = max_hist[b - 2] - delay_ms if b >= 2 else None
+        batch_ms = []
+        for k, h, j in rows:
+            t = ms(ts_of(h, j))
+            batch_ms.append(t)
+            # every slide-aligned window containing t; the late filter
+            # applies per window on its END, not per row on t
+            first = (t // slide_ms) * slide_ms
+            wstart = first
+            while wstart > t - dur_ms:
+                if late_wm is None or wstart + dur_ms > late_wm:
+                    wk = (wstart, k if grouped else None)
+                    want[wk] = want.get(wk, 0) + 1
+                wstart -= slide_ms
+        max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+
+    assert got == want, (batches, grouped, sliding, got, want)

@@ -38,6 +38,16 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (local iteration and
+    # the regression gate's fresh-confirm step). Subset runs never write
+    # BENCH_local.json or bench_history/ — they aren't suite runs.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: fn for n, fn in queries.items() if n in wanted}
+        missing = wanted - set(queries)
+        if missing:
+            print(f"bench: unknown queries ignored: {sorted(missing)}", file=sys.stderr)
     # JVM/codegen/python-worker warmup at sf0.001 (not counted): one query
     # per operator family, so whichever query runs first isn't charged the
     # whole-stage-codegen compile, broadcast machinery, shuffle service and
@@ -150,11 +160,27 @@ def main() -> None:
     # trimmed until the line fits. The complete map goes to stderr and to
     # BENCH_local.json next to this script.
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_local.json"), "w") as f:
-            json.dump(full, f)
-    except OSError:
-        pass
+    if not only:
+        try:
+            with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+                json.dump(full, f)
+        except OSError:
+            pass
+    # Round-over-round regression wiring: archive every FULL run (all
+    # registered queries, the default sf) under bench_history/ so
+    # tests/test_bench_gate.py can diff the two most recent runs with
+    # tools/bench_diff.py and red the suite on confirmed >1.4x drift.
+    # Partial/debug runs (query subsets, other SFs) are not archived.
+    if not only and not failed and all(t >= 0 for t in timings.values()):
+        try:
+            hist = os.path.join(here, "bench_history")
+            os.makedirs(hist, exist_ok=True)
+            with open(
+                os.path.join(hist, f"bench_{int(time.time())}_sf{sf}.json"), "w"
+            ) as f:
+                json.dump(full, f)
+        except OSError:
+            pass
     print(json.dumps(full), file=sys.stderr, flush=True)
 
     slowest = dict(

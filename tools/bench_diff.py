@@ -25,20 +25,15 @@ import json
 import sys
 
 
-def main() -> int:
-    if len(sys.argv) < 3:
-        print(__doc__)
-        return 2
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.4
-    min_sec = 0.3
+def compare(old: dict, new: dict, threshold: float = 1.4, min_sec: float = 0.3) -> dict:
+    """Diff two parsed bench results; returns lines + (ratio, name, a, b) lists.
 
-    with open(old_path) as f:
-        old = json.load(f)
-    with open(new_path) as f:
-        new = json.load(f)
+    Pure so the round-gate test (tests/test_bench_gate.py) can reuse the
+    exact CLI semantics against archived bench_history/ files.
+    """
+    lines: list[str] = []
     if old.get("estimator") != new.get("estimator"):
-        print(
+        lines.append(
             f"WARNING: estimator mismatch ({old.get('estimator', 'single_run')} "
             f"vs {new.get('estimator', 'single_run')}) — single-run numbers "
             "carry 3x+ per-query noise; ratios below are not reliable signal"
@@ -55,7 +50,7 @@ def main() -> int:
         if max(a, b) < min_sec or a <= 0 or b <= 0:
             continue
         if name in on and name in nn and on[name] != nn[name]:
-            print(
+            lines.append(
                 f"note: {name} compared across unequal sample counts "
                 f"({on[name]} vs {nn[name]}) — truncated-tail medians "
                 "include the cold pass-1 sample and bias slower"
@@ -67,13 +62,32 @@ def main() -> int:
 
     ot, nt = old.get("value"), new.get("value")
     if ot and nt:
-        print(f"suite total: {ot}s -> {nt}s ({nt / ot:.2f}x), {len(shared)} shared queries")
+        lines.append(
+            f"suite total: {ot}s -> {nt}s ({nt / ot:.2f}x), {len(shared)} shared queries"
+        )
     for label, rows in (("REGRESSION", regressions), ("speedup", speedups)):
         for r, name, a, b in sorted(rows, reverse=True):
-            print(f"{label} {name}: {a}s -> {b}s ({r:.2f}x)")
+            lines.append(f"{label} {name}: {a}s -> {b}s ({r:.2f}x)")
     if not regressions and not speedups:
-        print(f"no per-query drift beyond {threshold}x")
-    return 1 if regressions else 0
+        lines.append(f"no per-query drift beyond {threshold}x")
+    return {"lines": lines, "regressions": regressions, "speedups": speedups}
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.4
+
+    with open(old_path) as f:
+        old = json.load(f)
+    with open(new_path) as f:
+        new = json.load(f)
+    result = compare(old, new, threshold)
+    for line in result["lines"]:
+        print(line)
+    return 1 if result["regressions"] else 0
 
 
 if __name__ == "__main__":

@@ -88,7 +88,12 @@ def asof_join(
     unioned = lhs.unionByName(rhs)
     order = [F.col(on), F.col(_SIDE)]  # right (0) before left (1) at ties
     if direction == "forward":
-        order = [F.col(on).desc(), F.col(_SIDE)]
+        # desc_nulls_first, not desc: a left row with NULL `on` has no
+        # position on the time axis and must traverse BEFORE every right
+        # row so last(payload, ignorenulls) stays null — plain desc sorts
+        # nulls last and handed such rows the latest right payload
+        # (backward gets this for free: asc is nulls-first)
+        order = [F.col(on).desc_nulls_first(), F.col(_SIDE)]
     if by:
         w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
         matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))

@@ -33,6 +33,60 @@ class GraphQLError(Exception):
     pass
 
 
+class _PersistRegistry:
+    """Refcounted, lock-serialized persist/unpersist per canonicalized plan.
+
+    Naive per-request ``df.persist()`` / ``df.unpersist()`` is unsafe under
+    concurrent requests: two threads caching the SAME logical plan race in
+    Spark's CacheManager (cacheQuery's lookup->build isn't atomic across
+    sessions' calls), and the losing thread's materialized InMemoryRelation
+    RDD is never deregistered — measured here as persistent-RDD blocks
+    accumulating across request bursts while cacheManager.isEmpty() stays
+    true (an executor-memory leak on a long-lived service). One request
+    unpersisting a plan another request is still using additionally forces
+    recomputation. This registry keys entries by the JVM-canonicalized
+    plan (semanticHash + sameResult confirmation): the FIRST acquirer
+    persists, later acquirers just bump the refcount, and the LAST release
+    unpersists — all under one Python lock so the JVM cache mutations for
+    a plan never interleave.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._entries: dict[int, list[dict]] = {}
+
+    @staticmethod
+    def _jplan(ds: Dataset):
+        return ds.df._jdf.queryExecution().analyzed().canonicalized()
+
+    def acquire(self, ds: Dataset) -> dict:
+        """Ensure ``ds``'s plan is persisted; returns a release token."""
+        jplan = self._jplan(ds)
+        h = jplan.semanticHash()
+        with self._lock:
+            bucket = self._entries.setdefault(h, [])
+            for ent in bucket:
+                if ent["plan"].sameResult(jplan):
+                    ent["n"] += 1
+                    return ent
+            ent = {"hash": h, "plan": jplan, "ds": ds.persist(), "n": 1}
+            bucket.append(ent)
+            return ent
+
+    def release(self, ent: dict) -> None:
+        with self._lock:
+            ent["n"] -= 1
+            if ent["n"] == 0:
+                bucket = self._entries.get(ent["hash"], [])
+                if ent in bucket:
+                    bucket.remove(ent)
+                    if not bucket:
+                        del self._entries[ent["hash"]]
+                ent["ds"].unpersist()
+
+
 class GraphQLService:
     def __init__(
         self,
@@ -51,6 +105,7 @@ class GraphQLService:
         for ds in self.roots.values():  # join/union targets resolve by name
             ds.roots.update(self.roots)
         self.allow_sql = allow_sql
+        self._persist_registry = _PersistRegistry()
         self.schema: GraphQLSchema = SchemaBuilder(self.roots, keys=keys).build()
 
     def execute(
@@ -100,7 +155,12 @@ class GraphQLService:
     def _run(self, query, variables=None, middleware=None):
         single = len(self.roots) == 1
         root_value = next(iter(self.roots.values())) if single else None
-        context = {"roots": self.roots, "allow_sql": self.allow_sql, "persisted": []}
+        context = {
+            "roots": self.roots,
+            "allow_sql": self.allow_sql,
+            "persisted": [],
+            "persist_registry": self._persist_registry,
+        }
         result = graphql_sync(
             self.schema,
             query,
@@ -109,8 +169,11 @@ class GraphQLService:
             variable_values=dict(variables or {}),
             middleware=middleware,
         )
-        for ds in context["persisted"]:
-            ds.unpersist()
+        for token in context["persisted"]:
+            if isinstance(token, Dataset):  # direct-persist fallback path
+                token.unpersist()
+            else:
+                self._persist_registry.release(token)
         return result
 
 

@@ -63,9 +63,16 @@ def _with_cache(fn):
         node = info.field_nodes[0]
         selections = node.selection_set.selections if node.selection_set else []
         if len(selections) > 1 and isinstance(out, Dataset):
-            out = out.persist()
             context = info.context or {}
-            context.setdefault("persisted", []).append(out)
+            registry = context.get("persist_registry")
+            if registry is not None:
+                # refcounted + lock-serialized: concurrent requests caching
+                # the same plan share one entry instead of racing Spark's
+                # CacheManager (see service._PersistRegistry)
+                context.setdefault("persisted", []).append(registry.acquire(out))
+            else:
+                out = out.persist()
+                context.setdefault("persisted", []).append(out)
         return out
 
     return wrapper

@@ -3245,3 +3245,183 @@ def test_streaming_late_data_parity(spark, batches, grouped, sliding):
         max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
 
     assert got == want, (batches, grouped, sliding, got, want)
+
+
+# ---------------------------------------------------------------------------
+# asofJoin / takeFrom chained under group/order through the FULL service
+# stack vs DuckDB (the last resolver-composition corner not covered by the
+# r08 join/window/unnest chain fuzzers). Right (key, time) pairs are unique
+# so "the nearest right row" is well-defined on both engines; left rows
+# include NULL keys and NULL times to probe the no-match paths.
+# ---------------------------------------------------------------------------
+
+_asof_left_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),   # g: join key (null never matches)
+        st.one_of(st.none(), st.integers(0, 12)),  # t: event time (null: no position)
+        st.integers(-5, 5),                        # v
+    ),
+    min_size=1,
+    max_size=10,
+)
+_asof_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 12), st.integers(0, 99)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lrows=_asof_left_rows,
+    rrows=_asof_right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 1.0, 3.0]),
+    prefilter=st.one_of(
+        st.none(), st.tuples(st.sampled_from(["lt", "ge"]), st.integers(-2, 2))
+    ),
+    post=st.sampled_from([None, "group", "order"]),
+)
+def test_graphql_asof_chain_matches_duckdb(
+    spark, lrows, rrows, direction, tol, prefilter, post
+):
+    import duckdb
+
+    from graphique_spark.service import GraphQLService
+
+    ldata = [(g, t, v, i) for i, (g, t, v) in enumerate(lrows)]
+    uniq = {}
+    for g, t, bid in rrows:
+        uniq[(g, t)] = bid
+    rdata = [(g, t, bid) for (g, t), bid in sorted(uniq.items())]
+    ldf = spark.createDataFrame(ldata, "g long, t long, v long, u long")
+    rdf = spark.createDataFrame(rdata, "g long, t long, bid long")
+    service = GraphQLService({"trades": ldf, "quotes": rdf})
+
+    tol_arg = "" if tol is None else f", tolerance: {tol}"
+    if post == "group":
+        out_cols = ["g", "n", "a_sum"]
+    else:
+        out_cols = ["g", "t", "v", "u", "bid"]
+    reads = " ".join(f'c_{c}: column(name: "{c}") {{ values }}' for c in out_cols)
+    inner = reads
+    if post == "group":
+        inner = (
+            f'group(by: ["g"], counts: "n", aggregate: '
+            f'{{sum: [{{name: "bid", alias: "a_sum"}}]}}) {{ {inner} }}'
+        )
+    elif post == "order":
+        inner = f'order(by: ["u"]) {{ {inner} }}'
+    inner = (
+        f'asofJoin(right: "quotes", on: "t", keys: ["g"], '
+        f'direction: "{direction}"{tol_arg}) {{ {inner} }}'
+    )
+    if prefilter is not None:
+        op, k = prefilter
+        inner = f"filter(v: {{{op}: {k}}}) {{ {inner} }}"
+    out = service.execute(f"{{ trades {{ {inner} }} }}")
+
+    node = out["trades"]
+    if prefilter is not None:
+        node = node["filter"]
+    node = node["asofJoin"]
+    if post == "group":
+        node = node["group"]
+    elif post == "order":
+        node = node["order"]
+    got = list(zip(*[node[f"c_{c}"]["values"] for c in out_cols]))
+
+    con = duckdb.connect()
+    con.register("trades", pd.DataFrame(ldata, columns=["g", "t", "v", "u"]).astype("Int64"))
+    con.register("quotes", pd.DataFrame(rdata, columns=["g", "t", "bid"]).astype("Int64"))
+    sym = {"lt": "<", "ge": ">="}
+    where = "" if prefilter is None else f" WHERE v {sym[prefilter[0]]} {prefilter[1]}"
+    cmp = "r.t <= l.t" if direction == "backward" else "r.t >= l.t"
+    tolcond = "" if tol is None else f" AND abs(l.t - r.t) <= {tol}"
+    # tolerance post-filters the single nearest candidate — identical
+    # semantics to tolerance-in-search, since any other row is farther.
+    # The l.t IS NOT NULL guard pins OUR semantics for a NULL left time:
+    # no position on the axis, no match (pandas merge_asof / SQL comparison
+    # semantics) — DuckDB's ASOF sorts NULL as largest and would match the
+    # latest right row instead.
+    joined = (
+        f"SELECT l.g, l.t, l.v, l.u, "
+        f"CASE WHEN l.t IS NOT NULL AND r.t IS NOT NULL{tolcond} THEN r.bid END AS bid "
+        f"FROM l ASOF LEFT JOIN quotes r ON l.g = r.g AND {cmp}"
+    )
+    if post == "group":
+        sel = (
+            "SELECT g, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(bid) AS BIGINT) AS a_sum FROM j GROUP BY g"
+        )
+    elif post == "order":
+        sel = "SELECT g, t, v, u, bid FROM j ORDER BY u ASC NULLS FIRST"
+    else:
+        sel = "SELECT g, t, v, u, bid FROM j"
+    want = con.execute(
+        f"WITH l AS (SELECT * FROM trades{where}), j AS ({joined}) {sel}"
+    ).fetchall()
+    want = [
+        tuple(None if pd.isna(x) else int(x) for x in r) for r in want
+    ]
+
+    norm = lambda r: tuple("N" if x is None else str(x) for x in r)
+    if post == "order":
+        assert [norm(r) for r in got] == [norm(r) for r in want], (
+            direction, tol, prefilter, got, want)
+    else:
+        assert sorted(norm(r) for r in got) == sorted(norm(r) for r in want), (
+            direction, tol, prefilter, post, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ixs=st.lists(st.integers(-1, 8), min_size=1, max_size=8),
+    n_src=st.integers(1, 6),
+    grouped=st.booleans(),
+)
+def test_graphql_takefrom_chain_matches_duckdb(spark, ixs, n_src, grouped):
+    import duckdb
+
+    from graphique_spark.service import GraphQLService
+
+    src_rows = [(i % 3, 10 + i, i * i) for i in range(n_src)]  # g, t, bid
+    picks = [(ix, j) for j, ix in enumerate(ixs)]              # ix may repeat / miss
+    pdf_picks = spark.createDataFrame(picks, "ix long, u long")
+    sdf = spark.createDataFrame(src_rows, "g long, t long, bid long")
+    service = GraphQLService({"picks": pdf_picks, "quotes": sdf})
+
+    out_cols = ["g", "n", "a_sum"] if grouped else ["g", "t", "bid"]
+    reads = " ".join(f'c_{c}: column(name: "{c}") {{ values }}' for c in out_cols)
+    inner = reads
+    if grouped:
+        inner = (
+            f'group(by: ["g"], counts: "n", aggregate: '
+            f'{{sum: [{{name: "bid", alias: "a_sum"}}]}}) {{ {inner} }}'
+        )
+    out = service.execute(
+        f'{{ picks {{ takeFrom(field: "ix", source: "quotes") {{ {inner} }} }} }}'
+    )
+    node = out["picks"]["takeFrom"]
+    if grouped:
+        node = node["group"]
+    got = list(zip(*[node[f"c_{c}"]["values"] for c in out_cols]))
+
+    con = duckdb.connect()
+    con.register("picks", pd.DataFrame(picks, columns=["ix", "u"]))
+    src_pdf = pd.DataFrame(src_rows, columns=["g", "t", "bid"])
+    src_pdf["rid"] = range(len(src_pdf))  # takeFrom indexes scan row order
+    con.register("quotes", src_pdf)
+    core = "SELECT q.g, q.t, q.bid FROM picks p JOIN quotes q ON p.ix = q.rid"
+    if grouped:
+        sql = (
+            "SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(bid) AS BIGINT) "
+            f"AS a_sum FROM ({core}) j GROUP BY g"
+        )
+    else:
+        sql = core
+    want = [tuple(int(x) for x in r) for r in con.execute(sql).fetchall()]
+
+    norm = lambda r: tuple(str(x) for x in r)
+    assert sorted(norm(r) for r in got) == sorted(norm(r) for r in want), (
+        ixs, n_src, grouped, got, want)

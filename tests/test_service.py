@@ -735,3 +735,61 @@ def test_where_column_name_is_reserved(spark):
     df = spark.createDataFrame([(1, "x")], "id long, where string")
     with pytest.raises(Exception, match="reserved"):
         GraphQLService(Dataset(df)).execute("{ count }")
+
+
+def test_concurrent_request_persist_lifecycle(service, spark):
+    """Cache lifecycle under concurrent requests (SURVEY §7): N overlapping
+    execute() calls on one service, each triggering the _with_cache persist
+    (a table field with multiple sub-selections), including identical
+    documents from different threads — Spark's CacheManager dedups cached
+    plans by canonicalized plan, so one request's request-end unpersist can
+    race another request still using the same plan's cache. Correctness
+    must hold (cache is transparent; losers recompute) and no persisted
+    blocks may survive once every request finishes."""
+    import concurrent.futures
+
+    queries = [
+        # two sub-selections under filter -> persist path
+        """{ lineitem { filter(l_returnflag: {eq: ["R"]}) {
+              count columns { l_quantity { sum } } } } }""",
+        """{ orders { filter(o_orderstatus: {eq: ["F"]}) {
+              count columns { o_totalprice { min max } } } } }""",
+        # same PLAN as the first document (plan-dedup collision case)
+        """{ lineitem { filter(l_returnflag: {eq: ["R"]}) {
+              count columns { l_quantity { sum } } } } }""",
+    ]
+    expected = [service.execute(q) for q in queries]
+    jsc = spark.sparkContext._jsc
+
+    def settled_rdd_count():
+        # DataFrame.unpersist() is non-blocking: block deregistration can
+        # lag request end, so poll until the count holds still
+        import time
+
+        prev, stable = -1, 0
+        for _ in range(60):
+            cur = jsc.getPersistentRDDs().size()
+            stable = stable + 1 if cur == prev else 0
+            if stable >= 3:
+                return cur
+            prev = cur
+            time.sleep(0.1)
+        return prev
+
+    baseline_rdds = settled_rdd_count()
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    # other tests in the session may legitimately hold cache entries; only
+    # assert emptiness if we started empty (we always assert no net growth)
+    was_empty = cache_manager.isEmpty()
+
+    def run(i):
+        return i % len(queries), service.execute(queries[i % len(queries)])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, range(24)))
+    for qi, data in results:
+        assert data == expected[qi]
+
+    assert settled_rdd_count() <= baseline_rdds
+    if was_empty:
+        assert cache_manager.isEmpty()

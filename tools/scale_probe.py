@@ -207,15 +207,37 @@ def main() -> None:
     def segments(mult):
         from graphique_spark.llm import dedup
 
-        return dedup.duplicate_segments(multiplied(spark, "documents", mult))
+        # plain union up to 64x (comparable with r06-r08 entries); beyond
+        # that the Caesar explode fixture keeps the plan constant-size AND
+        # content distinct per copy, so duplicated-segment groups stay the
+        # base corpus's size instead of growing mult-x deep
+        docs = multiplied(spark, "documents", mult) if mult <= 64 else docs_distinct(mult)
+        return dedup.duplicate_segments(docs)
 
     def interval_join(mult):
         # same join plan the streaming version runs (hash join partitioned
         # by user_id + range condition); streaming adds watermark state
-        # expiry, which only SHRINKS the working set vs this batch probe
+        # expiry, which only SHRINKS the working set vs this batch probe.
+        # streaming_interval_probe covers the stateful path itself.
         from graphique_spark import streaming as st
 
-        ev = multiplied(spark, "events", mult)
+        if mult <= 4:
+            ev = multiplied(spark, "events", mult)
+        else:
+            # remap user ids per copy: plain duplication makes every click
+            # copy match every purchase copy (output quadratic in mult by
+            # construction); disjoint per-copy key spaces keep the true
+            # match count linear so the factor measures the join, not
+            # output growth. One explode leg keeps the plan constant-size.
+            ev = (
+                spark.read.parquet(f"{SF_DIR}/events.parquet")
+                .withColumn("__c", F.explode(F.lit(list(range(mult)))))
+                .withColumn(
+                    "user_id",
+                    F.col("user_id") + F.col("__c").cast("bigint") * 10_000_000,
+                )
+                .drop("__c")
+            )
         clicks = ev.filter(F.col("event_type") == "click")
         purchases = ev.filter(F.col("event_type") == "purchase")
         return st.interval_join(
@@ -271,7 +293,8 @@ def main() -> None:
     def substring(mult):
         from graphique_spark.llm import dedup
 
-        return dedup.substring_duplicates(multiplied(spark, "documents", mult))
+        docs = multiplied(spark, "documents", mult) if mult <= 64 else docs_distinct(mult)
+        return dedup.substring_duplicates(docs)
 
     def snapshot(mult):
         from graphique_spark.operators.diff import snapshot_diff
@@ -617,6 +640,9 @@ def main() -> None:
         "skew_salted": "union" if times <= 16 else "explode",
         "skew_join_aqe": "union" if times <= 16 else "explode",
         "containment": "union" if times <= 16 else "explode",
+        "segments": "union" if times <= 64 else "caesar-case-explode",
+        "substring_dedup": "union" if times <= 64 else "caesar-case-explode",
+        "interval_join": "union" if times <= 4 else "explode-remapped-ids",
     }
     only = argv
     if only:
@@ -650,6 +676,8 @@ def main() -> None:
         report["incremental_dedup"] = incremental_dedup_probe(spark, times)
     if "streaming_cdc" in only:
         report["streaming_cdc"] = streaming_cdc_probe(spark, times)
+    if "streaming_interval" in only:
+        report["streaming_interval"] = streaming_interval_probe(spark, times)
     print(json.dumps({"multiplier": times, "probes": report}))
 
 
@@ -789,6 +817,124 @@ def streaming_cdc_probe(spark, times: int):
     }
     if early:
         print(f"streaming cdc history: early={early:.0f}ms late={late:.0f}ms ratio={late / early:.2f}")
+    return out
+
+
+def streaming_interval_probe(spark, times: int):
+    """State-boundedness probe for the stream-stream interval join
+    (streaming/__init__.py interval_join — the one streaming operator with
+    no scale probe through r08). 12 micro-batches per side, each batch one
+    hour later in EVENT TIME (mtime-pinned so the file source replays them
+    in order), joined on user_id within [ts, ts+1h] under a 2h watermark.
+
+    The claim under test is that join state is bounded by
+    (watermark + interval) x arrival rate — never the full history: with
+    old state expiring as the watermark advances, per-batch
+    triggerExecution must stay flat (late_vs_early_batch_ratio ~1) and the
+    state-store row count must PLATEAU after the first ~4 batches instead
+    of growing with the batch index. A leak (state rows tracking total
+    input) is exactly what would OOM a 1000-executor cluster joining two
+    100 TB streams, and no batch-plan probe can see it."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graphique_spark import streaming as st
+
+    nbatches = 12
+    workdir = os.path.join(tempfile.gettempdir(), "gs_probe_sinterval")
+    shutil.rmtree(workdir, ignore_errors=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # batch b = cohort pmod(event_id, 12); its rows get event times inside
+    # hour b (spread by event_id so right rows genuinely land both in and
+    # out of each left row's 1h window)
+    cohort = F.pmod(F.col("event_id"), F.lit(nbatches)).cast("int")
+    stamped = ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        cohort.alias("__b"),
+        (
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + cohort.cast("bigint") * 3600
+                + F.pmod(F.col("event_id"), F.lit(3600))
+            )
+        ).alias("ts"),
+    )
+    sides = {
+        "left": stamped.filter(F.col("event_type") == "click"),
+        "right": stamped.filter(F.col("event_type") == "purchase"),
+    }
+    for side, df in sides.items():
+        src = f"{workdir}/{side}"
+        for b in range(nbatches):
+            df.filter(F.col("__b") == b).select(
+                "user_id", "ts", "value"
+            ).coalesce(1).write.mode("append").parquet(src)
+            # pin mtimes so the file source replays batches in event-time
+            # order (it orders by modification time)
+            for fn in os.listdir(src):
+                path = os.path.join(src, fn)
+                if fn.endswith(".parquet") and os.path.getmtime(path) > 1_000_000 + b:
+                    os.utime(path, (1_000_000 + b, 1_000_000 + b))
+    left = st.read_event_stream(
+        spark, f"{workdir}/left", schema="user_id bigint, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    right = st.read_event_stream(
+        spark, f"{workdir}/right", schema="user_id bigint, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    joined = st.interval_join(
+        left, right, ["user_id"], upper="1 hour", watermark="2 hours", streaming=True
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    batch_ms, state_rows = [], []
+    for p in q.recentProgress or []:
+        if p.get("numInputRows", 0) > 0 and "durationMs" in p:
+            batch_ms.append(p["durationMs"]["triggerExecution"])
+            ops = p.get("stateOperators") or []
+            state_rows.append(sum(op.get("numRowsTotal", 0) for op in ops))
+    shutil.rmtree(workdir, ignore_errors=True)
+    early = sum(batch_ms[1:4]) / 3 if len(batch_ms) >= nbatches else None
+    late = sum(batch_ms[-3:]) / 3 if len(batch_ms) >= nbatches else None
+    plateau = (
+        round(max(state_rows[-3:]) / max(max(state_rows[3:6]), 1), 2)
+        if len(state_rows) >= nbatches
+        else None
+    )
+    out = {
+        "per_batch_ms": batch_ms,
+        "state_rows_per_batch": state_rows,
+        "early_mean_ms": round(early, 1) if early else None,
+        "late_mean_ms": round(late, 1) if late else None,
+        "late_vs_early_batch_ratio": round(late / early, 2) if early else None,
+        # ~1.0 == state expired by the watermark; >>1 == a state leak
+        "state_rows_late_vs_plateau": plateau,
+        "fixture": "12 hour-stepped mtime-ordered micro-batches per side (history grows 12x; watermark 2h, interval 1h)",
+    }
+    if early:
+        print(
+            f"streaming interval join: early={early:.0f}ms late={late:.0f}ms "
+            f"ratio={late / early:.2f} state_plateau_ratio={plateau}"
+        )
     return out
 
 

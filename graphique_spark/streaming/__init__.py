@@ -165,6 +165,16 @@ def session_windows(
     """Gap-based sessionization via ``session_window`` (merging windows in
     streaming mode; plain aggregation in batch)."""
     if streaming:
+        if not by:
+            # fail at plan-build time with an actionable message: Spark
+            # rejects GLOBAL session-window aggregation only once the
+            # stream starts ("Global aggregation with session window in
+            # streaming query is not supported"), inside the query thread
+            raise ValueError(
+                "streaming session windows require at least one grouping key "
+                "(Spark does not support global session-window aggregation in "
+                "streaming); pass by=[...] or add a constant key column"
+            )
         df = df.withWatermark(ts, watermark)
     keys = [F.session_window(F.col(ts), gap).alias("win")] + [F.col(c) for c in (by or [])]
     return (

@@ -3425,3 +3425,145 @@ def test_graphql_takefrom_chain_matches_duckdb(spark, ixs, n_src, grouped):
     norm = lambda r: tuple(str(x) for x in r)
     assert sorted(norm(r) for r in got) == sorted(norm(r) for r in want), (
         ixs, n_src, grouped, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION-window parity: merging windows are the one streaming
+# aggregation the tumbling/sliding fuzzer above can't model (state merges
+# across batches, and append mode emits only watermark-finalized sessions).
+# Randomized late/out-of-order micro-batches through the real file source
+# vs a pure-Python merge+evict simulation of the documented semantics:
+#   * watermark lags one batch (same as the windowed fuzzer above)
+#   * late filter per event on its own window end: drop when
+#     t + gap <= wm (an event whose prospective session could only end
+#     at-or-before the watermark can never affect an emittable session)
+#   * sessions [s1,e1), [s2,e2) merge on STRICT overlap (s2 < e1): an
+#     event at exactly session_end + 0ms starts a new session
+#   * EVICTION PRECEDES MERGE within a batch: sessions with end <= wm(b)
+#     are emitted/removed before batch b's events join state, so a kept
+#     event overlapping a just-evicted session founds a NEW session
+#     instead of extending it (pinned by fuzzing: an 'a...b' schedule
+#     where merge-then-evict would swallow the emission)
+#   * append mode emits a session exactly once, when the watermark passes
+#     its end (eviction), with its final count; the availableNow run ends
+#     with a no-data finalization batch whose watermark covers ALL data
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_stream_batches)
+def test_streaming_session_window_parity(spark, batches):
+    # grouped only: Spark rejects GLOBAL session-window aggregation in
+    # streaming (session_windows raises up front; covered in
+    # tests/test_streaming.py)
+    grouped = True
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    gap_ms = 1_800_000       # session gap "30 minutes"
+    delay_ms = 3_600_000     # watermark "1 hour"
+
+    def ts_of(hour_ish, jitter_ms):
+        # 20-minute grid: adjacent events chain into one session, a
+        # 40-minute hole splits — and ±1ms probes the exact boundaries
+        return t0 + datetime.timedelta(minutes=hour_ish * 20, milliseconds=jitter_ms)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="sessfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen_files = set()
+        for b, rows in enumerate(batches):
+            data = [(k, ts_of(h, j)) for (k, h, j) in rows]
+            spark.createDataFrame(data, "k string, ts timestamp").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen_files:
+                    seen_files.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        stream = stx.read_event_stream(spark, src, schema="k string, ts timestamp")
+        agg = stx.session_windows(
+            stream, gap="30 minutes", by=["k"] if grouped else None,
+            streaming=True, watermark="1 hour",
+        )
+        name = f"sess_fuzz_{next(_stream_counter)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = collections.Counter(
+            (
+                ms(r["session_start"]),
+                ms(r["session_end"]),
+                r["k"] if grouped else None,
+                r["n_events"],
+            )
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # pure-Python merge + evict simulation
+    live: dict = {}          # key -> list of [start, end, n]
+    want: collections.Counter = collections.Counter()
+    max_hist: list[int] = []
+
+    def evict(wm):
+        for key in list(live):
+            keep = []
+            for s, e, n in live[key]:
+                if e <= wm:
+                    want[(s, e, key, n)] += 1
+                else:
+                    keep.append([s, e, n])
+            live[key] = keep
+
+    for b, rows in enumerate(batches):
+        wm = max_hist[b - 2] - delay_ms if b >= 2 else None
+        if wm is not None:
+            evict(wm)  # expired sessions leave state BEFORE this batch merges
+        batch_ms, frags = [], {}
+        for k, h, j in rows:
+            t = ms(ts_of(h, j))
+            batch_ms.append(t)
+            if wm is not None and t + gap_ms <= wm:
+                continue  # late: its window could never outlive the watermark
+            frags.setdefault(k if grouped else None, []).append(t)
+        for key, ts_list in frags.items():
+            items = [tuple(x) for x in live.get(key, [])]
+            items += [(t, t + gap_ms, 1) for t in ts_list]
+            merged: list = []
+            for s, e, n in sorted(items):
+                if merged and s < merged[-1][1]:  # strict overlap merges
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, e, n])
+            live[key] = merged
+        max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+    # availableNow finalization: a trailing no-data batch runs with the
+    # watermark advanced over ALL data
+    evict(max_hist[-1] - delay_ms)
+
+    assert got == want, (batches, grouped, dict(got), dict(want))

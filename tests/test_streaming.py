@@ -732,3 +732,13 @@ def test_windowed_agg_drops_rows_older_than_watermark(spark, tmp_path):
     finally:
         for active in spark.streams.active:
             active.stop()
+
+
+def test_streaming_global_session_window_raises(tables):
+    """Spark only rejects global session-window aggregation once the stream
+    starts; session_windows must refuse at plan-build time instead."""
+    import pytest as _pytest
+
+    events = tables["events"].df
+    with _pytest.raises(ValueError, match="grouping key"):
+        streaming.session_windows(events, gap="30 minutes", by=None, streaming=True)

@@ -3567,3 +3567,122 @@ def test_streaming_session_window_parity(spark, batches):
     evict(max_hist[-1] - delay_ms)
 
     assert got == want, (batches, grouped, dict(got), dict(want))
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval-join parity: randomized two-sided micro-batch
+# schedules through the real file sources vs the batch interval_join on the
+# union of all batches.
+#   * long watermark (covers the whole generated time range): no row can be
+#     late-dropped and no state can expire before the run drains, so the
+#     streaming result must EQUAL the batch join exactly — this exercises
+#     cross-batch state handoff, both-sides buffering and exactly-once
+#     emission under arbitrary interleavings
+#   * short watermark: eviction timing depends on join-side watermark
+#     propagation, so assert the invariants that must hold regardless:
+#     emitted pairs are a SUBSET of the batch join and each pair is emitted
+#     at most once (state expiry may only lose pairs, never invent or
+#     duplicate them)
+# ---------------------------------------------------------------------------
+
+_ij_side = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),   # key
+            st.integers(0, 10),            # 6-minute grid
+            st.sampled_from([-1, 0, 1]),   # ms jitter at interval boundaries
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lbatches=_ij_side, rbatches=_ij_side, long_wm=st.booleans())
+def test_streaming_interval_join_parity(spark, lbatches, rbatches, long_wm):
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts_of(h, j):
+        return t0 + datetime.timedelta(minutes=h * 6, milliseconds=j)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    nb = max(len(lbatches), len(rbatches))
+    work = tempfile.mkdtemp(prefix="ijfuzz")
+    try:
+        vals = {}
+        for side, batches in (("l", lbatches), ("r", rbatches)):
+            src = os.path.join(work, side)
+            os.makedirs(src)
+            seen, rows_flat, v = set(), [], 0
+            for b in range(nb):
+                rows = batches[b] if b < len(batches) else []
+                # value doubles as a unique row id so pairs are identifiable
+                data = [(k, ts_of(h, j), float(v + i)) for i, (k, h, j) in enumerate(rows)]
+                v += len(rows)
+                rows_flat.extend(data)
+                spark.createDataFrame(
+                    data, "k string, ts timestamp, value double"
+                ).coalesce(1).write.mode("append").parquet(src)
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet") and fn not in seen:
+                        seen.add(fn)
+                        os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+            vals[side] = rows_flat
+
+        wm = "30 days" if long_wm else "10 minutes"
+        left = stx.read_event_stream(
+            spark, os.path.join(work, "l"), schema="k string, ts timestamp, value double"
+        )
+        right = stx.read_event_stream(
+            spark, os.path.join(work, "r"), schema="k string, ts timestamp, value double"
+        )
+        joined = stx.interval_join(
+            left, right, ["k"], upper="15 minutes", watermark=wm, streaming=True
+        )
+        name = f"ij_fuzz_{next(_stream_counter)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = collections.Counter(
+            (r["k"], ms(r["ts"]), r["value"], ms(r["r_ts"]), r["r_value"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        spark.catalog.dropTempView(name)
+
+        ldf = spark.createDataFrame(vals["l"], "k string, ts timestamp, value double")
+        rdf = spark.createDataFrame(vals["r"], "k string, ts timestamp, value double")
+        batch = collections.Counter(
+            (r["k"], ms(r["ts"]), r["value"], ms(r["r_ts"]), r["r_value"])
+            for r in stx.interval_join(ldf, rdf, ["k"], upper="15 minutes").collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    if long_wm:
+        assert got == batch, (lbatches, rbatches, dict(got), dict(batch))
+    else:
+        assert all(n == 1 for n in got.values()), dict(got)  # exactly-once
+        assert not (got - batch), (dict(got - batch), dict(batch))  # no invented pairs

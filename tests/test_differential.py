@@ -3686,3 +3686,120 @@ def test_streaming_interval_join_parity(spark, lbatches, rbatches, long_wm):
     else:
         assert all(n == 1 for n in got.values()), dict(got)  # exactly-once
         assert not (got - batch), (dict(got - batch), dict(batch))  # no invented pairs
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-dedup parity (dropDuplicatesWithinWatermark): randomized
+# duplicate schedules across micro-batches vs a pure-Python state model.
+# Entries are drawn per (key, batch) with a duplicate count and all copies
+# identical, so WHICH copy survives is never ambiguous — only whether the
+# key emits in that batch. Semantics pinned by fuzzing (round 9):
+#   * watermark lags one batch (same as every stateful op fuzzed above)
+#   * late rows (ts < wm) are dropped entirely
+#   * first arrival of a key emits and stores expiry = ts + delay;
+#     while state lives, any further arrival of the key is dropped
+#   * expired state (expiry <= wm) leaves before the batch processes, so
+#     a re-arrival after the horizon emits again
+# ---------------------------------------------------------------------------
+
+_dedup_batches = st.lists(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.tuples(
+            st.integers(0, 10),           # 36-minute grid (see ts_of)
+            st.sampled_from([-1, 0, 1]),  # ms jitter at expiry boundaries
+            st.integers(1, 3),            # duplicate copies in this batch
+        ),
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_dedup_batches)
+def test_streaming_dedup_within_watermark_parity(spark, batches):
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    delay_ms = 3_600_000  # 1 hour
+
+    def ts_of(h, j):
+        # 36-minute grid over ~6h: spreads exceed 2x the delay, so state
+        # expiry + re-emission and late drops are genuinely reachable
+        return t0 + datetime.timedelta(minutes=h * 36, milliseconds=j)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="ddfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen = set()
+        for b, entries in enumerate(batches):
+            data = []
+            for k, (h, j, ndup) in sorted(entries.items()):
+                data.extend((k, ts_of(h, j), f"b{b}") for _ in range(ndup))
+            spark.createDataFrame(
+                data, "k string, ts timestamp, tag string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen:
+                    seen.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        stream = stx.read_event_stream(spark, src, schema="k string, ts timestamp, tag string")
+        deduped = stx.stream_dedup(stream, keys=["k"], watermark="1 hour", streaming=True)
+        name = f"dd_fuzz_{next(_stream_counter)}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = collections.Counter(
+            (r["k"], ms(r["ts"]), r["tag"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    want: collections.Counter = collections.Counter()
+    state: dict = {}  # key -> expiry ms
+    max_hist: list[int] = []
+    for b, entries in enumerate(batches):
+        wm = max_hist[b - 2] - delay_ms if b >= 2 else None
+        if wm is not None:
+            for k in [k for k, exp in state.items() if exp <= wm]:
+                del state[k]
+        batch_ms = []
+        for k, (h, j, ndup) in sorted(entries.items()):
+            t = ms(ts_of(h, j))
+            batch_ms.extend([t] * ndup)
+            if wm is not None and t < wm:
+                continue  # late
+            if k not in state:
+                state[k] = t + delay_ms
+                want[(k, t, f"b{b}")] += 1
+        if batch_ms or max_hist:
+            max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+        else:
+            max_hist.append(-10**15)  # empty first batch: no watermark signal
+
+    assert got == want, (batches, dict(got), dict(want))

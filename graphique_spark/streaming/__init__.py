@@ -248,12 +248,25 @@ def stateful_user_totals(
             state.remove()
             return
         total, vsum, batches = state.get if state.exists else (0, 0.0, 0)
+        ts_max_ms = 0
         for pdf in pdf_iter:
             total += len(pdf)
             vsum += float(pdf[value].fillna(0.0).sum())
+            if len(pdf):
+                # event times arrive as session-tz-naive pandas timestamps;
+                # the session runs UTC, so .value is UTC epoch nanos —
+                # comparable with getCurrentWatermarkMs
+                m = pd.to_datetime(pdf[ts]).max()
+                ts_max_ms = max(ts_max_ms, int(m.value // 1_000_000))
         batches += 1
         state.update((total, vsum, batches))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ms)
+        # anchor the idle horizon at LAST ACTIVITY, not the watermark: in
+        # early batches getCurrentWatermarkMs() is still 0 (epoch 1970), so
+        # wm + idle would evict first-batch keys the moment the real
+        # watermark initializes, silently resetting their running totals
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), ts_max_ms) + idle_ms
+        )
         yield pd.DataFrame(
             {
                 key: [keys[0]],

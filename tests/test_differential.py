@@ -3439,11 +3439,14 @@ def test_graphql_takefrom_chain_matches_duckdb(spark, ixs, n_src, grouped):
 #     at-or-before the watermark can never affect an emittable session)
 #   * sessions [s1,e1), [s2,e2) merge on STRICT overlap (s2 < e1): an
 #     event at exactly session_end + 0ms starts a new session
-#   * EVICTION PRECEDES MERGE within a batch: sessions with end <= wm(b)
-#     are emitted/removed before batch b's events join state, so a kept
-#     event overlapping a just-evicted session founds a NEW session
-#     instead of extending it (pinned by fuzzing: an 'a...b' schedule
-#     where merge-then-evict would swallow the emission)
+#   * within a batch, kept events MERGE into state first and eviction
+#     runs after, with the UPDATED watermark (max through b-1 — the
+#     SPARK-40925 eviction version; the late filter uses the lagged
+#     max-through-b-2 version). Pinned by two adversarial schedules:
+#     one where a session must absorb a same-batch event before the
+#     updated watermark evicts it, one where an event arriving a batch
+#     later must found a NEW session because eviction already claimed
+#     the old one
 #   * append mode emits a session exactly once, when the watermark passes
 #     its end (eviction), with its final count; the availableNow run ends
 #     with a no-data finalization batch whose watermark covers ALL data
@@ -3540,14 +3543,15 @@ def test_streaming_session_window_parity(spark, batches):
             live[key] = keep
 
     for b, rows in enumerate(batches):
-        wm = max_hist[b - 2] - delay_ms if b >= 2 else None
-        if wm is not None:
-            evict(wm)  # expired sessions leave state BEFORE this batch merges
+        # SPARK-40925 two-version watermark: late filter lags one batch
+        # more than eviction (see the stateful-totals fuzzer below)
+        wm_late = max_hist[b - 2] - delay_ms if b >= 2 else None
+        wm_evict = max_hist[b - 1] - delay_ms if b >= 1 else None
         batch_ms, frags = [], {}
         for k, h, j in rows:
             t = ms(ts_of(h, j))
             batch_ms.append(t)
-            if wm is not None and t + gap_ms <= wm:
+            if wm_late is not None and t + gap_ms <= wm_late:
                 continue  # late: its window could never outlive the watermark
             frags.setdefault(k if grouped else None, []).append(t)
         for key, ts_list in frags.items():
@@ -3561,6 +3565,8 @@ def test_streaming_session_window_parity(spark, batches):
                 else:
                     merged.append([s, e, n])
             live[key] = merged
+        if wm_evict is not None:
+            evict(wm_evict)  # after the merge: same-batch events count
         max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
     # availableNow finalization: a trailing no-data batch runs with the
     # watermark advanced over ALL data
@@ -3784,22 +3790,157 @@ def test_streaming_dedup_within_watermark_parity(spark, batches):
     state: dict = {}  # key -> expiry ms
     max_hist: list[int] = []
     for b, entries in enumerate(batches):
-        wm = max_hist[b - 2] - delay_ms if b >= 2 else None
-        if wm is not None:
-            for k in [k for k, exp in state.items() if exp <= wm]:
-                del state[k]
+        # SPARK-40925 two-version watermark (see stateful-totals fuzzer)
+        wm_late = max_hist[b - 2] - delay_ms if b >= 2 else None
+        wm_evict = max_hist[b - 1] - delay_ms if b >= 1 else None
         batch_ms = []
         for k, (h, j, ndup) in sorted(entries.items()):
             t = ms(ts_of(h, j))
             batch_ms.extend([t] * ndup)
-            if wm is not None and t < wm:
+            if wm_late is not None and t < wm_late:
                 continue  # late
             if k not in state:
                 state[k] = t + delay_ms
                 want[(k, t, f"b{b}")] += 1
+        if wm_evict is not None:
+            # state cleanup runs at batch END: an expired-but-not-yet-
+            # removed key still dedups arrivals within the same batch
+            for k in [k for k, exp in state.items() if exp <= wm_evict]:
+                del state[k]
         if batch_ms or max_hist:
             max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
         else:
             max_hist.append(-10**15)  # empty first batch: no watermark signal
+
+    assert got == want, (batches, dict(got), dict(want))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator parity (applyInPandasWithState): randomized
+# schedules vs a state model of stateful_user_totals — running per-key
+# totals in update mode with EventTimeTimeout idle eviction anchored at
+# last activity (the round-9 fix: a watermark-anchored timeout evicted
+# first-batch keys the moment the watermark initialized). Pinned:
+#   * watermark lags one batch; late rows (ts < wm) are dropped
+#   * a key emits once per batch it has kept rows in, with cumulative
+#     totals and an invocation counter
+#   * idle timeout fires for keys with NO data whose
+#     max(wm_at_update, last_event) + idle < current wm — state is
+#     removed silently and a re-arrival restarts from zero
+# ---------------------------------------------------------------------------
+
+_stateful_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 10),           # 36-minute grid over ~6h
+            st.sampled_from([-1, 0, 1]),  # ms jitter at timeout boundaries
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_stateful_batches)
+def test_streaming_stateful_totals_parity(spark, batches):
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1)
+    delay_ms = 3_600_000       # watermark 1 hour
+    idle_ms = 2 * 3_600_000    # idle timeout 2 hours
+
+    def ts_of(h, j):
+        return t0 + datetime.timedelta(minutes=h * 36, milliseconds=j)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="stfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen = set()
+        for b, rows in enumerate(batches):
+            data = [(k, ts_of(h, j), float(h + 1)) for (k, h, j) in rows]
+            spark.createDataFrame(
+                data, "user_id string, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen:
+                    seen.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b,) * 2)
+        stream = stx.read_event_stream(
+            spark, src, schema="user_id string, ts timestamp, value double"
+        )
+        totals = stx.stateful_user_totals(
+            stream, watermark="1 hour", idle_timeout="2 hours"
+        )
+        name = f"st_fuzz_{next(_stream_counter)}"
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = collections.Counter(
+            (r["user_id"], r["events_total"], r["value_total"], r["batches"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    want: collections.Counter = collections.Counter()
+    state: dict = {}  # key -> [total, vsum, batches, timeout_ms]
+    max_hist: list[int] = []
+    NEG = -10**15  # "watermark not initialized": epoch 0 is ~-1.7e12 in
+    # t0-relative ms, far below every event — never floor at 0 here
+    for b, rows in enumerate(batches):
+        # SPARK-40925 two-version watermark: LATE filtering uses the
+        # previous batch's watermark (max through b-2), while EVICTION /
+        # timeout processing uses the updated one (max through b-1) —
+        # pinned by a schedule where an idle timeout fired during an
+        # empty middle batch the late-watermark said it couldn't
+        wm_late = max_hist[b - 2] - delay_ms if b >= 2 else NEG
+        wm_evict = max_hist[b - 1] - delay_ms if b >= 1 else NEG
+        batch_ms, bykey = [], {}
+        for k, h, j in rows:
+            t = ms(ts_of(h, j))
+            batch_ms.append(t)
+            if t < wm_late:
+                continue  # late
+            bykey.setdefault(k, []).append((t, float(h + 1)))
+        # idle timeouts fire for keys with NO data once wm passes the mark
+        for k in [k for k, s in state.items() if k not in bykey and s[3] < wm_evict]:
+            del state[k]
+        for k, kept in bykey.items():
+            total, vsum, nb, _ = state.get(k, (0, 0.0, 0, 0))
+            total += len(kept)
+            vsum += sum(v for _, v in kept)
+            nb += 1
+            timeout = max(wm_evict, max(t for t, _ in kept)) + idle_ms
+            state[k] = (total, vsum, nb, timeout)
+            want[(k, total, vsum, nb)] += 1
+        if batch_ms or max_hist:
+            max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+        else:
+            max_hist.append(NEG)
 
     assert got == want, (batches, dict(got), dict(want))

@@ -742,3 +742,60 @@ def test_streaming_global_session_window_raises(tables):
     events = tables["events"].df
     with _pytest.raises(ValueError, match="grouping key"):
         streaming.session_windows(events, gap="30 minutes", by=None, streaming=True)
+
+
+def test_stateful_totals_idle_anchor_is_last_activity(spark):
+    """Idle eviction must anchor at last ACTIVITY + idle, not watermark +
+    idle: in early batches the watermark is still 0 (epoch 1970), so a
+    wm-anchored timeout evicts first-batch keys as soon as the real
+    watermark initializes, silently resetting their running totals."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    batches = [
+        [("a", mins(0), 1.0)],
+        [("b", mins(72), 1.0)],    # advances wm to 12 min in batch 2
+        [("c", mins(120), 1.0)],   # a's state must survive this batch
+        [("a", mins(144), 1.0)],   # within 2h idle of a's last activity
+    ]
+    work = tempfile.mkdtemp(prefix="gs_idle_anchor")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        seen = set()
+        for b, data in enumerate(batches):
+            spark.createDataFrame(
+                data, "user_id string, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen:
+                    seen.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b,) * 2)
+        stream = streaming.read_event_stream(
+            spark, src, schema="user_id string, ts timestamp, value double"
+        )
+        totals = streaming.stateful_user_totals(
+            stream, watermark="1 hour", idle_timeout="2 hours"
+        )
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("idle_anchor")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM idle_anchor WHERE user_id = 'a' ORDER BY batches"
+        ).collect()
+        spark.catalog.dropTempView("idle_anchor")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # batch 3's update must CONTINUE a's state (2 events over 2 batches),
+    # not restart from zero after a premature 1970-anchored eviction
+    assert [(r["events_total"], r["batches"]) for r in rows] == [(1, 1), (2, 2)], rows

@@ -799,3 +799,119 @@ def test_stateful_totals_idle_anchor_is_last_activity(spark):
     # batch 3's update must CONTINUE a's state (2 events over 2 batches),
     # not restart from zero after a premature 1970-anchored eviction
     assert [(r["events_total"], r["batches"]) for r in rows] == [(1, 1), (2, 2)], rows
+
+
+def _force_replay(checkpoint: str) -> tuple[str, int]:
+    """Simulate a crash between sink write and commit: clone the checkpoint
+    (a restarted driver sees a fresh path — in-session reuse trips Spark's
+    concurrent-checkpoint guard) and remove the newest commit marker, so a
+    restart on the clone REPLAYS the last micro-batch into foreachBatch
+    with the same batch id."""
+    import os
+    import shutil
+
+    clone = checkpoint + "_replay"
+    shutil.copytree(checkpoint, clone)
+    commits = os.path.join(clone, "commits")
+    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(ids[-1])))
+    # drop Hadoop's checksum sidecar too: a stale .N.crc makes the local FS
+    # reject the re-commit as a concurrent modification
+    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return clone, ids[-1]
+
+
+def test_upsert_sink_replay_idempotent(spark, tmp_path):
+    """Exactly-once under crash recovery: replaying the final micro-batch
+    (same batch id, same data) through the upsert sink must leave the
+    table byte-identical — the merge rewrites touched partitions from
+    deterministic state, it never increments."""
+    import os
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, cohort long, value double"
+    for b in range(3):
+        rows = [(u, u % 3, float(b * 100 + u)) for u in range(b, 30, 3)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            p = os.path.join(src, fn)
+            if fn.endswith(".parquet") and os.path.getmtime(p) > 1_000_000 + b:
+                os.utime(p, (1_000_000 + b,) * 2)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        totals = stream.groupBy("cohort", "user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum")
+        )
+        q = st.upsert_sink(
+            totals,
+            dest=str(tmp_path / "table"),
+            keys=["cohort", "user_id"],
+            checkpoint=ckpt,
+            partition_col="cohort",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    )
+    clone, replayed = _force_replay(str(tmp_path / "ckpt"))
+    run(clone)  # restarts from the cloned checkpoint, replays batch `replayed`
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    )
+    assert replayed >= 1
+    assert after == before
+
+
+def test_cdc_sink_replay_idempotent(spark, tmp_path):
+    """Replaying the final op-log micro-batch (inserts + updates + deletes)
+    through the CDC sink must leave the snapshot identical: apply_cdc
+    resolves by (key, seq), so the same ops land on the same state."""
+    import os
+
+    from graphique_spark import streaming as st
+
+    src = str(tmp_path / "src")
+    schema = "k long, cohort long, v double, seq int, op string"
+    batches = [
+        [(k, k % 3, float(k), 1, "insert") for k in range(30)],
+        [(k, k % 3, float(k) + 0.5, 2, "update") for k in range(0, 30, 5)],
+        [(k, k % 3, None, 3, "delete") for k in range(0, 30, 7)],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            p = os.path.join(src, fn)
+            if fn.endswith(".parquet") and os.path.getmtime(p) > 1_000_000 + b:
+                os.utime(p, (1_000_000 + b,) * 2)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = st.cdc_sink(
+            stream,
+            dest=str(tmp_path / "snap"),
+            keys=["cohort", "k"],
+            checkpoint=ckpt,
+            partition_col="cohort",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    )
+    clone, replayed = _force_replay(str(tmp_path / "ckpt"))
+    run(clone)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    )
+    assert replayed >= 1
+    assert after == before

@@ -189,6 +189,52 @@ def session_windows(
     )
 
 
+def windowed_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    fine: str = "5 minutes",
+    coarse: str = "1 hour",
+    by: list[str] | None = None,
+    value: str | None = None,
+    streaming: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Two-level windowed rollup: count/sum at ``fine`` granularity, then
+    re-aggregate into ``coarse`` windows via ``window_time()`` event-time
+    propagation — CHAINED stateful operators (multiple stateful aggs in
+    one streaming query, Spark 3.4+; append mode only when streaming).
+
+    The 100 TB shape: the fine level pre-reduces a high-rate stream by
+    orders of magnitude map-side-equivalently before the coarse shuffle,
+    and the coarse state store holds one row per (coarse window, key)
+    instead of per event. ``coarse`` must be a multiple of ``fine`` for
+    exact rollup semantics. Batch mode runs the identical two-level plan
+    for oracle checks.
+    """
+    if streaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.window(F.col(ts), fine).alias("__w1")] + [F.col(c) for c in (by or [])]
+    aggs = [F.count(F.lit(1)).alias("__n1")]
+    if value is not None:
+        aggs.append(F.sum(value).alias("__v1"))
+    fine_agg = df.groupBy(*keys).agg(*aggs)
+    # window_time() marks the fine window's event-time so a SECOND
+    # stateful aggregation is allowed downstream
+    keys2 = [F.window(F.window_time("__w1"), coarse).alias("__w2")] + [
+        F.col(c) for c in (by or [])
+    ]
+    aggs2 = [F.sum("__n1").alias("n")]
+    if value is not None:
+        aggs2.append(F.sum("__v1").alias("value_sum"))
+    coarse_agg = fine_agg.groupBy(*keys2).agg(*aggs2)
+    return coarse_agg.select(
+        F.col("__w2.start").alias("window_start"),
+        *(by or []),
+        "n",
+        *(["value_sum"] if value is not None else []),
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: list[str] | None = None,

@@ -321,3 +321,32 @@ def stream_cdc_snapshot(spark, sf_dir):
         "o_orderkey",
         (F.floor(F.col("v") * 100 + F.lit(0.5)) / 100).alias("v"),
     )
+
+
+@query(
+    "stream_windowed_rollup",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_rollup(spark, sf_dir):
+    """Two-level rollup (5 min -> 1 hour, chained stateful operators in
+    streaming mode): since 5 min divides 1 hour exactly, the rollup must
+    equal single-level hourly aggregation — which is what the oracle
+    computes directly."""
+    events = table(spark, sf_dir, "events").df
+    out = streaming.windowed_rollup(
+        events, ts="ts", fine="5 minutes", coarse="1 hour",
+        by=["event_type"], value="value",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        fround(F.col("value_sum"), 2).alias("value_sum"),
+    )

@@ -915,3 +915,61 @@ def test_cdc_sink_replay_idempotent(spark, tmp_path):
     )
     assert replayed >= 1
     assert after == before
+
+
+def test_windowed_rollup_chained_stateful_stream(spark, tables):
+    """Two stateful aggregations in ONE streaming query (fine tumbling
+    count -> window_time() -> coarse rollup, Spark 3.4+ chained
+    aggregations, append mode): emitted coarse windows must match the
+    batch rollup exactly, and every batch window whose end the final
+    watermark passed must have been emitted."""
+    import os
+
+    events = tables["events"].df.select("ts", "event_type", "value")
+    workdir = tempfile.mkdtemp(prefix="gs_rollup_")
+    try:
+        src = f"{workdir}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = streaming.read_event_stream(
+            spark, src, schema="ts timestamp, event_type string, value double"
+        )
+        out = streaming.windowed_rollup(
+            stream, fine="5 minutes", coarse="1 hour", by=["event_type"],
+            value="value", streaming=True, watermark="2 hours",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gs_rollup_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+            for r in spark.sql("SELECT * FROM gs_rollup_sink").collect()
+        }
+        batch = streaming.windowed_rollup(
+            events, fine="5 minutes", coarse="1 hour", by=["event_type"], value="value"
+        )
+        want_all = {
+            (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+            for r in batch.collect()
+        }
+        max_ts = events.agg(F.max("ts")).first()[0]
+        import datetime
+
+        final_wm = max_ts - datetime.timedelta(hours=2)
+        finalized = {
+            k: v
+            for k, v in want_all.items()
+            if k[0] + datetime.timedelta(hours=1) <= final_wm
+        }
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+    assert got.items() <= want_all.items()   # nothing invented or miscounted
+    assert finalized.items() <= got.items()  # everything finalized was emitted
+    assert len(finalized) > 0                # the parity claim isn't vacuous

@@ -161,19 +161,24 @@ class GraphQLService:
             "persisted": [],
             "persist_registry": self._persist_registry,
         }
-        result = graphql_sync(
-            self.schema,
-            query,
-            root_value=root_value,
-            context_value=context,
-            variable_values=dict(variables or {}),
-            middleware=middleware,
-        )
-        for token in context["persisted"]:
-            if isinstance(token, Dataset):  # direct-persist fallback path
-                token.unpersist()
-            else:
-                self._persist_registry.release(token)
+        try:
+            result = graphql_sync(
+                self.schema,
+                query,
+                root_value=root_value,
+                context_value=context,
+                variable_values=dict(variables or {}),
+                middleware=middleware,
+            )
+        finally:
+            # graphql_sync normally captures resolver errors in the result,
+            # but if it raises (bad document, middleware error) the acquired
+            # cache entries must still be released
+            for token in context["persisted"]:
+                if isinstance(token, Dataset):  # direct-persist fallback path
+                    token.unpersist()
+                else:
+                    self._persist_registry.release(token)
         return result
 
 

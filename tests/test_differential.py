@@ -3120,21 +3120,23 @@ def test_graphql_unnest_chain_matches_python(spark, rows, offset, keep_empty, fi
 #
 # The simulation was pinned empirically (round 9) and matches the
 # example-based test in test_streaming.py:
-#   * the watermark active during batch b lags one batch: it is
-#     max event time over batches 0..b-2, minus the delay (the stats of
-#     batch b-1 only feed the watermark committed AFTER b-1 finishes)
+#   * the LATE-filter watermark during batch b lags one batch: it is
+#     max event time over batches 0..b-2, minus the delay (SPARK-40925
+#     two-version watermark — eviction uses the larger max-through-b-1
+#     version, see the session/dedup/stateful fuzzers below)
 #   * for a windowed aggregation the late filter is PER (row, window)
 #     on the window-struct key, not per row on ts: a row still counts
 #     toward any containing window whose window_end > watermark, and is
 #     dropped only for windows with window_end <= watermark (so one late
 #     row can be half-kept under a sliding window)
-#   * no eviction modeling is needed for FINAL counts: a kept (row,
-#     window) pair has window_end > wm(b) >= every earlier batch's
-#     watermark (both the filter and eviction in batch b' use the same
-#     wm(b')), so kept rows never land in evicted state and per-window
-#     counts are monotone — the final count is just the count of
-#     surviving (row, window) pairs (and "last update" == max update in
-#     the memory sink).
+#   * no eviction modeling is needed for FINAL counts even under the
+#     two-version watermark: wm_late(b) == wm_evict(b-1) (both are max
+#     through b-2), so a kept (row, window) pair has window_end >
+#     wm_late(b) >= every eviction watermark applied in earlier batches —
+#     kept rows never land in evicted state, a window can never be
+#     re-created after eviction, and per-window counts are monotone; the
+#     final count is just the count of surviving (row, window) pairs
+#     (and "last update" == max update in the memory sink).
 # Batch order is forced WITHOUT sleeps by pinning each data file's mtime
 # to a distinct increasing epoch (the file source orders by mtime).
 # ---------------------------------------------------------------------------

@@ -3155,8 +3155,13 @@ _stream_counter = _it.count()
 
 
 @settings(max_examples=10, deadline=None)
-@given(batches=_stream_batches, grouped=st.booleans(), sliding=st.booleans())
-def test_streaming_late_data_parity(spark, batches, grouped, sliding):
+@given(
+    batches=_stream_batches,
+    grouped=st.booleans(),
+    sliding=st.booleans(),
+    append=st.booleans(),
+)
+def test_streaming_late_data_parity(spark, batches, grouped, sliding, append):
     import datetime
     import itertools
     import os
@@ -3208,7 +3213,9 @@ def test_streaming_late_data_parity(spark, batches, grouped, sliding):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("update")
+            # append emits each window exactly once, at watermark passage,
+            # with its final count; update emits on every change
+            .outputMode("append" if append else "update")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -3221,7 +3228,11 @@ def test_streaming_late_data_parity(spark, batches, grouped, sliding):
         got = {}
         for r in spark.sql(f"SELECT * FROM {name}").collect():
             key = (ms(r["window_start"]), r["k"] if grouped else None)
-            got[key] = max(got.get(key, 0), r["n"])  # counts are monotone
+            if append:
+                assert key not in got, f"append emitted {key} twice"
+                got[key] = r["n"]
+            else:
+                got[key] = max(got.get(key, 0), r["n"])  # counts are monotone
         spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -3246,7 +3257,13 @@ def test_streaming_late_data_parity(spark, batches, grouped, sliding):
                 wstart -= slide_ms
         max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
 
-    assert got == want, (batches, grouped, sliding, got, want)
+    if append:
+        # only watermark-finalized windows are emitted (window counts can
+        # never grow after eviction: wm_late(b) == wm_evict(b-1)), and the
+        # availableNow finalization batch evicts with max-over-all - delay
+        final_wm = max_hist[-1] - delay_ms
+        want = {wk: n for wk, n in want.items() if wk[0] + dur_ms <= final_wm}
+    assert got == want, (batches, grouped, sliding, append, got, want)
 
 
 # ---------------------------------------------------------------------------

@@ -793,3 +793,24 @@ def test_concurrent_request_persist_lifecycle(service, spark):
     assert settled_rdd_count() <= baseline_rdds
     if was_empty:
         assert cache_manager.isEmpty()
+
+
+def test_failing_resolver_releases_persisted_cache(service, spark):
+    """A request whose parent table field persisted (multiple
+    sub-selections) but whose sibling resolver then errors must still
+    release its cache entry at request end — partial results and raising
+    documents share the finally-path release in service._run."""
+    jsc = spark.sparkContext._jsc
+    baseline = jsc.getPersistentRDDs().size()
+    out = service.run(
+        """{ lineitem { filter(l_returnflag: {eq: ["R"]}) {
+              count column(name: "no_such_column") { values } } } }"""
+    )
+    assert out.get("errors"), "expected a resolver error"
+    import time
+
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() <= baseline:
+            break
+        time.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() <= baseline

@@ -247,6 +247,26 @@ def main() -> None:
             upper="1 hour",
         )
 
+    def rollup(mult):
+        # two-level fine->coarse windowed rollup (chained aggs); explode
+        # keeps the plan constant-size, duplicate timestamps just deepen
+        # the fine-level groups — the regime the pre-reduction exists for
+        from graphique_spark import streaming as stx
+        from graphique_spark.sources import NANO_COLUMNS, normalize_nanos
+
+        ev = normalize_nanos(
+            spark.read.parquet(f"{SF_DIR}/events.parquet"),
+            NANO_COLUMNS.get("events", ()),
+        )
+        if mult > 1:
+            ev = ev.withColumn(
+                "__c", F.explode(F.lit(list(range(mult))))
+            ).drop("__c")
+        return stx.windowed_rollup(
+            ev, ts="ts", fine="5 minutes", coarse="1 hour",
+            by=["event_type"], value="value",
+        )
+
     def pii(mult):
         from graphique_spark.llm import text as t
 
@@ -618,6 +638,7 @@ def main() -> None:
         "hll_sketch": hll,
         "star_cc_chain": star_cc_chain,
         "interval_join": interval_join,
+        "windowed_rollup": rollup,
         "skew_salted": skew_salted,
         "skew_join_aqe": skew_join_aqe,
     }
@@ -643,6 +664,7 @@ def main() -> None:
         "segments": "union" if times <= 64 else "caesar-case-explode",
         "substring_dedup": "union" if times <= 64 else "caesar-case-explode",
         "interval_join": "union" if times <= 4 else "explode-remapped-ids",
+        "windowed_rollup": "explode",
     }
     only = argv
     if only:

@@ -28,6 +28,19 @@ _PAYLOAD = "__asof_payload"
 _RON = "__asof_ron"
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort on this type (maps can't, recursively)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,6 +107,15 @@ def asof_join(
         # nulls last and handed such rows the latest right payload
         # (backward gets this for free: asc is nulls-first)
         order = [F.col(on).desc_nulls_first(), F.col(_SIDE)]
+    if _orderable(right.schema[right_on].dataType) and all(
+        _orderable(right.schema[c].dataType) for c in payload_cols
+    ):
+        # deterministic tie-break: among right rows sharing (keys, on), the
+        # GREATEST payload (struct-lexicographic) wins — reruns and both
+        # strategies agree instead of depending on partition order. Skipped
+        # when a payload field is unorderable (maps); ties then fall back
+        # to arbitrary, as pandas/DuckDB as-of joins do.
+        order = order + [F.col(_PAYLOAD)]
     if by:
         w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
         matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
@@ -219,9 +241,13 @@ def _asof_range(
     # left columns would collapse them)
     tagged = left.withColumn("__l_id", F.monotonically_increasing_id())
     joined = tagged.join(r, on=cond, how="left")
-    w = Window.partitionBy("__l_id").orderBy(
-        F.col("__r_on").desc() if direction == "backward" else F.col("__r_on")
-    )
+    order = [F.col("__r_on").desc() if direction == "backward" else F.col("__r_on")]
+    if all(_orderable(right.schema[c].dataType) for c in payload_cols):
+        # same greatest-payload tie-break as the union strategy
+        order.append(
+            F.struct(*[F.col(f"__r_{c}") for c in payload_cols]).desc_nulls_last()
+        )
+    w = Window.partitionBy("__l_id").orderBy(*order)
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return best.select(
         *[F.col(c) for c in left.columns],

@@ -3269,8 +3269,9 @@ def test_streaming_late_data_parity(spark, batches, grouped, sliding, append):
 # ---------------------------------------------------------------------------
 # asofJoin / takeFrom chained under group/order through the FULL service
 # stack vs DuckDB (the last resolver-composition corner not covered by the
-# r08 join/window/unnest chain fuzzers). Right (key, time) pairs are unique
-# so "the nearest right row" is well-defined on both engines; left rows
+# r08 join/window/unnest chain fuzzers). Right (key, time) duplicates are
+# allowed — the engine tie-breaks deterministically on the greatest
+# payload, mirrored in the oracle by a max() dedup view; left rows
 # include NULL keys and NULL times to probe the no-match paths.
 # ---------------------------------------------------------------------------
 
@@ -3309,10 +3310,9 @@ def test_graphql_asof_chain_matches_duckdb(
     from graphique_spark.service import GraphQLService
 
     ldata = [(g, t, v, i) for i, (g, t, v) in enumerate(lrows)]
-    uniq = {}
-    for g, t, bid in rrows:
-        uniq[(g, t)] = bid
-    rdata = [(g, t, bid) for (g, t), bid in sorted(uniq.items())]
+    # duplicates on (g, t) are allowed: the engine's tie-break picks the
+    # GREATEST payload, which the oracle mirrors with a max() dedup view
+    rdata = sorted(rrows)
     ldf = spark.createDataFrame(ldata, "g long, t long, v long, u long")
     rdf = spark.createDataFrame(rdata, "g long, t long, bid long")
     service = GraphQLService({"trades": ldf, "quotes": rdf})
@@ -3352,7 +3352,8 @@ def test_graphql_asof_chain_matches_duckdb(
 
     con = duckdb.connect()
     con.register("trades", pd.DataFrame(ldata, columns=["g", "t", "v", "u"]).astype("Int64"))
-    con.register("quotes", pd.DataFrame(rdata, columns=["g", "t", "bid"]).astype("Int64"))
+    con.register("quotes_raw", pd.DataFrame(rdata, columns=["g", "t", "bid"]).astype("Int64"))
+    con.execute("CREATE VIEW quotes AS SELECT g, t, max(bid) AS bid FROM quotes_raw GROUP BY g, t")
     sym = {"lt": "<", "ge": ">="}
     where = "" if prefilter is None else f" WHERE v {sym[prefilter[0]]} {prefilter[1]}"
     cmp = "r.t <= l.t" if direction == "backward" else "r.t >= l.t"

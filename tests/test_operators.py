@@ -875,3 +875,26 @@ def test_with_run_ids_nan_run_spans_partition_boundaries(spark):
         list(range(40, 50)),
         list(range(50, 60)),   # the NULL block: one run (eqNullSafe)
     ], runs
+
+
+def test_asof_tie_break_is_deterministic_greatest_payload(spark):
+    """Multiple right rows sharing (key, on) used to resolve by partition
+    order; both strategies must now pick the GREATEST payload
+    (struct-lexicographic) so reruns and strategies agree."""
+    from graphique_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(0, 5, 0), (0, 1, 1)], "g long, t long, u long")
+    r = spark.createDataFrame(
+        [(0, 3, 7, "x"), (0, 3, 9, "z"), (0, 3, 9, "a"), (0, 3, 2, "y")],
+        "g long, t long, bid long, tag string",
+    ).repartition(4)
+    for direction, matched_u in (("backward", 0), ("forward", 1)):
+        for strategy in ("union", "range"):
+            got = {
+                x["u"]: (x["bid"], x["tag"])
+                for x in asof_join(
+                    l, r, on="t", by=["g"], direction=direction, strategy=strategy
+                ).collect()
+            }
+            assert got[matched_u] == (9, "z"), (direction, strategy, got)
+            assert got[1 - matched_u] == (None, None), (direction, strategy, got)

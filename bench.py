@@ -38,6 +38,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+    all_queries = queries  # warmup must cover every family even in subset mode
     # SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (local iteration and
     # the regression gate's fresh-confirm step). Subset runs never write
     # BENCH_local.json or bench_history/ — they aren't suite runs.
@@ -63,7 +64,7 @@ def main() -> None:
         "lm_bigram_perplexity",
     ]:
         try:
-            fn = queries.get(warm)
+            fn = all_queries.get(warm)
             if fn is not None:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001  (warmup is best-effort)
@@ -171,7 +172,16 @@ def main() -> None:
     # tests/test_bench_gate.py can diff the two most recent runs with
     # tools/bench_diff.py and red the suite on confirmed >1.4x drift.
     # Partial/debug runs (query subsets, other SFs) are not archived.
-    if not only and not failed and all(t >= 0 for t in timings.values()):
+    # debug overrides (fewer repeats / a tighter budget than the defaults)
+    # don't qualify either: a single-sample run carries 3.4x per-query noise
+    # and would poison the gate as a first-class input
+    if (
+        not only
+        and not failed
+        and all(t >= 0 for t in timings.values())
+        and repeats >= 3
+        and budget >= 450
+    ):
         try:
             hist = os.path.join(here, "bench_history")
             os.makedirs(hist, exist_ok=True)

@@ -173,12 +173,19 @@ class GraphQLService:
         finally:
             # graphql_sync normally captures resolver errors in the result,
             # but if it raises (bad document, middleware error) the acquired
-            # cache entries must still be released
+            # cache entries must still be released. Release is best-effort
+            # PER TOKEN: one failing unpersist (a JVM hiccup) must neither
+            # strand the remaining entries nor mask the request's result.
             for token in context["persisted"]:
-                if isinstance(token, Dataset):  # direct-persist fallback path
-                    token.unpersist()
-                else:
-                    self._persist_registry.release(token)
+                try:
+                    if isinstance(token, Dataset):  # direct-persist fallback
+                        token.unpersist()
+                    else:
+                        self._persist_registry.release(token)
+                except Exception as exc:  # noqa: BLE001
+                    import warnings
+
+                    warnings.warn(f"persist release failed: {exc}", stacklevel=2)
         return result
 
 

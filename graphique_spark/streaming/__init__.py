@@ -211,6 +211,14 @@ def windowed_rollup(
     exact rollup semantics. Batch mode runs the identical two-level plan
     for oracle checks.
     """
+    fine_ms, coarse_ms = _duration_ms(fine), _duration_ms(coarse)
+    if coarse_ms % fine_ms != 0:
+        # a fine window straddling a coarse boundary would silently assign
+        # ALL its rows to the coarse window containing its end
+        raise ValueError(
+            f"coarse ({coarse}) must be a whole multiple of fine ({fine}) "
+            "for exact rollup semantics"
+        )
     if streaming:
         df = df.withWatermark(ts, watermark)
     keys = [F.window(F.col(ts), fine).alias("__w1")] + [F.col(c) for c in (by or [])]

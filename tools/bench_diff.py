@@ -49,16 +49,22 @@ def compare(old: dict, new: dict, threshold: float = 1.4, min_sec: float = 0.3) 
         # that crosses it (0.25s -> 4.0s) must still flag
         if max(a, b) < min_sec or a <= 0 or b <= 0:
             continue
-        if name in on and name in nn and on[name] != nn[name]:
+        flagged = False
+        if b / a >= threshold:
+            regressions.append((b / a, name, a, b))
+            flagged = True
+        elif a / b >= threshold:
+            speedups.append((a / b, name, a, b))
+            flagged = True
+        # the unequal-samples caveat only matters for queries that actually
+        # drifted — emitting it for every truncated-tail query buries the
+        # REGRESSION lines the report exists to surface
+        if flagged and name in on and name in nn and on[name] != nn[name]:
             lines.append(
                 f"note: {name} compared across unequal sample counts "
                 f"({on[name]} vs {nn[name]}) — truncated-tail medians "
                 "include the cold pass-1 sample and bias slower"
             )
-        if b / a >= threshold:
-            regressions.append((b / a, name, a, b))
-        elif a / b >= threshold:
-            speedups.append((a / b, name, a, b))
 
     ot, nt = old.get("value"), new.get("value")
     if ot and nt:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from graphique_spark import suite
 from graphique_spark import suite_llm  # noqa: F401  (registers into suite.QUERIES)
+from graphique_spark import suite_partsupp  # noqa: F401  (merges only if partsupp.parquet exists)
 from graphique_spark import suite_streaming  # noqa: F401
 
 

@@ -3964,3 +3964,256 @@ def test_streaming_stateful_totals_parity(spark, batches):
             max_hist.append(NEG)
 
     assert got == want, (batches, dict(got), dict(want))
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful aggregations (windowed_rollup): randomized out-of-order /
+# late micro-batches through fine-window count/sum -> window_time() ->
+# coarse rollup (TWO stateful aggs in one append-mode streaming query,
+# Spark 3.4+) vs a pure-Python two-level simulation.
+#
+# Level-1 (fine) late semantics are the pinned SPARK-40925 model above.
+# The level-2 (coarse) model needs one derived fact: a fine window emitted
+# in batch b satisfies wm_evict(b-1) < fine_end (else it would have been
+# emitted earlier), and the coarse late filter in batch b uses
+# wm_late(b) == wm_evict(b-1), so a finalized fine row ALWAYS survives the
+# downstream late filter (its coarse window end >= fine end > wm_late(b)).
+# Within a micro-batch the coarse operator consumes its input before
+# evicting, so fine windows finalized in the availableNow cleanup batch
+# still reach coarse windows finalized by the same watermark. Final coarse
+# output is therefore: finalized fine windows (end <= final_wm) rolled up,
+# keeping coarse windows with end <= final_wm.
+# ---------------------------------------------------------------------------
+
+_rollup_event = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(0, 10),           # 36-minute grid (windows collide, rows go late)
+    st.sampled_from([-1, 0, 1]),  # ms jitter to probe exact boundaries
+    st.integers(-3, 3),           # value for the sum path
+)
+_rollup_batches = st.lists(
+    st.lists(_rollup_event, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    batches=_rollup_batches,
+    grouped=st.booleans(),
+    with_value=st.booleans(),
+)
+def test_streaming_windowed_rollup_parity(spark, batches, grouped, with_value):
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    delay_ms = 3_600_000    # watermark "1 hour"
+    fine_ms = 1_800_000     # fine "30 minutes"
+    coarse_ms = 3_600_000   # coarse "1 hour"
+
+    def ts_of(h, j):
+        return t0 + datetime.timedelta(minutes=h * 36, milliseconds=j)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="rollupfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen_files = set()
+        for b, rows in enumerate(batches):
+            data = [(k, ts_of(h, j), v) for (k, h, j, v) in rows]
+            spark.createDataFrame(
+                data, "k string, ts timestamp, v long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen_files:
+                    seen_files.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        stream = stx.read_event_stream(
+            spark, src, schema="k string, ts timestamp, v long"
+        )
+        out = stx.windowed_rollup(
+            stream,
+            fine="30 minutes",
+            coarse="1 hour",
+            by=["k"] if grouped else None,
+            value="v" if with_value else None,
+            streaming=True,
+            watermark="1 hour",
+        )
+        name = f"rollup_fuzz_{next(_stream_counter)}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            key = (ms(r["window_start"]), r["k"] if grouped else None)
+            assert key not in got, f"append emitted {key} twice"
+            got[key] = (r["n"], r["value_sum"]) if with_value else (r["n"],)
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # level 1: surviving (row, fine-window) pairs under the pinned model
+    fine: dict = {}
+    max_hist: list[int] = []
+    for b, rows in enumerate(batches):
+        late_wm = max_hist[b - 2] - delay_ms if b >= 2 else None
+        batch_ms = []
+        for k, h, j, v in rows:
+            t = ms(ts_of(h, j))
+            batch_ms.append(t)
+            fs = (t // fine_ms) * fine_ms
+            if late_wm is None or fs + fine_ms > late_wm:
+                fk = (fs, k if grouped else None)
+                n, sv = fine.get(fk, (0, 0))
+                fine[fk] = (n + 1, sv + v)
+        max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+    final_wm = max_hist[-1] - delay_ms
+
+    # level 2: finalized fine windows roll into coarse via window_time
+    # (fine_end - 1ms); only coarse windows the final watermark passed emit
+    want: dict = {}
+    for (fs, k), (n, sv) in fine.items():
+        if fs + fine_ms > final_wm:
+            continue  # fine window never finalized -> never fed downstream
+        cs = ((fs + fine_ms - 1) // coarse_ms) * coarse_ms
+        if cs + coarse_ms > final_wm:
+            continue  # coarse window not finalized by the cleanup batch
+        ck = (cs, k)
+        pn, pv = want.get(ck, (0, 0))
+        want[ck] = (pn + n, pv + sv)
+    want = {
+        ck: ((n, sv) if with_value else (n,)) for ck, (n, sv) in want.items()
+    }
+    assert got == want, (batches, grouped, with_value, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators, dedup -> windowed aggregation: ingest dedup
+# (dropDuplicatesWithinWatermark) feeding tumbling counts in ONE append-mode
+# streaming query, vs the two pinned models composed. The composition fact
+# that makes the oracle simple: a dedup survivor in batch b has
+# ts >= wm_late(b), so its tumbling window END (> ts) always survives the
+# downstream agg's late filter — the agg just counts dedup survivors, and
+# append emits windows whose end the final watermark passed. The watermark
+# is attached ONCE at the source (stream_dedup); tumbling_counts runs with
+# streaming=False so the inherited watermark is not re-declared.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_dedup_batches, grouped=st.booleans())
+def test_streaming_dedup_then_window_parity(spark, batches, grouped):
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    delay_ms = 3_600_000  # 1 hour
+    dur_ms = 3_600_000    # 1 hour tumbling
+
+    def ts_of(h, j):
+        return t0 + datetime.timedelta(minutes=h * 36, milliseconds=j)
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="ddwfuzz")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        seen = set()
+        for b, entries in enumerate(batches):
+            data = []
+            for k, (h, j, ndup) in sorted(entries.items()):
+                data.extend((k, ts_of(h, j)) for _ in range(ndup))
+            spark.createDataFrame(
+                data, "k string, ts timestamp"
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen:
+                    seen.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        stream = stx.read_event_stream(spark, src, schema="k string, ts timestamp")
+        deduped = stx.stream_dedup(stream, keys=["k"], watermark="1 hour", streaming=True)
+        agg = stx.tumbling_counts(
+            deduped, duration="1 hour", by=["k"] if grouped else None, streaming=False
+        )
+        name = f"ddw_fuzz_{next(_stream_counter)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            key = (ms(r["window_start"]), r["k"] if grouped else None)
+            assert key not in got, f"append emitted {key} twice"
+            got[key] = r["n"]
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # stage 1: the pinned dropDuplicatesWithinWatermark model
+    survivors: list[tuple[str, int]] = []
+    state: dict = {}
+    max_hist: list[int] = []
+    for b, entries in enumerate(batches):
+        wm_late = max_hist[b - 2] - delay_ms if b >= 2 else None
+        wm_evict = max_hist[b - 1] - delay_ms if b >= 1 else None
+        batch_ms = []
+        for k, (h, j, ndup) in sorted(entries.items()):
+            t = ms(ts_of(h, j))
+            batch_ms.extend([t] * ndup)
+            if wm_late is not None and t < wm_late:
+                continue
+            if k not in state:
+                state[k] = t + delay_ms
+                survivors.append((k, t))
+        if wm_evict is not None:
+            for k in [k for k, exp in state.items() if exp <= wm_evict]:
+                del state[k]
+        if batch_ms or max_hist:
+            max_hist.append(max(batch_ms + ([max_hist[-1]] if max_hist else [])))
+        else:
+            max_hist.append(-10**15)
+    final_wm = max_hist[-1] - delay_ms
+
+    # stage 2: tumbling counts over survivors; append emits finalized windows
+    want: collections.Counter = collections.Counter()
+    for k, t in survivors:
+        ws = (t // dur_ms) * dur_ms
+        if ws + dur_ms <= final_wm:
+            want[(ws, k if grouped else None)] += 1
+    assert got == dict(want), (batches, grouped, got, dict(want))

@@ -4217,3 +4217,211 @@ def test_streaming_dedup_then_window_parity(spark, batches, grouped):
         if ws + dur_ms <= final_wm:
             want[(ws, k if grouped else None)] += 1
     assert got == dict(want), (batches, grouped, got, dict(want))
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators, stream-stream interval join -> windowed
+# aggregation (Spark 3.5+ multiple-stateful-ops pattern): randomized
+# two-sided micro-batches vs an independent Python nested-loop join +
+# window fold. Generation keeps batches time-MONOTONE (each batch's events
+# sit in its own 24-minute band, intra-batch disorder 18min < the 30min
+# watermark delay), so no row is ever late-dropped and no join state is
+# evicted before its match window closes — the joined multiset equals the
+# batch join exactly. What the fuzzer then pins is the part that is NOT
+# derivable from the single-operator models: the join DELAYS the output
+# watermark by the join interval, so downstream windows finalize against
+# (input watermark - upper), not the input watermark. Asserts exact-count
+# subset (append emits a window once, with its final count) plus
+# completeness for every window whose end <= min(maxL, maxR) - delay -
+# upper (the conservative output watermark).
+# ---------------------------------------------------------------------------
+
+_ij_chain_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["l", "r"]),       # which side the event lands on
+        st.sampled_from(["a", "b"]),       # join key
+        st.integers(0, 3),                 # 6-min offset within the batch band
+        st.sampled_from([-1, 0, 1]),       # ms jitter at interval boundaries
+    ),
+    min_size=1,
+    max_size=6,
+)
+_ij_chain_batches = st.lists(_ij_chain_batch, min_size=3, max_size=5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(batches=_ij_chain_batches)
+def test_streaming_interval_join_then_window_parity(spark, batches):
+    import collections
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    delay_ms = 1_800_000   # watermark "30 minutes"
+    upper_ms = 720_000     # join interval "12 minutes"
+    dur_ms = 1_800_000     # tumbling window "30 minutes"
+    band_ms = 1_440_000    # each batch owns a 24-minute band
+
+    def ts_of(b, off, j):
+        return t0 + datetime.timedelta(
+            milliseconds=b * band_ms + off * 360_000 + j
+        )
+
+    def ms(dt):
+        return int((dt - t0).total_seconds() * 1000)
+
+    work = tempfile.mkdtemp(prefix="ijwfuzz")
+    try:
+        rows = {"l": [], "r": []}
+        for side in ("l", "r"):
+            src = os.path.join(work, side)
+            os.makedirs(src)
+            seen = set()
+            for b, events in enumerate(batches):
+                data = [
+                    (k, ts_of(b, off, j))
+                    for (s, k, off, j) in events
+                    if s == side
+                ]
+                rows[side].extend(data)
+                spark.createDataFrame(
+                    data, "k string, ts timestamp"
+                ).coalesce(1).write.mode("append").parquet(src)
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet") and fn not in seen:
+                        seen.add(fn)
+                        os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+        left = stx.read_event_stream(
+            spark, os.path.join(work, "l"), schema="k string, ts timestamp"
+        )
+        right = stx.read_event_stream(
+            spark, os.path.join(work, "r"), schema="k string, ts timestamp"
+        )
+        joined = stx.interval_join(
+            left, right, ["k"], upper="12 minutes",
+            watermark="30 minutes", streaming=True,
+        )
+        agg = stx.tumbling_counts(
+            joined, ts="ts", duration="30 minutes", by=["k"], streaming=False
+        )
+        name = f"ijw_fuzz_{next(_stream_counter)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "streaming query did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        got = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            key = (ms(r["window_start"]), r["k"])
+            assert key not in got, f"append emitted {key} twice"
+            got[key] = r["n"]
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # independent Python oracle: nested-loop interval join + window fold
+    want_all: collections.Counter = collections.Counter()
+    for lk, lt in rows["l"]:
+        for rk, rt in rows["r"]:
+            if lk == rk and 0 <= ms(rt) - ms(lt) <= upper_ms:
+                want_all[((ms(lt) // dur_ms) * dur_ms, lk)] += 1
+
+    # append emits each window at most once with its FINAL count (the
+    # monotone generation rules out any late drop along the chain)
+    assert got.items() <= want_all.items(), (batches, got, dict(want_all))
+
+    # completeness: output watermark through a join is delayed by the
+    # interval upper bound; any window older than that must have emitted
+    if rows["l"] and rows["r"]:
+        final_in_wm = min(
+            max(ms(t) for _, t in rows["l"]), max(ms(t) for _, t in rows["r"])
+        ) - delay_ms
+        threshold = final_in_wm - upper_ms
+        missing = {
+            wk: n
+            for wk, n in want_all.items()
+            if wk[0] + dur_ms <= threshold and wk not in got
+        }
+        assert not missing, (batches, missing, got, threshold)
+
+
+def test_streaming_interval_join_then_window_emits_finalized(spark):
+    """Deterministic companion to the fuzzer above: a guaranteed-finalized
+    window must actually emit with its exact count (the fuzzer's
+    completeness branch can be vacuous on examples whose span is shorter
+    than delay + upper)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from graphique_spark import streaming as stx
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    work = tempfile.mkdtemp(prefix="ijwdet")
+    try:
+        # batch 0: three matching pairs inside window [0, 30); batch 1:
+        # both sides jump to minute 100 -> final wm = 70, output wm after
+        # the 12-min join = 58 >= 30 -> window [0, 30) MUST finalize
+        plan = {
+            "l": [[("a", 0), ("a", 5), ("a", 10)], [("a", 100)]],
+            "r": [[("a", 2), ("a", 8), ("a", 40)], [("a", 100)]],
+        }
+        for side, batches in plan.items():
+            src = os.path.join(work, side)
+            os.makedirs(src)
+            seen = set()
+            for b, events in enumerate(batches):
+                spark.createDataFrame(
+                    [(k, at(m)) for k, m in events], "k string, ts timestamp"
+                ).coalesce(1).write.mode("append").parquet(src)
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet") and fn not in seen:
+                        seen.add(fn)
+                        os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+        left = stx.read_event_stream(spark, os.path.join(work, "l"), schema="k string, ts timestamp")
+        right = stx.read_event_stream(spark, os.path.join(work, "r"), schema="k string, ts timestamp")
+        joined = stx.interval_join(
+            left, right, ["k"], upper="12 minutes", watermark="30 minutes", streaming=True
+        )
+        agg = stx.tumbling_counts(joined, ts="ts", duration="30 minutes", by=["k"], streaming=False)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ijw_det")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+        got = {
+            (int((r["window_start"] - t0).total_seconds() // 60), r["k"]): r["n"]
+            for r in spark.sql("SELECT * FROM ijw_det").collect()
+        }
+        spark.catalog.dropTempView("ijw_det")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # pairs within [l.ts, l.ts+12min]: (0,2)(0,8)(5,8) -> window 0 count 3;
+    # the minute-100 pair's window [90,120) is NOT finalized (wm 70)
+    assert got == {(0, "a"): 3}, got

@@ -982,3 +982,97 @@ def test_windowed_rollup_rejects_non_multiple_granularity(tables):
         streaming.windowed_rollup(
             tables["events"].df, fine="7 minutes", coarse="1 hour"
         )
+
+
+def test_windowed_rollup_update_mode_rejected_at_start(spark, tmp_path):
+    """Chained stateful aggregations are append-only in streaming: Spark
+    must refuse update mode AT QUERY START (AnalysisException on the
+    global-watermark correctness pattern), never run-and-discard. Pinned
+    so a Spark upgrade that silently relaxes this to a runtime behavior
+    change gets caught here."""
+    import datetime
+
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    ).write.parquet(src)
+    stream = streaming.read_event_stream(
+        spark, src, schema="event_type string, ts timestamp, value double"
+    )
+    out = streaming.windowed_rollup(
+        stream, fine="5 minutes", coarse="1 hour", streaming=True
+    )
+    with pytest.raises(AnalysisException, match="watermark"):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rollup_update_rejected")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # defensive: if a future Spark starts the query, don't leak it
+        q.stop()
+
+
+def test_windowed_rollup_file_sink_replay_idempotent(spark, tmp_path):
+    """Crash-replay exactly-once for CHAINED stateful aggregations through
+    the transactional file sink: clone the checkpoint, drop the newest
+    commit marker, restart — the replayed micro-batch must not duplicate
+    any emitted coarse window (the sink's _spark_metadata manifest skips
+    the already-committed batch; the two-level agg state replays to the
+    same deterministic output)."""
+    import datetime
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1)
+    seen = set()
+    plan = [
+        [("a", 0), ("a", 20), ("b", 40)],   # minutes; windows [0,60) fill
+        [("a", 300)],                        # wm -> 240: finalizes [0,60)
+        [("b", 600)],                        # wm -> 540: finalizes [240,300)
+    ]
+    for b, events in enumerate(plan):
+        spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(minutes=m), 1.0) for k, m in events],
+            "event_type string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet") and fn not in seen:
+                seen.add(fn)
+                os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+    out = str(tmp_path / "out")
+
+    def run(ckpt):
+        stream = streaming.read_event_stream(
+            spark, src, schema="event_type string, ts timestamp, value double"
+        )
+        rolled = streaming.windowed_rollup(
+            stream, fine="30 minutes", coarse="1 hour", by=["event_type"],
+            value="value", streaming=True, watermark="1 hour",
+        )
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt"))
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    clone, replayed = _force_replay(str(tmp_path / "ckpt"))
+    run(clone)
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert replayed >= 1
+    assert after == before
+    # and the run emitted real windows (non-vacuous): [0,60)x{a,b} at least
+    assert len(before) >= 2

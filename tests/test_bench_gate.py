@@ -43,6 +43,17 @@ MAX_CONFIRM = 8  # bound the fresh-confirm cost; worst offenders first
 # drift during the fresh-confirm run
 REFERENCES = ["q1_pricing_summary", "join_star_broadcast", "text_quality"]
 DRIFT_CAP = 1.3  # measured box swing band; a broader slowdown is code
+# Per-query (ratio, delta_sec) confirm bars for queries whose OWN median
+# is measurably unstable on identical code — each entry must cite idle-box
+# measurements; don't add one to silence a flag you haven't measured.
+# compact_roundtrip: e2e small-files write+compact+read roundtrip whose
+# wall is FS/page-cache regime, not plan work — two back-to-back idle-box
+# median-of-10 runs on identical code measured 1.857s vs 3.484s (1.88x
+# swing of the MEDIAN itself; single samples span 1.46-3.5s), so the
+# default 1.4x/0.3s bars flap. 2.2x/2.0s sits above the measured swing
+# while a real regression (e.g. compaction degenerating to per-file jobs)
+# still clears it trivially.
+VARIANCE_OVERRIDES = {"compact_roundtrip": (2.2, 2.0)}
 
 
 def _bench_diff():
@@ -82,6 +93,19 @@ def test_bench_round_gate():
 
     confirmed = []
     flagged = sorted(result["regressions"], reverse=True)[:MAX_CONFIRM]
+    # a BROAD code slowdown flags a large share of the suite (the archive
+    # thresholds are already drift-normalized and capped): fail loudly on
+    # the archive evidence alone — no per-query fresh confirm could or
+    # should rescue that, and a contaminated-window skip must not hide it
+    if len(result["regressions"]) >= max(10, len(shared) // 10):
+        report.append(
+            f"BROAD REGRESSION: {len(result['regressions'])} of "
+            f"{len(shared)} shared queries exceed the drift-normalized "
+            "threshold — failing on archive evidence without fresh confirm"
+        )
+        with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
+            fh.write("\n".join(report) + "\n")
+        raise AssertionError("\n".join(report))
     if len(result["regressions"]) > MAX_CONFIRM:
         report.append(
             f"note: {len(result['regressions'])} regressions flagged; "
@@ -98,36 +122,68 @@ def test_bench_round_gate():
             # and sub-second ones need the extra samples to settle
             SPARK_GRAFT_BENCH_REPEATS="5",
         )
-        proc = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "bench.py")],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=1800,
-            cwd=ROOT,
-        )
-        fresh: dict = {}
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                fresh = json.loads(line).get("queries", {})
+
+        def _fresh_run():
+            proc = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=1800,
+                cwd=ROOT,
+            )
+            fresh: dict = {}
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    fresh = json.loads(line).get("queries", {})
+                    break
+                except json.JSONDecodeError:
+                    continue
+            return proc, fresh
+
+        # This is a Firecracker guest: host/steal contention can slow the
+        # whole box >2x for minutes at a time (measured 2.17x via the
+        # reference queries on an OTHERWISE IDLE guest, load avg 2.5 with
+        # zero user processes). A confirm window whose reference drift
+        # exceeds this bound cannot adjudicate a 1.4x question under the
+        # 1.3x-capped allowance — retry once, then record UNRESOLVED and
+        # skip rather than confirm on an unmeasurable window. (A broad
+        # CODE slowdown cannot hide here: it trips the many-flags guard
+        # above before any confirm runs.)
+        CONTAMINATED = 1.6
+        for attempt in (1, 2):
+            proc, fresh = _fresh_run()
+            if not fresh or all(fresh.get(n, -1.0) <= 0 for n in names):
+                # the confirm subprocess couldn't measure anything (no
+                # testdata, broken env): a missing measurement is not a
+                # confirmation — surface it loudly and skip, don't red
+                report.append(
+                    "fresh-confirm run unavailable (bench subprocess produced no "
+                    f"timings, rc={proc.returncode}); flags above are UNRESOLVED"
+                )
+                with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
+                    fh.write("\n".join(report) + "\n")
+                pytest.skip("bench fresh-confirm unavailable; flags unresolved (see BENCH_DIFF_latest.txt)")
+            ref_ratios = [
+                fresh[r] / oq[r] for r in refs if fresh.get(r, -1) and fresh.get(r, -1) > 0
+            ]
+            confirm_drift = statistics.median(ref_ratios) if ref_ratios else 1.0
+            if confirm_drift <= CONTAMINATED or attempt == 2:
                 break
-            except json.JSONDecodeError:
-                continue
-        if not fresh or all(fresh.get(n, -1.0) <= 0 for n in names):
-            # the confirm subprocess couldn't measure anything (no testdata,
-            # broken env): a missing measurement is not a confirmation —
-            # surface it loudly and skip rather than red the whole suite
             report.append(
-                "fresh-confirm run unavailable (bench subprocess produced no "
-                f"timings, rc={proc.returncode}); flags above are UNRESOLVED"
+                f"confirm window contaminated (reference drift "
+                f"{confirm_drift:.3f}x > {CONTAMINATED}x — host/steal "
+                "contention); retrying fresh confirm once"
+            )
+        if confirm_drift > CONTAMINATED:
+            report.append(
+                f"fresh-confirm box drift {confirm_drift:.3f}x still > "
+                f"{CONTAMINATED}x after retry; flags above are UNRESOLVED "
+                "(re-run the gate when the host calms down)"
             )
             with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
                 fh.write("\n".join(report) + "\n")
-            pytest.skip("bench fresh-confirm unavailable; flags unresolved (see BENCH_DIFF_latest.txt)")
-        ref_ratios = [
-            fresh[r] / oq[r] for r in refs if fresh.get(r, -1) and fresh.get(r, -1) > 0
-        ]
-        confirm_drift = statistics.median(ref_ratios) if ref_ratios else 1.0
+            pytest.skip("bench confirm window contaminated twice; flags unresolved (see BENCH_DIFF_latest.txt)")
         confirm_allowance = min(max(confirm_drift, 1.0), DRIFT_CAP)
         report.append(
             f"fresh-confirm box drift via {len(ref_ratios)} references: "
@@ -147,17 +203,25 @@ def test_bench_round_gate():
             # both bars must clear: ratio >= 1.4 AND >= 0.3s absolute slowdown
             # after drift — this box's scheduling noise swings short queries
             # by ~0.2s (the same floor bench_diff's min_sec encodes), and a
-            # regression that matters at scale clears 0.3s trivially
-            if norm >= 1.4 and delta >= 0.3:
+            # regression that matters at scale clears 0.3s trivially.
+            # Queries with a measured unstable median get their own bars
+            # (VARIANCE_OVERRIDES above).
+            bar_ratio, bar_delta = VARIANCE_OVERRIDES.get(name, (1.4, 0.3))
+            bars = (
+                f" [bars {bar_ratio}x/{bar_delta}s]"
+                if name in VARIANCE_OVERRIDES
+                else ""
+            )
+            if norm >= bar_ratio and delta >= bar_delta:
                 confirmed.append((name, a, b, f_med))
                 report.append(
                     f"CONFIRMED {name}: archived {a}s -> {b}s ({ratio:.2f}x); "
-                    f"fresh median {f_med}s = {norm:.2f}x / +{delta:.2f}s vs old after drift"
+                    f"fresh median {f_med}s = {norm:.2f}x / +{delta:.2f}s vs old after drift{bars}"
                 )
             else:
                 report.append(
                     f"refuted {name}: archived {a}s -> {b}s ({ratio:.2f}x); "
-                    f"fresh median {f_med}s = {norm:.2f}x / {delta:+.2f}s vs old after drift — noise"
+                    f"fresh median {f_med}s = {norm:.2f}x / {delta:+.2f}s vs old after drift — noise{bars}"
                 )
 
     with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:

@@ -4344,7 +4344,13 @@ def test_streaming_interval_join_then_window_parity(spark, batches):
     assert got.items() <= want_all.items(), (batches, got, dict(want_all))
 
     # completeness: output watermark through a join is delayed by the
-    # interval upper bound; any window older than that must have emitted
+    # interval upper bound, EXCLUSIVE of the exact boundary — a right row
+    # exactly AT the input watermark is not late (the late filter is a
+    # strict <), so a left row at exactly (wm - upper) can still gain
+    # matches and the join cannot declare it complete; only windows
+    # STRICTLY older than (final input wm - upper) are guaranteed emitted
+    # (found by this fuzzer as a shrunk boundary counterexample: a window
+    # ending exactly at the threshold stayed in state).
     if rows["l"] and rows["r"]:
         final_in_wm = min(
             max(ms(t) for _, t in rows["l"]), max(ms(t) for _, t in rows["r"])
@@ -4353,7 +4359,7 @@ def test_streaming_interval_join_then_window_parity(spark, batches):
         missing = {
             wk: n
             for wk, n in want_all.items()
-            if wk[0] + dur_ms <= threshold and wk not in got
+            if wk[0] + dur_ms < threshold and wk not in got
         }
         assert not missing, (batches, missing, got, threshold)
 

@@ -350,3 +350,43 @@ def stream_windowed_rollup(spark, sf_dir):
         "n",
         fround(F.col("value_sum"), 2).alias("value_sum"),
     )
+
+
+@query(
+    "stream_join_windowed",
+    """
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id, c.ts
+               FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+           user_id % 5 AS cohort,
+           count(*) AS pairs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def stream_join_windowed(spark, sf_dir):
+    """Chained stateful composition: stream-stream interval join (click ->
+    purchase within an hour, per user) feeding a tumbling hourly windowed
+    count — run in batch mode with the identical plan; the STREAMING
+    parity of this chain (join-delayed output watermark, exclusive of the
+    exact boundary) is pinned by
+    tests/test_differential.py::test_streaming_interval_join_then_window_parity
+    and its deterministic companion."""
+    events = table(spark, sf_dir, "events").df
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = streaming.interval_join(
+        clicks, purchases, keys=["user_id"], lower="0 seconds", upper="1 hour"
+    ).withColumn("cohort", F.col("user_id") % 5)
+    out = streaming.tumbling_counts(joined, ts="ts", duration="1 hour", by=["cohort"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cohort",
+        F.col("n").alias("pairs"),
+    )

@@ -102,6 +102,11 @@ HIGHLIGHTS = {
         "both retrieval legs bounded to <=50 rows before the fuse join; "
         "the only at-scale cost is the audited BM25/top-k plans"
     ),
+    "stream_join_windowed": (
+        "interval join stays a single hash join on user_id (range bound "
+        "as a join condition, no nested loop); window count rides the "
+        "same keyed exchange with partial aggregation"
+    ),
 }
 
 

@@ -101,10 +101,57 @@ def main() -> None:
     # (~700s wall at sf0.1).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+
+    # Contamination self-description (VERDICT r09 item 1): this guest
+    # suffers 2.2-2.8x host/steal contention windows, and a bench recorded
+    # inside one (BENCH_r09: 391s vs 179-209s calm, identical code) reads
+    # as a fake regression. Time the gate's three reference queries at run
+    # start / after pass 1 / at run end against their committed calm
+    # medians (bench_history/CALM_REFS.json) and report the worst window's
+    # drift plus a contaminated marker, so the emitted JSON adjudicates
+    # itself and the gate can quarantine the archive.
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench_guard", os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_guard.py")
+    )
+    _guard = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_guard)
+    calm_refs = _guard.load_calm_refs(os.path.dirname(os.path.abspath(__file__)))
+    # subset (SPARK_GRAFT_BENCH_ONLY) runs skip probes: they are the
+    # gate's fresh-confirm vehicle, which appends the reference queries
+    # itself and computes its own drift from them
+    probes_apply = bool(calm_refs) and str(calm_refs.get("sf")) == str(sf) and not only
+    ref_probes: dict[str, dict[str, float]] = {}
+
+    def _probe(window: str) -> None:
+        # single-shot timings (probe cost ~1.5s/window); the per-window
+        # median over 3 refs dampens single-sample noise, and the 1.6x
+        # contamination bound sits well above calm single-shot swing
+        if not probes_apply:
+            return
+        timings: dict[str, float] = {}
+        for ref in calm_refs.get("refs", {}):
+            fn = all_queries.get(ref)
+            if fn is None:
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                timings[ref] = round(time.perf_counter() - t0, 3)
+            except Exception:  # noqa: BLE001  (probes are best-effort)
+                pass
+            spark.catalog.clearCache()
+        if timings:
+            ref_probes[window] = timings
+
+    _probe("start")
     samples: dict[str, list[float]] = {name: [] for name in queries}
     failed: set[str] = set()
     measured = 0.0
     for rep in range(repeats):
+        if rep == 1:
+            _probe("mid")
         for name, fn in queries.items():
             if name in failed:
                 continue
@@ -126,6 +173,8 @@ def main() -> None:
             # query can't distort later timings
             spark.catalog.clearCache()
 
+    _probe("end")
+
     timings: dict[str, float] = {}
     for name, vals in samples.items():
         if name in failed or not vals:
@@ -138,6 +187,28 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # worst-window drift: contamination anywhere in the run invalidates
+    # whatever tail of the timings it overlapped, so the max (not the
+    # mean) of the per-window medians is the honest estimate
+    window_drifts = {
+        w: _guard.drift_estimate(t, calm_refs) for w, t in ref_probes.items()
+    }
+    window_drifts = {w: d for w, d in window_drifts.items() if d is not None}
+    box_drift = max(window_drifts.values()) if window_drifts else None
+    single = sum(1 for v in samples.values() if len(v) == 1)
+    truncated_heavy = (
+        repeats >= 3 and len(samples) > 0 and single > 0.5 * len(samples)
+    )
+    contaminated = None
+    if probes_apply and not only:
+        contaminated = bool(
+            (box_drift is not None and box_drift > _guard.CONTAMINATED_DRIFT)
+            # budget exhausted inside pass 1 => the run measured a >2x
+            # slowdown even if the probe windows missed it (calm full
+            # passes take 180-220s against the 450s budget)
+            or truncated_heavy
+        )
     full = {
         "metric": "suite_total_wall",
         "value": total,
@@ -153,6 +224,16 @@ def main() -> None:
         # estimator label suggests; bench_diff warns on unequal counts
         "n_samples": {name: len(vals) for name, vals in samples.items()},
         "samples": samples,
+        # contamination self-description (r10+): single-shot reference-query
+        # probes at run start/mid/end vs bench_history/CALM_REFS.json.
+        # contaminated=true means THIS MEASUREMENT was taken inside a host
+        # contention window (or blew its sample budget inside pass 1) and
+        # must not be read as a code regression; the bench gate quarantines
+        # such archives. null = probes not applicable (subset run, non-calm
+        # SF, missing CALM_REFS).
+        "ref_probes": ref_probes,
+        "box_drift_estimate": box_drift,
+        "contaminated": contaminated,
     }
     # The driver records only a 2000-char tail of stdout and JSON-parses it;
     # the full per-query map at 180+ queries is ~6 KB, so a single big line
@@ -205,6 +286,8 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "estimator": f"median_of_{repeats}",
+            "box_drift_estimate": box_drift,
+            "contaminated": contaminated,
             "queries": {},
         }
     )
@@ -217,6 +300,8 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "estimator": f"median_of_{repeats}",
+            "box_drift_estimate": box_drift,
+            "contaminated": contaminated,
             "n_samples": {name: len(samples[name]) for name in kept},
             "queries": kept,
         }

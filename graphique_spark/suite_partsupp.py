@@ -189,10 +189,12 @@ def q9_product_type_profit(spark, sf_dir):
       JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE')
-    SELECT ps_partkey, floor(sum(v) * 100 + 0.5) / 100 AS value
-    FROM nps GROUP BY ps_partkey
-    HAVING sum(v) > (SELECT sum(v) FROM nps) * 0.001
+      WHERE r.r_name = 'EUROPE'),
+    g AS (SELECT ps_partkey, sum(v) AS sv FROM nps GROUP BY ps_partkey)
+    SELECT ps_partkey, floor(sv * 100 + 0.5) / 100 AS value
+    FROM g
+    WHERE floor(sv * 100 + 0.5) / 100
+        > floor((SELECT sum(sv) FROM g) * 0.001 * 100 + 0.5) / 100
     """,
 )
 def q11_important_stock(spark, sf_dir):
@@ -201,7 +203,11 @@ def q11_important_stock(spark, sf_dir):
     HAVING filter; the grouped frame is persisted so the per-part sums
     are computed once, not once for the groups and once for the total
     (total = sum of group sums, aggregated FROM the persisted groups —
-    no second scan)."""
+    no second scan).  Both engines compute the total as a sum of
+    per-group sums (matching summation trees) and both sides of the
+    threshold comparison go through the suite's fround convention, so a
+    group sitting near the strict-float boundary can't flake parity
+    (ADVICE r09)."""
     rsup = _regional_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
     ps = table(spark, sf_dir, "partsupp").df.select(
         "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost"
@@ -214,7 +220,7 @@ def q11_important_stock(spark, sf_dir):
     total = groups.agg(F.sum("__sv").alias("__total"))
     return (
         groups.crossJoin(F.broadcast(total))
-        .where(F.col("__sv") > F.col("__total") * 0.001)
+        .where(fround(F.col("__sv"), 2) > fround(F.col("__total") * 0.001, 2))
         .select("ps_partkey", fround(F.col("__sv"), 2).alias("value"))
     )
 

@@ -65,15 +65,41 @@ def _bench_diff():
     return mod
 
 
+def _bench_guard():
+    spec = importlib.util.spec_from_file_location(
+        "bench_guard", os.path.join(ROOT, "tools", "bench_guard.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_bench_round_gate():
     files = sorted(glob.glob(os.path.join(ROOT, "bench_history", "bench_*_sf0.1.json")))
-    if len(files) < 2:
-        pytest.skip("need two archived full sf0.1 bench runs in bench_history/")
-    old_path, new_path = files[-2], files[-1]
-    with open(old_path) as f:
-        old = json.load(f)
-    with open(new_path) as f:
-        new = json.load(f)
+    # Contaminated archives (bench recorded inside a documented 2.2-2.8x
+    # host-contention window) are quarantined, not diffed: diffing one
+    # produces fake regressions (BENCH_r09, 391s on identical code) or —
+    # as the old side — fake all-clears. Runs self-describe from r10 on;
+    # legacy archives are retro-classified from their in-run reference
+    # medians and budget-truncation shape (tools/bench_guard.py).
+    guard = _bench_guard()
+    calm_refs = guard.load_calm_refs(ROOT)
+    quarantine_notes = []
+    eligible = []
+    for path in files:
+        with open(path) as f:
+            arch = json.load(f)
+        quarantined, reason = guard.classify_archive(arch, calm_refs)
+        if quarantined:
+            quarantine_notes.append(f"quarantined {os.path.basename(path)}: {reason}")
+        else:
+            eligible.append((path, arch))
+    if len(eligible) < 2:
+        if quarantine_notes:
+            with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
+                fh.write("\n".join(quarantine_notes) + "\n")
+        pytest.skip("need two non-quarantined full sf0.1 bench runs in bench_history/")
+    (old_path, old), (new_path, new) = eligible[-2], eligible[-1]
 
     # uniform box drift over the shared queries scales the flag threshold
     oq, nq = old.get("queries", {}), new.get("queries", {})
@@ -84,6 +110,7 @@ def test_bench_round_gate():
 
     result = _bench_diff().compare(old, new, threshold)
     report = [
+        *quarantine_notes,
         f"old: {os.path.basename(old_path)}",
         f"new: {os.path.basename(new_path)}",
         f"uniform drift over {len(shared)} shared queries: {drift:.3f}x "
@@ -155,11 +182,21 @@ def test_bench_round_gate():
             proc, fresh = _fresh_run()
             if not fresh or all(fresh.get(n, -1.0) <= 0 for n in names):
                 # the confirm subprocess couldn't measure anything (no
-                # testdata, broken env): a missing measurement is not a
-                # confirmation — surface it loudly and skip, don't red
+                # testdata, broken env, transient OOM under the same host
+                # contention that caused the flags): a missing measurement
+                # is not a confirmation. A transient failure deserves the
+                # same retry budget as a contaminated window (ADVICE r09);
+                # only a second consecutive failure records UNRESOLVED.
+                if attempt == 1:
+                    report.append(
+                        "fresh-confirm run produced no timings "
+                        f"(rc={proc.returncode}); retrying once like a "
+                        "contaminated window"
+                    )
+                    continue
                 report.append(
                     "fresh-confirm run unavailable (bench subprocess produced no "
-                    f"timings, rc={proc.returncode}); flags above are UNRESOLVED"
+                    f"timings twice, rc={proc.returncode}); flags above are UNRESOLVED"
                 )
                 with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
                     fh.write("\n".join(report) + "\n")
@@ -227,3 +264,69 @@ def test_bench_round_gate():
     with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
         fh.write("\n".join(report) + "\n")
     assert not confirmed, "\n".join(report)
+
+
+def _load_archive(name):
+    path = os.path.join(ROOT, "bench_history", name)
+    if not os.path.exists(path):
+        pytest.skip(f"committed archive {name} absent")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_guard_classifies_committed_archives():
+    """The retro classifier, pinned against the real committed archives:
+    the three calm r09 runs stay eligible, the driver's contaminated 391s
+    run (BENCH_r09) is quarantined on BOTH legacy signals it carries."""
+    guard = _bench_guard()
+    calm = guard.load_calm_refs(ROOT)
+    assert calm.get("refs"), "bench_history/CALM_REFS.json must be committed"
+    for name in (
+        "bench_1786810000_sf0.1.json",
+        "bench_1786818963_sf0.1.json",
+        "bench_1786829021_sf0.1.json",
+    ):
+        quarantined, reason = guard.classify_archive(_load_archive(name), calm)
+        assert not quarantined, f"{name} wrongly quarantined: {reason}"
+    quarantined, reason = guard.classify_archive(
+        _load_archive("bench_1786862137_sf0.1.json"), calm
+    )
+    assert quarantined and "drift" in reason
+    # drop its queries map: the truncation signal alone (168/201 queries
+    # at a single sample) must still quarantine it
+    arch = _load_archive("bench_1786862137_sf0.1.json")
+    arch["queries"] = {}
+    quarantined, reason = guard.classify_archive(arch, calm)
+    assert quarantined and "truncated" in reason
+
+
+def test_guard_trusts_self_description():
+    """An r10+ archive's own contaminated marker wins over every legacy
+    heuristic, in both directions."""
+    guard = _bench_guard()
+    calm = guard.load_calm_refs(ROOT)
+    refs = calm["refs"]
+    hot = {name: t * 3 for name, t in refs.items()}  # looks contaminated
+    assert guard.classify_archive(
+        {"contaminated": False, "queries": hot, "sf": calm["sf"]}, calm
+    ) == (False, None)
+    quarantined, reason = guard.classify_archive(
+        {"contaminated": True, "box_drift_estimate": 2.1, "queries": dict(refs)},
+        calm,
+    )
+    assert quarantined and "self-described" in reason
+
+
+def test_guard_drift_estimate():
+    guard = _bench_guard()
+    calm = {"sf": 0.1, "refs": {"a": 1.0, "b": 2.0, "c": 4.0}}
+    assert guard.drift_estimate({"a": 1.5, "b": 3.0, "c": 6.0}, calm) == 1.5
+    # missing/failed (-1) refs drop out instead of poisoning the median
+    assert guard.drift_estimate({"a": 2.0, "b": -1.0}, calm) == 2.0
+    # no overlap => unknown (None), never "calm"
+    assert guard.drift_estimate({"z": 1.0}, calm) is None
+    assert guard.drift_estimate({}, {}) is None
+    # different-SF legacy archives carry no comparable evidence
+    assert guard.classify_archive(
+        {"sf": 0.01, "queries": {"a": 99.0}}, calm
+    ) == (False, None)

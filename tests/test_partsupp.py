@@ -41,6 +41,7 @@ def partsupp_dir(tmp_path_factory):
             SELECT p_partkey,
                    (p_partkey * 7 + i * 13)
                      % (SELECT count(*) FROM read_parquet('{SF_DIR}/supplier.parquet'))
+                     + 1
             FROM read_parquet('{SF_DIR}/part.parquet'), range(4) t(i)
           )
           SELECT ps_partkey, ps_suppkey,

@@ -4,6 +4,7 @@ counts/values; errors raise.
 """
 
 import pytest
+from hypothesis import given as _given, settings as _settings, strategies as _st
 
 
 @pytest.fixture(scope="module")
@@ -814,3 +815,83 @@ def test_failing_resolver_releases_persisted_cache(service, spark):
             break
         time.sleep(0.1)
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+# --- persist-registry thread stress (VERDICT r09 item 7) ---------------
+# The CacheManager race the r09 _PersistRegistry fixed was found by a
+# fixed 3-document burst one size smaller than this; randomizing the
+# document mix (chained filter->slice levels, shared roots, duplicate
+# plans across threads) probes the interleavings a fixed list can miss.
+
+_STRESS_ROOTS = {
+    "lineitem": ("l_returnflag", ["R", "A", "N"], "l_quantity"),
+    "orders": ("o_orderstatus", ["F", "O", "P"], "o_totalprice"),
+    "customer": ("c_mktsegment", ["BUILDING", "AUTOMOBILE"], "c_acctbal"),
+}
+
+
+def _stress_doc(root, value_i, agg, limit):
+    col, values, num = _STRESS_ROOTS[root]
+    value = values[value_i % len(values)]
+    inner = f"count columns {{ {num} {{ {agg} }} }}"
+    if limit:
+        # a second nesting level with >=2 sub-selections persists BOTH the
+        # filtered plan and the sliced plan — nested acquire/release on
+        # overlapping entries
+        inner += f" slice(limit: {limit}) {{ count columns {{ {num} {{ min }} }} }}"
+    return f'{{ {root} {{ filter({col}: {{eq: ["{value}"]}}) {{ {inner} }} }} }}'
+
+
+@_settings(max_examples=5, deadline=None)
+@_given(
+    docs=_st.lists(
+        _st.builds(
+            _stress_doc,
+            root=_st.sampled_from(sorted(_STRESS_ROOTS)),
+            value_i=_st.integers(0, 2),
+            agg=_st.sampled_from(["sum", "min", "max"]),
+            limit=_st.sampled_from([0, 3, 7]),
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_persist_registry_thread_stress(service, spark, docs):
+    """Randomized concurrent cache-lifecycle stress: 8 threads x 24
+    requests over a random document mix sharing roots (duplicate plans
+    guaranteed by the pigeonhole of 24 tasks over <=8 documents). Every
+    response must equal its serial execution, and once all requests
+    finish no persisted RDD blocks may survive — the refcounted registry
+    must end at zero no matter how acquires/releases interleaved."""
+    import concurrent.futures
+    import time
+
+    jsc = spark.sparkContext._jsc
+
+    def settled_rdd_count():
+        prev, stable = -1, 0
+        for _ in range(60):
+            cur = jsc.getPersistentRDDs().size()
+            stable = stable + 1 if cur == prev else 0
+            if stable >= 3:
+                return cur
+            prev = cur
+            time.sleep(0.1)
+        return prev
+
+    expected = [service.execute(d) for d in docs]
+    baseline = settled_rdd_count()
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cache_manager.isEmpty()
+
+    def run(i):
+        return i % len(docs), service.execute(docs[i % len(docs)])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, range(24)))
+    for qi, data in results:
+        assert data == expected[qi]
+
+    assert settled_rdd_count() <= baseline
+    if was_empty:
+        assert cache_manager.isEmpty()

@@ -1076,3 +1076,138 @@ def test_windowed_rollup_file_sink_replay_idempotent(spark, tmp_path):
     assert after == before
     # and the run emitted real windows (non-vacuous): [0,60)x{a,b} at least
     assert len(before) >= 2
+
+
+def test_interval_join_window_file_sink_replay_idempotent(spark, tmp_path):
+    """Crash-replay exactly-once for the stream-stream interval-join ->
+    tumbling-window chain through the transactional file sink (VERDICT r09
+    item 6 — the one streaming path that had parity fuzzers but no
+    checkpoint-replay proof): clone the checkpoint, drop the newest commit
+    marker, restart — the replayed micro-batch must leave the output
+    byte-identical (the sink's _spark_metadata manifest skips the
+    already-committed batch id; join + window state replays to the same
+    deterministic rows)."""
+    import datetime
+    import os
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # 3 single-file batches per side; the final sentinel pair pushes both
+    # input watermarks to 270 min, so with the join's output watermark
+    # delayed by the 12-minute upper bound the [0,30) window finalizes
+    # with its complete count of 2 pairs: (l@0,r@5) and (l@10,r@15)
+    plan = {
+        "l": [[("a", 0)], [("a", 10)], [("a", 300)]],
+        "r": [[("a", 5)], [("a", 15)], [("a", 300)]],
+    }
+    for side, side_batches in plan.items():
+        src = str(tmp_path / side)
+        os.makedirs(src)
+        seen = set()
+        for b, events in enumerate(side_batches):
+            spark.createDataFrame(
+                [(k, t0 + datetime.timedelta(minutes=m)) for k, m in events],
+                "k string, ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(src)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") and fn not in seen:
+                    seen.add(fn)
+                    os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+    out = str(tmp_path / "out")
+
+    def run(ckpt):
+        left = streaming.read_event_stream(
+            spark, str(tmp_path / "l"), schema="k string, ts timestamp"
+        )
+        right = streaming.read_event_stream(
+            spark, str(tmp_path / "r"), schema="k string, ts timestamp"
+        )
+        joined = streaming.interval_join(
+            left, right, ["k"], upper="12 minutes",
+            watermark="30 minutes", streaming=True,
+        )
+        agg = streaming.tumbling_counts(
+            joined, ts="ts", duration="30 minutes", by=["k"], streaming=False
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt"))
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    clone, replayed = _force_replay(str(tmp_path / "ckpt"))
+    run(clone)
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert replayed >= 1
+    assert after == before
+    # non-vacuous: the finalized [0,30) x 'a' window with its full count
+    assert (t0, "a", 2) in before
+
+
+def test_incremental_dedup_sink_replay_idempotent(spark, tables, tmp_path):
+    """Crash-replay for the streaming ingest-dedup topology: the sink
+    documents its idempotence contract (batch_id-partitioned dynamic
+    overwrite; dedup probes only strictly-earlier partitions) — prove it
+    under an actual checkpoint replay. Replaying the final micro-batch
+    must (1) not double-append its index rows, (2) not fabricate
+    self-match jaccard=1.0 dup pairs from its own already-written index
+    partition, and (3) leave both outputs identical."""
+    import os
+
+    docs = tables["documents"].df.select("doc_id", "text")
+    src = str(tmp_path / "src")
+    seen = set()
+    for b, split in enumerate(
+        [docs.filter(F.col("doc_id") < 30),
+         docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+         docs.filter(F.col("doc_id") >= 60)]
+    ):
+        split.coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet") and fn not in seen:
+                seen.add(fn)
+                os.utime(os.path.join(src, fn), (1_000_000 + b, 1_000_000 + b))
+
+    def run(ckpt):
+        stream = streaming.read_event_stream(
+            spark, src, schema="doc_id bigint, text string", max_files_per_trigger=1
+        )
+        q = streaming.incremental_dedup_sink(
+            stream,
+            index_dest=str(tmp_path / "index"),
+            dups_dest=str(tmp_path / "dups"),
+            checkpoint=ckpt,
+            min_jaccard=0.0,
+            available_now=True,
+        )
+        assert q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt"))
+    index_before = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "index")).select("id", "batch_id").collect()
+    )
+    dups_before = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    )
+    clone, replayed = _force_replay(str(tmp_path / "ckpt"))
+    run(clone)
+    index_after = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "index")).select("id", "batch_id").collect()
+    )
+    dups_after = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    )
+    assert replayed >= 1
+    assert index_after == index_before
+    assert dups_after == dups_before
+    # non-vacuous: every doc indexed exactly once, and the replayed run
+    # actually produced cross-batch dup pairs to get wrong
+    assert len(index_after) == docs.count()
+    assert dups_before
+    # no self-matches fabricated from a replayed batch's own partition
+    assert all(r[0] != r[1] for r in dups_after)

@@ -779,7 +779,13 @@ def main() -> None:
     report = {}
     for name, fn in probes.items():
         if warm:
+            # warm BOTH plan families: probes that switch fixture
+            # construction by multiplier (e.g. tpch_q9_partsupp: union at
+            # <=16x vs explode above) would otherwise run the Nx leg
+            # against a cold plan/codegen family — the exact first-plan
+            # bias --warm exists to remove (ADVICE r09)
             fn(1).write.mode("overwrite").format("noop").save()
+            fn(times).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(1).write.mode("overwrite").format("noop").save()
         t1 = time.perf_counter() - t0

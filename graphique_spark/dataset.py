@@ -41,9 +41,22 @@ class Dataset:
         self.partitioning = tuple(partitioning)
         #: root source class name (reference ``type``, interface.py:117-121)
         self.source_type = source_type
+        #: SQL rendering state (sqlrender.py): the FROM-clause identifier of
+        #: the root plus the lazy operator log. ``None`` = not renderable;
+        #: sources and the service set ``_source`` on roots.
+        self._source: str | None = None
+        self._ops: tuple[tuple, ...] | None = None
 
-    def _wrap(self, df: DataFrame) -> "Dataset":
-        return Dataset(df, self.roots, self.partitioning, self.source_type)
+    def _wrap(self, df: DataFrame, op: tuple | None = None) -> "Dataset":
+        """New Dataset over ``df``. ``op`` is this step's SQL-render log
+        entry ``(name, input_df, kwargs)`` — omitted for operators with no
+        SQL-text equivalent, which invalidates the chain so ``to_sql``
+        falls back to the plan dump."""
+        out = Dataset(df, self.roots, self.partitioning, self.source_type)
+        if op is not None and self._ops is not None and self._source is not None:
+            out._source = self._source
+            out._ops = self._ops + (op,) if op[0] != "noop" else self._ops
+        return out
 
     def _resolve(self, other: "Dataset | DataFrame | str") -> DataFrame:
         if isinstance(other, str):
@@ -51,6 +64,13 @@ class Dataset:
         if isinstance(other, Dataset):
             return other.df
         return other
+
+    def _resolve_ds(self, other: "Dataset | DataFrame | str") -> "Dataset | None":
+        """The Dataset behind ``other`` for SQL-render logging, or None for
+        a bare DataFrame (whose chain isn't renderable)."""
+        if isinstance(other, str):
+            return self.roots.get(other)
+        return other if isinstance(other, Dataset) else None
 
     # -- reflection ---------------------------------------------------------
 
@@ -62,9 +82,21 @@ class Dataset:
         return list(self.df.columns)
 
     def to_sql(self) -> str:
-        """Render the current plan as SQL-ish text (reference ``toSql``,
-        interface.py:109-115): the optimized logical plan, which *is* the
-        engine's IR."""
+        """Executable Spark SQL for the recorded operator chain (reference
+        ``toSql``, interface.py:109-115, which compiles to dialect SQL via
+        ibis/SQLGlot): ``spark.sql(ds.to_sql())`` reproduces ``ds.df``.
+        Parquet roots render standalone (``parquet.`/path```); named roots
+        render as table identifiers the session must resolve (catalog
+        tables or registered temp views). Chains containing an operator
+        with no SQL-text equivalent (asofJoin, take, runs...) fall back to
+        the optimized logical plan dump."""
+        from graphique_spark import sqlrender
+
+        if self._source is not None and self._ops is not None:
+            try:
+                return sqlrender.render(self)
+            except sqlrender.Unrenderable:
+                pass
         return self.df._jdf.queryExecution().optimizedPlan().toString()
 
     def explain(self, mode: str = "formatted") -> str:
@@ -108,12 +140,17 @@ class Dataset:
     # -- projection / filtering ---------------------------------------------
 
     def select(self, *columns: str | Column) -> "Dataset":
-        return self._wrap(self.df.select(*columns))
+        out = self.df.select(*columns)
+        # out_df, not out.columns: reading .columns here would force plan
+        # analysis on every select; the renderer reads it lazily
+        op = ("select", self.df, {"cols": list(columns), "out_df": out})
+        return self._wrap(out, op)
 
     def project(self, columns: Mapping[str, Column]) -> "Dataset":
         """Add/replace columns by expression (reference ``project``,
         interface.py:455-462)."""
-        return self._wrap(self.df.withColumns(dict(columns)))
+        cols = dict(columns)
+        return self._wrap(self.df.withColumns(cols), ("project", self.df, {"cols": cols}))
 
     def filter(self, where: Column | None = None, **filters: Filter | dict) -> "Dataset":
         """Typed per-column predicates AND-ed with an expression filter
@@ -122,7 +159,8 @@ class Dataset:
             name: flt if isinstance(flt, Filter) else Filter(**flt)
             for name, flt in filters.items()
         }
-        return self._wrap(self.df.filter(combine_filters(typed, where)))
+        pred = combine_filters(typed, where)
+        return self._wrap(self.df.filter(pred), ("filter", self.df, {"pred": pred}))
 
     def cast(self, schema: Mapping[str, str], try_: bool = False) -> "Dataset":
         """Cast columns; ``try_`` yields null on failure (reference
@@ -131,7 +169,7 @@ class Dataset:
             name: (F.col(name).try_cast(typ) if try_ else F.col(name).cast(typ))
             for name, typ in schema.items()
         }
-        return self._wrap(self.df.withColumns(cols))
+        return self._wrap(self.df.withColumns(cols), ("project", self.df, {"cols": cols}))
 
     def column(self, name: str, index: int | Sequence[int] | None = None) -> Column:
         """Column of any type by (nested, dotted) name; optional index(es)
@@ -144,10 +182,13 @@ class Dataset:
         return col
 
     def fill_null(self, value: Any, subset: Sequence[str] | None = None) -> "Dataset":
-        return self._wrap(self.df.na.fill(value, subset=list(subset) if subset else None))
+        out = self.df.na.fill(value, subset=list(subset) if subset else None)
+        return self._wrap(out, ("fill", self.df, {"out_df": out}))
 
     def drop_null(self, subset: Sequence[str] | None = None, how: str = "any") -> "Dataset":
-        return self._wrap(self.df.na.drop(how=how, subset=list(subset) if subset else None))
+        out = self.df.na.drop(how=how, subset=list(subset) if subset else None)
+        op = ("dropnull", self.df, {"subset": list(subset) if subset else None, "how": how})
+        return self._wrap(out, op)
 
     # -- aggregation ----------------------------------------------------------
 
@@ -171,6 +212,16 @@ class Dataset:
         grouping an untransformed parquet root by partition keys only, with
         no aggregates, answers from directory names + parquet footers —
         zero data pages read."""
+        aggs = [agg.to_column() for agg in aggregate]
+        if counts:
+            aggs.append(F.count(F.lit(1)).alias(counts))
+        # SQL-render log: `order` (first-seen row numbers) depends on scan
+        # row order, which SQL text can't express — it breaks the chain
+        op = (
+            ("group", self.df, {"by": list(by), "aggcols": list(aggs), "kind": "group"})
+            if order is None
+            else None
+        )
         path = getattr(self, "path", None)
         if (
             path
@@ -179,19 +230,21 @@ class Dataset:
             and order is None
             and set(by) <= set(self.partitioning)
         ):
-            return self._metadata_groups(path, list(by), counts)
-        aggs = [agg.to_column() for agg in aggregate]
-        if counts:
-            aggs.append(F.count(F.lit(1)).alias(counts))
+            out = self._metadata_groups(path, list(by), counts)
+            # the metadata fast path answers the same logical GROUP BY
+            out._source, out._ops = self._source, (
+                self._ops + (op,) if self._ops is not None and self._source else None
+            )
+            return out
         df = self.df
         if order:
             df = with_row_index(df, order)
             aggs.append(F.min(order).alias(order))
         if not aggs:  # distinct key combinations
-            return self._wrap(df.select(*by).distinct())
+            return self._wrap(df.select(*by).distinct(), op)
         grouped = df.groupBy(*by) if by else df.groupBy()
         out = grouped.agg(*aggs)
-        return self._wrap(out.orderBy(order) if order else out)
+        return self._wrap(out.orderBy(order) if order else out, op)
 
     def _metadata_groups(self, path: str, by: list[str], counts: str | None) -> "Dataset":
         """Distinct partition-key groups (and sizes) from hive directory
@@ -225,14 +278,16 @@ class Dataset:
         aggs = [agg.to_column() for agg in aggregate]
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
-        return self._wrap(self.df.rollup(*by).agg(*aggs))
+        op = ("group", self.df, {"by": list(by), "aggcols": list(aggs), "kind": "rollup"})
+        return self._wrap(self.df.rollup(*by).agg(*aggs), op)
 
     def cube(self, by: Sequence[str], aggregate: Sequence[Agg] = (), counts: str | None = None) -> "Dataset":
         """All grouping-set combinations of ``by`` (beyond the reference)."""
         aggs = [agg.to_column() for agg in aggregate]
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
-        return self._wrap(self.df.cube(*by).agg(*aggs))
+        op = ("group", self.df, {"by": list(by), "aggcols": list(aggs), "kind": "cube"})
+        return self._wrap(self.df.cube(*by).agg(*aggs), op)
 
     def distinct(
         self,
@@ -246,6 +301,11 @@ class Dataset:
         arbitrary-but-deterministic via a stable tiebreak), None = drop *all*
         duplicated rows."""
         on = list(on) or self.column_names()
+        op = (
+            "distinct",
+            self.df,
+            {"on": on, "keep": keep, "counts": counts, "order_by": list(order_by)},
+        )
         if keep is None:
             # window count, not groupBy+semi-join: a plain equi semi join
             # never matches NULL key values, silently dropping null-keyed
@@ -253,7 +313,7 @@ class Dataset:
             # the window is one shuffle where the join shape costs two
             w_n = Window.partitionBy(*on)
             out = self.df.withColumn("__n", F.count(F.lit(1)).over(w_n))
-            return self._wrap(out.filter(F.col("__n") == 1).drop("__n"))
+            return self._wrap(out.filter(F.col("__n") == 1).drop("__n"), op)
         keys = sort_keys(order_by) if order_by else [F.monotonically_increasing_id()]
         if keep == "last":
             # reverse each key's direction by flipping its '-' prefix --
@@ -266,7 +326,7 @@ class Dataset:
         out = self.df.withColumn("__rn", F.row_number().over(w))
         if counts:
             out = out.withColumn(counts, F.count(F.lit(1)).over(Window.partitionBy(*on)))
-        return self._wrap(out.filter(F.col("__rn") == 1).drop("__rn"))
+        return self._wrap(out.filter(F.col("__rn") == 1).drop("__rn"), op)
 
     def runs(
         self,
@@ -380,18 +440,20 @@ class Dataset:
         return reader.parquet(*chosen).select(*self.df.columns)
 
     def order(self, by: Sequence[str], limit: int | None = None, over: Sequence[str] = ()) -> "Dataset":
+        op = ("order", self.df, {"by": list(by), "limit": limit, "over": list(over)})
         if limit is not None and not over:
             pruned = self._fragment_prune(by, limit=limit)
             if pruned is not None:
-                return self._wrap(top_k(pruned, by, limit, over))
-        return self._wrap(top_k(self.df, by, limit, over))
+                return self._wrap(top_k(pruned, by, limit, over), op)
+        return self._wrap(top_k(self.df, by, limit, over), op)
 
     def first(self, by: Sequence[str], rank: int = 1, dense: bool = False, over: Sequence[str] = ()) -> "Dataset":
+        op = ("first", self.df, {"by": list(by), "rank": rank, "dense": dense, "over": list(over)})
         if not over:
             pruned = self._fragment_prune(by, rank=rank, dense=dense)
             if pruned is not None:
-                return self._wrap(rank_filter(pruned, by, rank, dense, over))
-        return self._wrap(rank_filter(self.df, by, rank, dense, over))
+                return self._wrap(rank_filter(pruned, by, rank, dense, over), op)
+        return self._wrap(rank_filter(self.df, by, rank, dense, over), op)
 
     def slice(self, offset: int = 0, limit: int | None = None) -> "Dataset":
         """Contiguous rows in current order; negative offset = from the end
@@ -399,8 +461,9 @@ class Dataset:
         if offset < 0:
             total = self.df.count()
             offset = max(total + offset, 0)
+        op = ("slice", self.df, {"offset": offset, "limit": limit})
         df = self.df.offset(offset) if offset else self.df
-        return self._wrap(df.limit(limit) if limit is not None else df)
+        return self._wrap(df.limit(limit) if limit is not None else df, op)
 
     def take(self, indices: Sequence[int], rowid: str = "_rowid") -> "Dataset":
         """Rows by position with pyarrow ``take`` semantics (reference
@@ -465,7 +528,25 @@ class Dataset:
                 cond = piece if cond is None else cond & piece
         if broadcast:
             rdf = F.broadcast(rdf)
-        return self._wrap(ldf.join(rdf, on=cond, how=how))
+        robj = self._resolve_ds(right)
+        op = (
+            (
+                "join",
+                self.df,
+                {
+                    "right": robj,
+                    "keys": list(keys),
+                    "rkeys": rkeys,
+                    "how": how,
+                    "lmap": lmap,
+                    "rmap": rmap,
+                    "broadcast": broadcast,
+                },
+            )
+            if robj is not None
+            else None
+        )
+        return self._wrap(ldf.join(rdf, on=cond, how=how), op)
 
     def asof_join(self, right: "Dataset | DataFrame | str", on: str, **kwargs) -> "Dataset":
         return self._wrap(asof_join(self.df, self._resolve(right), on, **kwargs))
@@ -474,7 +555,11 @@ class Dataset:
         df = self.df
         for right in rights:
             df = df.crossJoin(self._resolve(right))
-        return self._wrap(df)
+        rlist = [self._resolve_ds(r) for r in rights]
+        op = (
+            ("cross", self.df, {"rights": rlist}) if all(r is not None for r in rlist) else None
+        )
+        return self._wrap(df, op)
 
     def take_from(self, indices_col: str, source: "Dataset | DataFrame | str", rowid: str = "_rowid") -> "Dataset":
         """Use an integer column as row indices into another root (reference
@@ -492,15 +577,33 @@ class Dataset:
         df = self.df
         for other in others:
             df = df.unionByName(self._resolve(other))
-        return self._wrap(df.distinct() if distinct else df)
+        rlist = [self._resolve_ds(o) for o in others]
+        op = (
+            ("union", self.df, {"rights": rlist, "distinct": distinct})
+            if all(r is not None for r in rlist)
+            else None
+        )
+        return self._wrap(df.distinct() if distinct else df, op)
 
     def intersect(self, other: "Dataset | DataFrame | str", distinct: bool = True) -> "Dataset":
         rdf = self._resolve(other)
-        return self._wrap(self.df.intersect(rdf) if distinct else self.df.intersectAll(rdf))
+        robj = self._resolve_ds(other)
+        op = (
+            ("setop", self.df, {"right": robj, "op": "intersect", "distinct": distinct})
+            if robj is not None
+            else None
+        )
+        return self._wrap(self.df.intersect(rdf) if distinct else self.df.intersectAll(rdf), op)
 
     def difference(self, other: "Dataset | DataFrame | str", distinct: bool = True) -> "Dataset":
         rdf = self._resolve(other)
-        return self._wrap(self.df.subtract(rdf) if distinct else self.df.exceptAll(rdf))
+        robj = self._resolve_ds(other)
+        op = (
+            ("setop", self.df, {"right": robj, "op": "difference", "distinct": distinct})
+            if robj is not None
+            else None
+        )
+        return self._wrap(self.df.subtract(rdf) if distinct else self.df.exceptAll(rdf), op)
 
     # -- reshaping -------------------------------------------------------------------
 
@@ -515,7 +618,8 @@ class Dataset:
         else:
             fn = F.explode_outer if keep_empty else F.explode
             out = self.df.select(*others, fn(name).alias(name))
-        return self._wrap(out)
+        op = ("unnest", self.df, {"name": name, "offset": offset, "keep_empty": keep_empty})
+        return self._wrap(out, op)
 
     def unpack(self, *names: str) -> "Dataset":
         """Flatten struct columns to top level (reference interface.py:324-327)."""
@@ -525,7 +629,9 @@ class Dataset:
                 cols.append(F.col(c + ".*"))
             else:
                 cols.append(c)
-        return self._wrap(self.df.select(*cols))
+        return self._wrap(
+            self.df.select(*cols), ("unpack", self.df, {"names": list(names)})
+        )
 
     # -- caching (reference resolve()/.cache(), interface.py:83-91) -------------------
 
@@ -533,8 +639,10 @@ class Dataset:
         """Minimal-select then persist, the reference's sibling-field reuse
         trick: prune to the referenced columns *before* materializing so the
         cache holds only what downstream fields read."""
-        df = self.df.select(*columns) if columns else self.df
-        return self._wrap(df.persist(StorageLevel.MEMORY_AND_DISK))
+        base = self.select(*columns) if columns else self
+        return base._wrap(
+            base.df.persist(StorageLevel.MEMORY_AND_DISK), ("noop", base.df, {})
+        )
 
     def unpersist(self) -> "Dataset":
         self.df.unpersist()
@@ -544,7 +652,8 @@ class Dataset:
 
     def sql(self, query: str, alias: str = "self") -> "Dataset":
         self.df.createOrReplaceTempView(alias)
-        return self._wrap(self.df.sparkSession.sql(query))
+        op = ("sql", self.df, {"query": query, "alias": alias})
+        return self._wrap(self.df.sparkSession.sql(query), op)
 
     # -- data-engineering conveniences (beyond the reference surface) -----------------
 

@@ -138,10 +138,13 @@ class Agg:
         dirs = [key.startswith("-") for key in keys]
         cols = [F.col(key.lstrip("-")) for key in keys]
         raw = F.col(self.name) if self.name else F.lit(1)
-        packed = F.struct(
-            *[k.alias(f"_k{i}") for i, k in enumerate(cols)],
-            raw.alias("_v"),
-        )
+        # named_struct, not struct(alias(...)): identical semantics, but
+        # CreateNamedStruct built from aliases prints `struct(a, b)` in its
+        # .sql() rendering — dropping the field names `to_sql` needs
+        packed_args: list[Column] = []
+        for i, k in enumerate(cols):
+            packed_args += [F.lit(f"_k{i}"), k]
+        packed = F.named_struct(*packed_args, F.lit("_v"), raw)
         if self.where is not None:
             packed = F.when(self.where, packed)
         collected = F.collect_list(packed)

@@ -102,8 +102,16 @@ class GraphQLService:
         self.roots = {
             name: ds if isinstance(ds, Dataset) else Dataset(ds) for name, ds in roots.items()
         }
-        for ds in self.roots.values():  # join/union targets resolve by name
+        for name, ds in self.roots.items():  # join/union targets resolve by name
             ds.roots.update(self.roots)
+            if ds._source is None:
+                # toSql rendering: a root with no recorded origin (a bare
+                # DataFrame) renders as its root name — runnable once the
+                # caller registers a matching temp view / catalog table
+                from graphique_spark import sqlrender
+
+                ds._source = sqlrender.table_ref(name)
+                ds._ops = ()
         self.allow_sql = allow_sql
         self._persist_registry = _PersistRegistry()
         self.schema: GraphQLSchema = SchemaBuilder(self.roots, keys=keys).build()

@@ -29,6 +29,13 @@ class _Info:
 def compile_query(service, query: str, allow_sql: bool | None = None) -> DataFrame:
     """Compile the first linear table-field chain of ``query`` to a lazy
     DataFrame (no jobs run, nothing is persisted)."""
+    return compile_dataset(service, query, allow_sql).df
+
+
+def compile_dataset(service, query: str, allow_sql: bool | None = None) -> Dataset:
+    """Like :func:`compile_query` but returns the ``Dataset``, whose
+    ``to_sql()`` renders the chain as executable Spark SQL (the reference's
+    ``toSql``, interface.py:109-115)."""
     doc = parse(query)
     operation = doc.definitions[0]
     selections = operation.selection_set.selections
@@ -64,7 +71,7 @@ def compile_query(service, query: str, allow_sql: bool | None = None) -> DataFra
                     nxt = (child, field)
                     break
             if nxt is None:
-                return ds.df
+                return ds
             node, field = nxt
             args = get_argument_values(field, node, {})
             out = field.resolve(ds, _Info(node, context), **args)

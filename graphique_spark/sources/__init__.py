@@ -48,7 +48,8 @@ def read_parquet(
     are discovered and pruned automatically by Catalyst."""
     import os
 
-    df = spark.read.parquet(path)
+    base = spark.read.parquet(path)
+    df = base
     # the metadata fast paths walk with os.* — a glob pattern or a path
     # resolved against a non-local default FS is readable by Spark but
     # not walkable, so count()/group() would crash instead of scanning
@@ -59,6 +60,16 @@ def read_parquet(
     elif columns:
         df = df.select(*columns)
     ds = Dataset(df, partitioning=partitioning, source_type="ParquetDataset")
+    # SQL-render root (dataset.to_sql): a path-based parquet scan is
+    # standalone-runnable SQL; the startup projection/rename becomes the
+    # base SELECT list
+    ds._source = "parquet.`" + path.replace("`", "``") + "`"
+    if isinstance(columns, Mapping):
+        ds._ops = (("select", base, {"cols": list(columns.values()), "out_df": df}),)
+    elif columns:
+        ds._ops = (("select", base, {"cols": list(columns), "out_df": df}),)
+    else:
+        ds._ops = ()
     if local and not columns:
         # untransformed local root: remember the path so metadata-only fast
         # paths (count, group-by-partition-keys) can read parquet footers
@@ -127,7 +138,12 @@ def partition_file_counts(
 
 def read_table(spark: SparkSession, name: str) -> Dataset:
     """Root at a catalog table (the ibis-backend analog)."""
-    return Dataset(spark.table(name), source_type="Table")
+    from graphique_spark import sqlrender
+
+    ds = Dataset(spark.table(name), source_type="Table")
+    ds._source = sqlrender.table_ref(name)
+    ds._ops = ()
+    return ds
 
 
 def read_source(
@@ -177,11 +193,18 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> Dataset:
 def roots(tables: Mapping[str, Dataset | DataFrame]) -> dict[str, Dataset]:
     """Bind multiple named roots so each can reference the others as join
     targets (reference ``Query`` class roots, middleware.py:68-90)."""
+    from graphique_spark import sqlrender
+
     out = {
         name: t if isinstance(t, Dataset) else Dataset(t) for name, t in tables.items()
     }
-    for dataset in out.values():
+    for name, dataset in out.items():
         dataset.roots = out
+        if dataset._source is None:
+            # toSql root: render as the root name (the caller registers a
+            # matching temp view / catalog table to run the SQL)
+            dataset._source = sqlrender.table_ref(name)
+            dataset._ops = ()
     return out
 
 

@@ -1,0 +1,542 @@
+"""Render a ``Dataset``'s recorded operator chain as executable Spark SQL.
+
+The reference's ``toSql`` returns runnable, dialect-aware SQL text compiled
+from the current expression chain (reference interface.py:109-115 via
+ibis/SQLGlot). The Spark-first equivalent here: every supported ``Dataset``
+operator records a lazy log entry (the operator name, its *input* DataFrame,
+and its arguments — see ``dataset.py``); ``render`` folds that log into one
+SQL statement of nested SELECT blocks that ``spark.sql`` re-executes with
+identical semantics.
+
+Expression fidelity comes from Catalyst itself, not a hand-written
+expression grammar: each ``pyspark.sql.Column`` is analyzed against its
+input frame (``df.select(col.alias(tag))``) and the *resolved* expression's
+``.sql()`` rendering is extracted from the analyzed plan — so arithmetic,
+CASE, window frames, casts and typed literals all round-trip exactly as
+Catalyst prints them. Higher-order-function lambdas are the one construct
+whose Catalyst rendering (``lambdafunction(...)/namedlambdavariable()``)
+does not re-parse; single-variable lambdas are rewritten to arrow syntax,
+anything ambiguous raises :class:`Unrenderable` and ``Dataset.to_sql``
+falls back to the optimized-plan dump.
+
+Runnability contract: parquet roots render as ``parquet.`/path``` scans
+(standalone); named roots render as their table identifier, which must
+resolve in the session (a catalog table or a registered temp view).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+
+
+class Unrenderable(Exception):
+    """The operator chain contains a step with no SQL-text equivalent."""
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_counter = itertools.count()
+
+
+def quote(name: str) -> str:
+    if _IDENT.match(name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
+def table_ref(name: str) -> str:
+    """Quote a possibly-dotted catalog identifier part by part."""
+    return ".".join(quote(part) for part in name.split("."))
+
+
+# -- expression rendering ----------------------------------------------------
+
+
+def _walk_alias(jplan, tag: str) -> str | None:
+    """Find the Alias named ``tag`` anywhere in the analyzed plan tree and
+    return its child expression's SQL. Window expressions get extracted
+    into their own plan node during analysis, so the whole tree is walked,
+    not just the top projection."""
+    exprs = jplan.expressions()
+    for i in range(exprs.size()):
+        e = exprs.apply(i)
+        if e.getClass().getSimpleName() == "Alias" and e.name() == tag:
+            return e.child().sql()
+    children = jplan.children()
+    for i in range(children.size()):
+        found = _walk_alias(children.apply(i), tag)
+        if found is not None:
+            return found
+    return None
+
+
+#: Catalyst's ``array_sort(x)`` resolves the implicit default comparator to
+#: an explicit two-variable lambda whose rendering is this exact constant
+#: (type-independent). Stripping it restores the one-argument form.
+_DEFAULT_CMP = (
+    "lambdafunction((IF(((namedlambdavariable() IS NULL) AND "
+    "(namedlambdavariable() IS NULL)), 0, (IF((namedlambdavariable() IS NULL), 1, "
+    "(IF((namedlambdavariable() IS NULL), -1, (IF((namedlambdavariable() < "
+    "namedlambdavariable()), -1, (IF((namedlambdavariable() > "
+    "namedlambdavariable()), 1, 0)))))))))), namedlambdavariable(), "
+    "namedlambdavariable())"
+)
+
+
+def _fix_lambdas(sql: str) -> str:
+    """Rewrite Catalyst's resolved lambda rendering to parseable arrow
+    syntax: ``lambdafunction(BODY, namedlambdavariable())`` → ``x -> BODY``.
+
+    Only unambiguous cases are rewritten: a single lambda variable and no
+    nested lambda (nested bodies can capture the outer variable, and every
+    occurrence prints identically, so substitution would guess)."""
+    out = sql.replace(", " + _DEFAULT_CMP + ")", ")")
+    n = 0
+    while True:
+        start = out.find("lambdafunction(")
+        if start < 0:
+            break
+        # find the matching close paren
+        depth = 0
+        i = start + len("lambdafunction(") - 1
+        args_start = i + 1
+        splits = []
+        end = None
+        while i < len(out):
+            ch = out[i]
+            if ch == "'":  # skip string literals
+                i = out.index("'", i + 1)
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            elif ch == "," and depth == 1:
+                splits.append(i)
+            i += 1
+        if end is None:
+            raise Unrenderable("unbalanced lambdafunction rendering")
+        parts, prev = [], args_start
+        for s in splits:
+            parts.append(out[prev:s])
+            prev = s + 2  # skip ", "
+        parts.append(out[prev:end])
+        body, variables = parts[0], parts[1:]
+        if len(variables) != 1 or "lambdafunction(" in body:
+            raise Unrenderable("ambiguous multi-variable or nested lambda")
+        var = f"__lv{n}"
+        n += 1
+        body = body.replace("namedlambdavariable()", var)
+        out = out[:start] + f"{var} -> {body}" + out[end + 1 :]
+    if "namedlambdavariable" in out:
+        raise Unrenderable("stray lambda variable")
+    return out
+
+
+def expr_sql(df: DataFrame, col: Column) -> str:
+    """Resolved SQL text of ``col`` evaluated against ``df``."""
+    tag = f"__sqlx{next(_counter)}"
+    try:
+        plan = df.select(col.alias(tag))._jdf.queryExecution().analyzed()
+    except Exception as exc:  # unresolvable against this frame
+        raise Unrenderable(str(exc)) from exc
+    sql = _walk_alias(plan, tag)
+    if sql is None:
+        raise Unrenderable("alias not found in analyzed plan")
+    return _fix_lambdas(sql)
+
+
+def agg_sqls(df: DataFrame, aggcols: Sequence[Column]) -> list[tuple[str, str]]:
+    """Resolved ``(name, sql)`` for pre-aliased aggregate Columns, analyzed
+    in a (global) grouped context so aggregate functions resolve."""
+    try:
+        plan = df.groupBy().agg(*aggcols)._jdf.queryExecution().analyzed()
+    except Exception as exc:
+        raise Unrenderable(str(exc)) from exc
+    # the analyzed top node is the Aggregate holding our aliases
+    out: list[tuple[str, str]] = []
+    node = plan
+    while node.getClass().getSimpleName() != "Aggregate":
+        children = node.children()
+        if children.size() != 1:
+            raise Unrenderable("unexpected aggregate plan shape")
+        node = children.apply(0)
+    exprs = node.aggregateExpressions()
+    for i in range(exprs.size()):
+        e = exprs.apply(i)
+        if e.getClass().getSimpleName() == "Alias":
+            out.append((e.name(), _fix_lambdas(e.child().sql())))
+    if len(out) != len(aggcols):
+        raise Unrenderable("aggregate alias extraction mismatch")
+    return out
+
+
+def sort_item(key: str) -> str:
+    """'-'-prefixed sort key → SQL ORDER BY item (matches
+    ``operators.topk.sort_keys`` direction semantics)."""
+    if key.startswith("-"):
+        return f"{quote(key[1:])} DESC"
+    return quote(key)
+
+
+# -- SELECT-block composition -------------------------------------------------
+
+
+class _Block:
+    """One SELECT block being assembled; operators fold into free clause
+    slots when SQL evaluation order matches the operator order, otherwise
+    the block is wrapped as a subquery first."""
+
+    def __init__(self, source: str, select: list[str] | None = None):
+        self.source = source
+        self.select: list[str] | None = select  # None = *
+        self.where: list[str] = []
+        self.group_by: str | None = None
+        self.distinct = False
+        self.order_by: list[str] = []
+        self.limit: int | None = None
+        self.offset: int = 0
+
+    @property
+    def plain(self) -> bool:
+        """Only FROM/WHERE used — safe to fold a projection or grouping in."""
+        return (
+            self.select is None
+            and self.group_by is None
+            and not self.distinct
+            and not self.order_by
+            and self.limit is None
+            and not self.offset
+        )
+
+    def render(self) -> str:
+        head = "SELECT DISTINCT " if self.distinct else "SELECT "
+        sql = head + (", ".join(self.select) if self.select is not None else "*")
+        sql += f"\nFROM {self.source}"
+        if self.where:
+            sql += "\nWHERE " + " AND ".join(f"({w})" for w in self.where)
+        if self.group_by is not None:
+            sql += "\nGROUP BY " + self.group_by
+        if self.order_by:
+            sql += "\nORDER BY " + ", ".join(self.order_by)
+        if self.limit is not None:
+            sql += f"\nLIMIT {self.limit}"
+        if self.offset:
+            sql += f"\nOFFSET {self.offset}"
+        return sql
+
+
+class _Renderer:
+    def __init__(self):
+        self.n = 0
+
+    def _sub(self, text: str) -> str:
+        return self._named_sub(text)[0]
+
+    def _named_sub(self, text: str) -> tuple[str, str]:
+        self.n += 1
+        alias = f"__s{self.n}"
+        indented = "\n".join("  " + line for line in text.splitlines())
+        return f"(\n{indented}\n) AS {alias}", alias
+
+    def wrap(self, block: _Block) -> _Block:
+        return _Block(self._sub(block.render()))
+
+    def render_dataset(self, ds) -> str:
+        if getattr(ds, "_source", None) is None or getattr(ds, "_ops", None) is None:
+            raise Unrenderable("dataset has no recorded SQL chain")
+        block = _Block(ds._source)
+        for name, df, kw in ds._ops:
+            block = getattr(self, f"op_{name}")(block, df, **kw)
+        return block.render()
+
+    # -- operator renderers -------------------------------------------------
+
+    def op_noop(self, block, df):
+        return block
+
+    def op_filter(self, block, df, pred: Column):
+        if not block.plain:
+            block = self.wrap(block)
+        block.where.append(expr_sql(df, pred))
+        return block
+
+    def op_select(self, block, df, cols: Sequence[Any], out_df: DataFrame):
+        if not block.plain or block.where:
+            # a projection can drop/rename columns the pending WHERE reads;
+            # keep evaluation order explicit
+            block = self.wrap(block)
+        items = []
+        for c, name in zip(cols, out_df.columns):
+            if isinstance(c, str):
+                items.append(quote(c) if c == name else f"{quote(c)} AS {quote(name)}")
+            else:
+                items.append(f"{expr_sql(df, c)} AS {quote(name)}")
+        block.select = items
+        return block
+
+    def op_project(self, block, df, cols: dict[str, Column]):
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        existing = df.columns
+        items = []
+        for c in existing:
+            if c in cols:
+                items.append(f"{expr_sql(df, cols[c])} AS {quote(c)}")
+            else:
+                items.append(quote(c))
+        for name, col in cols.items():
+            if name not in existing:
+                items.append(f"{expr_sql(df, col)} AS {quote(name)}")
+        block.select = items
+        return block
+
+    def op_dropnull(self, block, df, subset, how: str):
+        if not block.plain:
+            block = self.wrap(block)
+        cols = list(subset) if subset else df.columns
+        conds = [f"{quote(c)} IS NOT NULL" for c in cols]
+        joiner = " AND " if how == "any" else " OR "
+        block.where.append(joiner.join(conds))
+        return block
+
+    def op_fill(self, block, df, out_df: DataFrame):
+        """``na.fill``'s affected-column logic lives inside Spark; read the
+        coalesce projection it built from the analyzed result plan instead
+        of re-deriving the dtype rules."""
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        plan = out_df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "Project":
+            raise Unrenderable("na.fill did not produce a single projection")
+        items = []
+        exprs = plan.projectList()
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            cls = e.getClass().getSimpleName()
+            if cls == "Alias":
+                items.append(f"{_fix_lambdas(e.child().sql())} AS {quote(e.name())}")
+            elif cls == "AttributeReference":
+                items.append(quote(e.name()))
+            else:
+                raise Unrenderable(f"unexpected projection item {cls}")
+        block.select = items
+        return block
+
+    def op_group(
+        self, block, df, by: Sequence[str], aggcols: Sequence[Column], kind: str = "group"
+    ):
+        if not block.plain:
+            block = self.wrap(block)
+        keys = [quote(b) for b in by]
+        if not aggcols and kind == "group":  # distinct key combinations
+            block.select = keys
+            block.distinct = True
+            return block
+        aggs = [f"{sql} AS {quote(name)}" for name, sql in agg_sqls(df, aggcols)]
+        block.select = keys + aggs
+        if kind == "rollup":
+            block.group_by = f"ROLLUP({', '.join(keys)})"
+        elif kind == "cube":
+            block.group_by = f"CUBE({', '.join(keys)})"
+        elif by:
+            block.group_by = ", ".join(keys)
+        else:
+            block.select = aggs  # global aggregation: no keys, no GROUP BY
+        return block
+
+    def op_order(self, block, df, by: Sequence[str], limit, over: Sequence[str]):
+        items = [sort_item(k) for k in by]
+        if limit is None or not over:
+            if block.limit is not None or block.offset:
+                block = self.wrap(block)
+            block.order_by = items
+            if limit is not None:
+                block.limit = limit
+            return block
+        if limit <= 0:
+            block = self.wrap(block)
+            block.limit = 0
+            return block
+        return self._window_filter(
+            block, df.columns, f"ROW_NUMBER() OVER ({self._over(over, items)})", f"<= {int(limit)}"
+        )
+
+    def op_first(self, block, df, by: Sequence[str], rank: int, dense: bool, over: Sequence[str]):
+        items = [sort_item(k) for k in by]
+        fn = "DENSE_RANK" if dense else "RANK"
+        return self._window_filter(
+            block, df.columns, f"{fn}() OVER ({self._over(over, items)})", f"<= {int(rank)}"
+        )
+
+    @staticmethod
+    def _over(over: Sequence[str], order_items: list[str]) -> str:
+        part = f"PARTITION BY {', '.join(quote(c) for c in over)} " if over else ""
+        return part + "ORDER BY " + ", ".join(order_items)
+
+    def _window_filter(self, block, columns, window_sql: str, cond: str) -> _Block:
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        tag = "__wf"
+        block.select = [quote(c) for c in columns] + [f"{window_sql} AS {tag}"]
+        block = self.wrap(block)
+        block.where.append(f"{tag} {cond}")
+        block.select = [quote(c) for c in columns]
+        return block
+
+    def op_distinct(
+        self, block, df, on: Sequence[str], keep, counts, order_by: Sequence[str]
+    ):
+        columns = df.columns
+        all_cols = list(on) == columns or set(on) == set(columns)
+        if keep is not None and not order_by and not all_cols:
+            raise Unrenderable(
+                "distinct with an arbitrary (monotonic-id) tiebreak has no "
+                "deterministic SQL equivalent; pass orderBy"
+            )
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        part = ", ".join(quote(c) for c in on)
+        if keep is None:  # drop ALL duplicated rows
+            block.select = [quote(c) for c in columns] + [
+                f"COUNT(1) OVER (PARTITION BY {part}) AS __n"
+            ]
+            block = self.wrap(block)
+            block.where.append("__n = 1")
+            block.select = [quote(c) for c in columns]
+            return block
+        if all_cols and not counts:
+            block.distinct = True
+            return block
+        keys = list(order_by)
+        if keep == "last":
+            keys = [k[1:] if k.startswith("-") else "-" + k for k in keys]
+        if not keys and all_cols:
+            # every column is a key: rows within a group are identical, any
+            # representative works — ORDER BY the keys themselves
+            keys = list(on)
+        order_items = ", ".join(sort_item(k) for k in keys)
+        extra = [f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order_items}) AS __rn"]
+        if counts:
+            extra.append(f"COUNT(1) OVER (PARTITION BY {part}) AS {quote(counts)}")
+        block.select = [quote(c) for c in columns] + extra
+        block = self.wrap(block)
+        block.where.append("__rn = 1")
+        block.select = [quote(c) for c in columns] + ([quote(counts)] if counts else [])
+        return block
+
+    def op_slice(self, block, df, offset: int, limit):
+        if block.limit is not None or block.offset:
+            block = self.wrap(block)
+        block.offset = offset
+        if limit is not None:
+            block.limit = limit
+        return block
+
+    def op_unnest(self, block, df, name: str, offset, keep_empty: bool):
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        others = [quote(c) for c in df.columns if c != name]
+        suffix = "_outer" if keep_empty else ""
+        if offset:
+            gen = f"POSEXPLODE{suffix}({quote(name)}) AS ({quote(offset)}, {quote(name)})"
+        else:
+            gen = f"EXPLODE{suffix}({quote(name)}) AS {quote(name)}"
+        block.select = others + [gen]
+        return block
+
+    def op_unpack(self, block, df, names: Sequence[str]):
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        block.select = [
+            f"{quote(c)}.*" if c in names else quote(c) for c in df.columns
+        ]
+        return block
+
+    def op_sql(self, block, df, query: str, alias: str):
+        return _Block(self._sub(f"WITH {quote(alias)} AS (\n{block.render()}\n)\n{query}"))
+
+    # -- multi-table ---------------------------------------------------------
+
+    def _right_text(self, right) -> str:
+        return self.render_dataset(right)
+
+    def _renamed(self, text: str, columns: Sequence[str], renames: dict[str, str]) -> str:
+        if not renames:
+            return text
+        items = [
+            f"{quote(c)} AS {quote(renames[c])}" if c in renames else quote(c)
+            for c in columns
+        ]
+        return _Block(self._sub(text), select=items).render()
+
+    def op_join(
+        self, block, df, right, keys, rkeys, how: str, lmap: dict, rmap: dict,
+        broadcast: bool,
+    ):
+        ltext = self._renamed(block.render(), df.columns, lmap)
+        rtext = self._renamed(self._right_text(right), right.df.columns, rmap)
+        lref, lname = self._named_sub(ltext)
+        rref, rname = self._named_sub(rtext)
+        jointype = {
+            "inner": "JOIN", "left": "LEFT JOIN", "leftouter": "LEFT JOIN",
+            "right": "RIGHT JOIN", "rightouter": "RIGHT JOIN",
+            "outer": "FULL JOIN", "full": "FULL JOIN", "fullouter": "FULL JOIN",
+            "semi": "LEFT SEMI JOIN", "leftsemi": "LEFT SEMI JOIN",
+            "left_semi": "LEFT SEMI JOIN",
+            "anti": "LEFT ANTI JOIN", "leftanti": "LEFT ANTI JOIN",
+            "left_anti": "LEFT ANTI JOIN",
+        }.get(how.replace("_", "").lower() if how else "inner")
+        if jointype is None:
+            raise Unrenderable(f"join type {how!r}")
+        if list(keys) == list(rkeys):
+            cond = "USING (" + ", ".join(quote(k) for k in keys) + ")"
+        else:
+            pieces = [
+                f"{lname}.{quote(lmap.get(lk, lk))} = {rname}.{quote(rmap.get(rk, rk))}"
+                for lk, rk in zip(keys, rkeys)
+            ]
+            cond = "ON " + " AND ".join(pieces)
+        src = f"{lref} {jointype} {rref} {cond}"
+        if broadcast:
+            return _Block(self._sub(f"SELECT /*+ BROADCAST({rname}) */ *\nFROM {src}"))
+        return _Block(src)
+
+    def op_cross(self, block, df, rights: Sequence):
+        src = self._sub(block.render())
+        for right in rights:
+            src += f" CROSS JOIN {self._sub(self._right_text(right))}"
+        return _Block(src)
+
+    def op_union(self, block, df, rights: Sequence, distinct: bool):
+        columns = df.columns
+        parts = [block.render()]
+        for right in rights:
+            # unionByName: reorder each right side to the left's columns
+            inner = _Block(
+                self._sub(self._right_text(right)),
+                select=[quote(c) for c in columns],
+            )
+            parts.append(inner.render())
+        joined = "\nUNION ALL\n".join(f"({p})" for p in parts)
+        out = _Block(self._sub(joined))
+        out.distinct = distinct
+        return out
+
+    def op_setop(self, block, df, right, op: str, distinct: bool):
+        word = {"intersect": "INTERSECT", "difference": "EXCEPT"}[op] + (
+            "" if distinct else " ALL"
+        )
+        combined = f"({block.render()})\n{word}\n({self._right_text(right)})"
+        return _Block(self._sub(combined))
+
+
+def render(dataset) -> str:
+    """Executable Spark SQL for ``dataset``'s recorded operator chain, or
+    raise :class:`Unrenderable`."""
+    return _Renderer().render_dataset(dataset)

@@ -1011,6 +1011,52 @@ def graphql_pipeline(spark, sf_dir):
 
 
 @query(
+    "graphql_to_sql_roundtrip",
+    """
+    SELECT c_mktsegment,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def graphql_to_sql_roundtrip(spark, sf_dir):
+    """toSql fidelity gate (reference ``toSql``, interface.py:109-115,
+    which returns *executable* dialect SQL): compile a GraphQL chain —
+    filter -> broadcast join -> group -> project-round -> order — render
+    it as Spark SQL text, and return ``spark.sql(rendered)``, so the
+    driver's oracle check validates the rendered TEXT's semantics, not
+    just the DataFrame chain. Parquet roots render as standalone
+    ``parquet.`path``` scans; no views are registered."""
+    from graphique_spark.service import GraphQLService
+    from graphique_spark.service.translate import compile_dataset
+    from graphique_spark.sources import read_parquet
+
+    roots = {
+        name: read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        for name in ("orders", "customer")
+    }
+    ds = compile_dataset(
+        GraphQLService(roots),
+        """{ orders { filter(o_orderstatus: {eq: ["F"]}) {
+               join(right: "customer", keys: ["o_custkey"], rkeys: ["c_custkey"],
+                    broadcast: true) {
+                 group(by: ["c_mktsegment"], counts: "n",
+                       aggregate: {sum: [{name: "o_totalprice", alias: "rev"}]}) {
+                   project(columns: [{alias: "rev", expr:
+                       {div: [{call: {func: "floor", args: [{add: [{mul: [
+                            {name: "rev"}, {value: 100}]}, {value: 0.5}]}]}},
+                        {value: 100}]}}]) {
+                     order(by: ["c_mktsegment"]) { count } } } } } } }""",
+    )
+    rendered = ds.to_sql()
+    assert rendered.startswith("SELECT"), "toSql fell back to a plan dump"
+    return spark.sql(rendered)
+
+
+@query(
     "asof_tolerance",
     """
     SELECT e.event_id,

@@ -123,6 +123,12 @@ def main() -> None:
     # itself and computes its own drift from them
     probes_apply = bool(calm_refs) and str(calm_refs.get("sf")) == str(sf) and not only
     ref_probes: dict[str, dict[str, float]] = {}
+    # repo-independent box probe (ADVICE r10 item 1): a fixed spark.range
+    # aggregate whose cost tracks the HOST, never repo code — it
+    # disambiguates "box contended" (quarantine) from "code got slower"
+    # (do NOT self-mask; let the gate confirm the regression)
+    synth_calm = calm_refs.get("synthetic") or {}
+    synth_probes: dict[str, float] = {}
 
     def _probe(window: str) -> None:
         # single-shot timings (probe cost ~1.5s/window); the per-window
@@ -144,6 +150,17 @@ def main() -> None:
             spark.catalog.clearCache()
         if timings:
             ref_probes[window] = timings
+        if synth_calm.get("calm_sec"):
+            try:
+                runs = sorted(
+                    _guard.synthetic_probe_seconds(
+                        spark, int(synth_calm.get("rows", _guard.SYNTH_ROWS))
+                    )
+                    for _ in range(3)
+                )
+                synth_probes[window] = round(runs[1], 3)  # median of 3
+            except Exception:  # noqa: BLE001
+                pass
 
     _probe("start")
     samples: dict[str, list[float]] = {name: [] for name in queries}
@@ -200,14 +217,22 @@ def main() -> None:
     truncated_heavy = (
         repeats >= 3 and len(samples) > 0 and single > 0.5 * len(samples)
     )
+    # worst-window synthetic drift (repo-independent; None when CALM_REFS
+    # has no calibrated synthetic entry or every probe failed)
+    synth_drift = None
+    if synth_probes and synth_calm.get("calm_sec"):
+        synth_drift = round(
+            max(synth_probes.values()) / float(synth_calm["calm_sec"]), 3
+        )
     contaminated = None
+    code_drift_suspected = False
     if probes_apply and not only:
-        contaminated = bool(
-            (box_drift is not None and box_drift > _guard.CONTAMINATED_DRIFT)
-            # budget exhausted inside pass 1 => the run measured a >2x
-            # slowdown even if the probe windows missed it (calm full
-            # passes take 180-220s against the 450s budget)
-            or truncated_heavy
+        # budget exhausted inside pass 1 counts as evidence: calm full
+        # passes take 180-220s against the 450s budget, so truncation
+        # alone evidences a >2x in-run slowdown; adjudicate() then asks
+        # the synthetic probe WHOSE slowdown it was (box vs code)
+        contaminated, code_drift_suspected = _guard.adjudicate(
+            box_drift, synth_drift, truncated_heavy
         )
     full = {
         "metric": "suite_total_wall",
@@ -233,6 +258,14 @@ def main() -> None:
         # SF, missing CALM_REFS).
         "ref_probes": ref_probes,
         "box_drift_estimate": box_drift,
+        # repo-independent spark.range probe (median-of-3 per window, worst
+        # window vs CALM_REFS "synthetic"): > SYNTH_CALM_BOUND corroborates
+        # host contention; <= it on a slow run means the CODE got slower
+        # (code_drift_suspected=true, contaminated stays false so the gate
+        # diffs the archive and confirms the regression)
+        "synthetic_probes": synth_probes or None,
+        "synthetic_drift_estimate": synth_drift,
+        "code_drift_suspected": code_drift_suspected,
         "contaminated": contaminated,
     }
     # The driver records only a 2000-char tail of stdout and JSON-parses it;
@@ -287,6 +320,8 @@ def main() -> None:
             "n_queries": len(timings),
             "estimator": f"median_of_{repeats}",
             "box_drift_estimate": box_drift,
+            "synthetic_drift_estimate": synth_drift,
+            "code_drift_suspected": code_drift_suspected,
             "contaminated": contaminated,
             "queries": {},
         }
@@ -301,6 +336,8 @@ def main() -> None:
             "n_queries": len(timings),
             "estimator": f"median_of_{repeats}",
             "box_drift_estimate": box_drift,
+            "synthetic_drift_estimate": synth_drift,
+            "code_drift_suspected": code_drift_suspected,
             "contaminated": contaminated,
             "n_samples": {name: len(samples[name]) for name in kept},
             "queries": kept,

@@ -86,14 +86,32 @@ def test_bench_round_gate():
     calm_refs = guard.load_calm_refs(ROOT)
     quarantine_notes = []
     eligible = []
+    trailing_quarantined = 0
     for path in files:
         with open(path) as f:
             arch = json.load(f)
         quarantined, reason = guard.classify_archive(arch, calm_refs)
         if quarantined:
             quarantine_notes.append(f"quarantined {os.path.basename(path)}: {reason}")
+            trailing_quarantined += 1
         else:
             eligible.append((path, arch))
+            trailing_quarantined = 0
+    # A quarantine streak must not let the gate skip-green forever
+    # (ADVICE r10 item 1): with the synthetic spark.range probe a real
+    # code slowdown no longer self-marks contaminated, so a long streak
+    # means either genuine multi-day box chaos or a broken instrument —
+    # both need a human. Warn at 3; fail hard at 8.
+    if trailing_quarantined >= 3:
+        quarantine_notes.append(
+            f"WARNING: {trailing_quarantined} consecutive newest archives "
+            "quarantined — the gate has not diffed fresh code recently; "
+            "investigate the box or the contamination instrument"
+        )
+    assert trailing_quarantined < 8, (
+        f"{trailing_quarantined} consecutive quarantined archives: the gate "
+        "would skip-green indefinitely; investigate instead of re-running"
+    )
     if len(eligible) < 2:
         if quarantine_notes:
             with open(os.path.join(ROOT, "BENCH_DIFF_latest.txt"), "w") as fh:
@@ -330,3 +348,35 @@ def test_guard_drift_estimate():
     assert guard.classify_archive(
         {"sf": 0.01, "queries": {"a": 99.0}}, calm
     ) == (False, None)
+
+
+def test_guard_null_marker_falls_through_to_legacy():
+    """contaminated=null means 'probes not applicable', not 'clean': the
+    legacy retro-heuristics must still classify such an archive from the
+    evidence it carries (ADVICE r10)."""
+    guard = _bench_guard()
+    calm = guard.load_calm_refs(ROOT)
+    hot = {name: t * 3 for name, t in calm["refs"].items()}
+    quarantined, reason = guard.classify_archive(
+        {"contaminated": None, "queries": hot, "sf": calm["sf"]}, calm
+    )
+    assert quarantined and "legacy" in reason
+
+
+def test_guard_adjudicate_disambiguates_code_from_box():
+    """ADVICE r10 item 1: contamination evidence + calm synthetic probe
+    must NOT self-mark (the slowdown lives in the code; the gate should
+    diff it), while a contended synthetic corroborates quarantine."""
+    guard = _bench_guard()
+    # no evidence at all
+    assert guard.adjudicate(1.1, 1.0, False) == (False, False)
+    # ref drift + contended box: genuine contamination
+    assert guard.adjudicate(2.4, 2.2, False) == (True, False)
+    # ref drift + CALM box: the code got slower — never self-mask
+    assert guard.adjudicate(2.4, 1.05, False) == (False, True)
+    # truncation evidence follows the same disambiguation
+    assert guard.adjudicate(None, 2.5, True) == (True, False)
+    assert guard.adjudicate(None, 1.1, True) == (False, True)
+    # no synthetic reading: trust the evidence as before
+    assert guard.adjudicate(2.4, None, False) == (True, False)
+    assert guard.adjudicate(None, None, True) == (True, False)

@@ -828,18 +828,55 @@ _STRESS_ROOTS = {
     "orders": ("o_orderstatus", ["F", "O", "P"], "o_totalprice"),
     "customer": ("c_mktsegment", ["BUILDING", "AUTOMOBILE"], "c_acctbal"),
 }
+# join targets per root, so stress documents can put JOIN plans (broadcast
+# or shuffle shapes, non-trivially-equal canonicalizations) in the registry
+_STRESS_JOINS = {
+    "lineitem": ("orders", "l_orderkey", "o_orderkey"),
+    "orders": ("customer", "o_custkey", "c_custkey"),
+    "customer": ("nation", "c_nationkey", "n_nationkey"),
+}
 
 
-def _stress_doc(root, value_i, agg, limit):
+def _stress_doc(root, value_i, agg, limit, shape="filter_slice"):
+    """One randomized request. ``shape`` widens the operator grammar
+    (VERDICT r10 item 7) beyond filter->slice chains: group/join/window
+    stages put registry entries with non-trivially-equal plans (Aggregate,
+    Join, Window canonicalizations) under the same concurrent
+    acquire/release traffic. Every document is deterministic: filters pin
+    group keys to one value, leaves are order-insensitive aggregates."""
     col, values, num = _STRESS_ROOTS[root]
     value = values[value_i % len(values)]
+    flt = f'filter({col}: {{eq: ["{value}"]}})'
+    if shape == "group":
+        # single group (the filter pins the key) -> deterministic values
+        inner = (
+            f'group(by: ["{col}"], counts: "n", '
+            f'aggregate: {{{agg}: [{{name: "{num}", alias: "a"}}]}}) '
+            f"{{ count columns {{ {col} {{ values }} }} }}"
+        )
+        return f"{{ {root} {{ {flt} {{ {inner} }} }} }}"
+    if shape == "join":
+        right, lkey, rkey = _STRESS_JOINS[root]
+        inner = (
+            f'join(right: "{right}", keys: ["{lkey}"], rkeys: ["{rkey}"]) '
+            f"{{ count columns {{ {num} {{ {agg} }} }} }}"
+        )
+        return f"{{ {root} {{ {flt} {{ {inner} }} }} }}"
+    if shape == "window":
+        inner = (
+            f'project(columns: [{{alias: "rnk", expr: {{call: {{func: "rank", '
+            f'options: {{over: ["{col}"], orderBy: ["-{num}"]}}}}}}}}]) '
+            f"{{ filter(where: {{le: [{{name: \"rnk\"}}, {{value: {limit or 3}}}]}}) "
+            f"{{ count columns {{ {num} {{ min }} }} }} }}"
+        )
+        return f"{{ {root} {{ {flt} {{ {inner} }} }} }}"
     inner = f"count columns {{ {num} {{ {agg} }} }}"
     if limit:
         # a second nesting level with >=2 sub-selections persists BOTH the
         # filtered plan and the sliced plan — nested acquire/release on
         # overlapping entries
         inner += f" slice(limit: {limit}) {{ count columns {{ {num} {{ min }} }} }}"
-    return f'{{ {root} {{ filter({col}: {{eq: ["{value}"]}}) {{ {inner} }} }} }}'
+    return f"{{ {root} {{ {flt} {{ {inner} }} }} }}"
 
 
 @_settings(max_examples=5, deadline=None)
@@ -851,6 +888,7 @@ def _stress_doc(root, value_i, agg, limit):
             value_i=_st.integers(0, 2),
             agg=_st.sampled_from(["sum", "min", "max"]),
             limit=_st.sampled_from([0, 3, 7]),
+            shape=_st.sampled_from(["filter_slice", "group", "join", "window"]),
         ),
         min_size=3,
         max_size=8,

@@ -46,6 +46,54 @@ import statistics
 CONTAMINATED_DRIFT = 1.6
 LEGACY_REF_DRIFT = 1.35
 LEGACY_TRUNCATION = 0.5
+#: synthetic-probe contamination bound: the probe is a fixed spark.range
+#: aggregate (pure engine CPU, repo-independent), median-of-3 per window.
+#: Calm medians swing <=~1.3x; documented contention windows are >=2.2x.
+SYNTH_CALM_BOUND = 1.5
+#: rows for the synthetic probe — sized so one run takes ~0.5-1s calm on
+#: local[32] (long enough to average scheduler noise, cheap enough for 3
+#: runs per window)
+SYNTH_ROWS = 400_000_000
+
+
+def synthetic_probe_seconds(spark, rows: int = SYNTH_ROWS) -> float:
+    """One timed run of the repo-independent box probe: a fixed
+    ``spark.range`` aggregate using only engine builtins, so its cost
+    tracks host CPU availability and NEVER repo code. This is what lets
+    the contamination verdict distinguish 'the box is slow' from 'a code
+    change made the suite slow' (a code change cannot move this number)."""
+    import time
+
+    t0 = time.perf_counter()
+    spark.range(rows).selectExpr(
+        "sum(id % 97) AS s", "count(if(id % 1000 = 0, 1, NULL)) AS n"
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def adjudicate(
+    box_drift: float | None, synth_drift: float | None, truncated_heavy: bool
+) -> tuple[bool, bool]:
+    """(contaminated, code_drift_suspected) for a finishing bench run.
+
+    Contamination *evidence* is reference-query drift over
+    ``CONTAMINATED_DRIFT`` or a budget truncated inside pass 1. But the
+    reference queries are part of the suite under test, so a real code
+    slowdown produces the same evidence — and self-marking it contaminated
+    would quarantine every future archive and mask the regression forever
+    (ADVICE r10 item 1). The synthetic probe disambiguates: when it says
+    the box is calm (<= SYNTH_CALM_BOUND), the slowdown must live in the
+    code — the run is NOT marked contaminated, so the gate diffs it and
+    confirms the regression honestly. Without a synthetic reading the
+    evidence is trusted as before."""
+    evidence = (
+        box_drift is not None and box_drift > CONTAMINATED_DRIFT
+    ) or truncated_heavy
+    if not evidence:
+        return False, False
+    if synth_drift is not None and synth_drift <= SYNTH_CALM_BOUND:
+        return False, True
+    return True, False
 
 
 def load_calm_refs(root: str) -> dict:
@@ -86,8 +134,11 @@ def classify_archive(archive: dict, calm_refs: dict) -> tuple[bool, str | None]:
     comparable evidence and is kept (the gate only ever diffs same-SF
     archives).
     """
-    if "contaminated" in archive:
-        if archive["contaminated"]:
+    marker = archive.get("contaminated")
+    if isinstance(marker, bool):  # null means "probes not applicable", not
+        # "clean" — such an archive still carries legacy evidence, so only
+        # a real boolean self-description short-circuits (ADVICE r10)
+        if marker:
             return True, (
                 "self-described contaminated "
                 f"(box_drift_estimate {archive.get('box_drift_estimate')})"

@@ -2,12 +2,20 @@
 Spark and the matching ``oracle_sql()[name]`` on DuckDB at sf0.01, compare
 row count, column names, and order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [--strict] [name ...]
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [--strict]
+       [--conf-matrix] [name ...]
 
 ``--strict`` skips the 12-significant-digit float collapse and compares
 ``str(value)`` verbatim, like the driver's value hash does. This catches
 type-representation drift (e.g. Spark ``floor``→BIGINT ``512345`` vs DuckDB
 ``floor``→DOUBLE ``512345.0``) that the tolerant mode deliberately hides.
+
+``--conf-matrix`` (VERDICT r10 item 6) re-runs the whole comparison under
+each perturbed session config in ``CONF_MATRIX`` after the default pass: a
+query whose correctness silently depends on AQE coalescing, broadcast-join
+planning, or the shuffle partition count passes the default-config gate but
+diverges here. All three knobs are runtime SQL confs, so one session hosts
+every pass (restored between passes).
 """
 
 from __future__ import annotations
@@ -24,6 +32,14 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 STRICT = False
+
+#: config perturbations for --conf-matrix: each must leave RESULTS
+#: unchanged on every oracle-paired query (plans may differ wildly)
+CONF_MATRIX = {
+    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    "force_smj": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "shuffle_p7": {"spark.sql.shuffle.partitions": "7"},
+}
 
 
 def normalize(value):
@@ -78,11 +94,29 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    args = [a for a in sys.argv[1:] if a != "--strict"]
+    args = [a for a in sys.argv[1:] if a not in ("--strict", "--conf-matrix")]
     unknown = [a for a in args if a not in queries]
     if unknown:
         raise SystemExit(f"unknown query name(s): {unknown} (see queries())")
     wanted = args or list(queries)
+
+    configs = [("default", {})]
+    if "--conf-matrix" in sys.argv:
+        configs += list(CONF_MATRIX.items())
+    total_failed = 0
+    for conf_name, conf in configs:
+        saved = {key: spark.conf.get(key) for key in conf}
+        for key, value in conf.items():
+            spark.conf.set(key, value)
+        if len(configs) > 1:
+            print(f"\n=== config: {conf_name} {conf or ''} ===")
+        total_failed += run_pass(spark, con, queries, oracles, wanted)
+        for key, value in saved.items():
+            spark.conf.set(key, value)
+    return 1 if total_failed else 0
+
+
+def run_pass(spark, con, queries, oracles, wanted) -> int:
     passed = failed = weak = 0
     for name in wanted:
         fn = queries[name]
@@ -130,7 +164,7 @@ def main():
         print(f"PASS {name}: {len(srows)} rows [{elapsed:.1f}s]")
         passed += 1
     print(f"\n{passed} passed, {failed} failed, {weak} weak (rows-only)")
-    return 1 if failed else 0
+    return failed
 
 
 if __name__ == "__main__":

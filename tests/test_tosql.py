@@ -185,3 +185,75 @@ def test_sql_escape_hatch_renders_as_cte(spark, tables):
     sql = ds.to_sql()
     assert sql.startswith("SELECT")
     assert _rows(spark.sql(sql)) == _rows(ds.df)
+
+
+# --- randomized chain fuzzer -------------------------------------------------
+# Random operator chains over the Dataset API itself (not GraphQL): any
+# rendered chain must re-execute identically. Non-terminal ops keep the
+# orders schema intact; an optional terminal reshapes it.
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+from pyspark.sql import functions as _F
+
+
+def _mk_nonterminal(i):
+    return [
+        lambda ds: ds.filter(where=_F.col("o_totalprice") > 50000),
+        lambda ds: ds.filter(o_orderstatus={"eq": ["F", "O"]}),
+        lambda ds: ds.project({f"b{i}": _F.col("o_orderkey") % 7}),
+        lambda ds: ds.project(
+            {f"w{i}": _F.sum("o_totalprice").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("o_orderpriority").orderBy("o_orderkey")
+                .rowsBetween(-2, 0)
+            )}
+        ),
+        lambda ds: ds.cast({"o_totalprice": "decimal(18,2)"}),
+        lambda ds: ds.fill_null(0, subset=["o_custkey"]),
+        lambda ds: ds.drop_null(subset=["o_orderdate"]),
+        lambda ds: ds.order(["-o_totalprice", "o_orderkey"], limit=50),
+        lambda ds: ds.first(["-o_totalprice"], rank=20, over=["o_orderpriority"]),
+    ][i]
+
+
+def _mk_terminal(i):
+    from graphique_spark.inputs import Agg
+
+    return [
+        None,
+        lambda ds: ds.group(
+            ["o_orderpriority"],
+            aggregate=[Agg("sum", "o_totalprice", alias="s"),
+                       Agg("quantile", "o_totalprice", alias="q", q=0.5)],
+            counts="n",
+        ),
+        lambda ds: ds.distinct(
+            on=["o_orderpriority"], order_by=["-o_totalprice", "o_orderkey"], counts="c"
+        ),
+        lambda ds: ds.rollup(["o_orderstatus", "o_orderpriority"], counts="n"),
+        lambda ds: ds.group(
+            [], aggregate=[Agg("argmax", "o_orderkey", alias="am", key="o_totalprice"),
+                           Agg("count", "o_orderkey", alias="k",
+                               where=_F.col("o_orderstatus") == "F")],
+        ),
+    ][i]
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(
+    chain=_st.lists(_st.integers(0, 8), min_size=1, max_size=4),
+    terminal=_st.integers(0, 4),
+)
+def test_fuzz_random_chain_roundtrip(spark, chain, terminal):
+    from graphique_spark.sources import read_parquet
+
+    ds = read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    for i in chain:
+        ds = _mk_nonterminal(i)(ds)
+    fin = _mk_terminal(terminal)
+    if fin is not None:
+        ds = fin(ds)
+    sql = ds.to_sql()
+    assert sql.startswith("SELECT"), f"fallback for chain {chain}/{terminal}:\n{sql}"
+    assert spark.sql(sql).columns == ds.df.columns
+    assert _rows(spark.sql(sql)) == _rows(ds.df)

@@ -343,11 +343,21 @@ class Dataset:
         if counts:
             aggs.append(F.count(F.lit(1)).alias(counts))
         keep = [F.first(c).alias(c) for c in by]
+        op = (
+            "runs",
+            self.df,
+            {
+                "by": list(by),
+                "order_by": list(order_by),
+                "aggcols": list(aggs),
+                "split": split,
+            },
+        )
         # run ids increase in order_by order: sort on _run so the groups
         # come back in adjacency order (the semantics runs is defined by),
         # then project it away. #runs-bounded, so the sort is cheap.
         return self._wrap(
-            flagged.groupBy("_run").agg(*keep, *aggs).orderBy("_run").drop("_run")
+            flagged.groupBy("_run").agg(*keep, *aggs).orderBy("_run").drop("_run"), op
         )
 
     # -- ordering / limiting ---------------------------------------------------

@@ -430,6 +430,39 @@ class _Renderer:
         block.select = [quote(c) for c in columns] + ([quote(counts)] if counts else [])
         return block
 
+    def op_runs(
+        self, block, df, by: Sequence[str], order_by: Sequence[str],
+        aggcols: Sequence[Column], split,
+    ):
+        """Adjacency grouping as SQL: change-point flags via LAG over the
+        global sort, cumulative-sum into run ids, GROUP BY run (the
+        reference's ``(c != lag(c)) -> or_ -> cumsum -> group`` semantics;
+        the DataFrame path computes the same thing without the
+        single-task global window — SQL text only has to be *correct*)."""
+        if not block.plain or block.where:
+            block = self.wrap(block)
+        keys = ", ".join(sort_item(k) for k in order_by)
+        changes = [
+            f"NOT ({quote(c)} <=> LAG({quote(c)}) OVER (ORDER BY {keys}))" for c in by
+        ]
+        if split is not None:
+            changes.append(f"COALESCE(({expr_sql(df, split)}), false)")
+        block.select = ["*", "(" + " OR ".join(changes) + ") AS __chg"]
+        block = self.wrap(block)
+        block.select = [
+            "*",
+            "SUM(CASE WHEN __chg THEN 1 ELSE 0 END) OVER "
+            f"(ORDER BY {keys} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS __run",
+        ]
+        block = self.wrap(block)
+        keep = [f"first({quote(c)}) AS {quote(c)}" for c in by]
+        aggs = [f"{sql} AS {quote(name)}" for name, sql in agg_sqls(df, aggcols)]
+        block.select = keep + aggs
+        block.group_by = "__run"
+        block.order_by = ["__run"]
+        return block
+
     def op_slice(self, block, df, offset: int, limit):
         if block.limit is not None or block.offset:
             block = self.wrap(block)

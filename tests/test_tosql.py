@@ -79,6 +79,9 @@ CHAIN_DOCS = [
            aggregate: {first: [{name: "o_totalprice", alias: "fp", orderBy: "o_orderdate"}],
                        concat: [{name: "o_orderstatus", alias: "cc", orderBy: "-o_orderdate",
                                  sep: "|"}]}) { count } } }""",
+    # runs: adjacency grouping with aggregates
+    """{ events { runs(by: ["event_type"], orderBy: ["ts", "event_id"], counts: "n",
+           aggregate: {min: [{name: "value", alias: "v"}]}) { count } } }""",
     # slice after order (offset + limit)
     """{ orders { order(by: ["o_orderkey"]) { slice(offset: 5, limit: 10) { count } } } }""",
     # typed filters combined with expression where

@@ -260,3 +260,29 @@ def test_fuzz_random_chain_roundtrip(spark, chain, terminal):
     assert sql.startswith("SELECT"), f"fallback for chain {chain}/{terminal}:\n{sql}"
     assert spark.sql(sql).columns == ds.df.columns
     assert _rows(spark.sql(sql)) == _rows(ds.df)
+
+
+# Expression-grammar rendering fuzz: reuse the differential suite's random
+# GraphQL expression trees (arithmetic/boolean/comparison/coalesce/ifelse/
+# isin over nullable ints and strings); every compiled Column's rendered
+# SQL must re-evaluate to identical values. A silent mis-rendering here
+# would hand users WRONG runnable SQL — worse than a fallback.
+from test_differential import any_expr as _any_expr, rows_strategy as _rows_strategy
+
+
+@_settings(max_examples=30, deadline=None)
+@_given(rows=_rows_strategy, trees=_st.lists(_any_expr, min_size=1, max_size=4))
+def test_fuzz_expression_sql_rendering(spark, rows, trees):
+    from graphique_spark import sqlrender
+    from graphique_spark.service.expressions import compile_expression
+
+    data = [(i, a, b, s) for i, (a, b, s) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "id int, a int, b int, s string")
+    cols = [compile_expression(t).alias(f"e{i}") for i, t in enumerate(trees)]
+    expected = sorted(map(tuple, sdf.select("id", *cols).collect()))
+    sdf.createOrReplaceTempView("__fuzz_expr")
+    items = ", ".join(
+        f"{sqlrender.expr_sql(sdf, c)} AS e{i}" for i, c in enumerate(cols)
+    )
+    got = sorted(map(tuple, spark.sql(f"SELECT id, {items} FROM __fuzz_expr").collect()))
+    assert got == expected, trees

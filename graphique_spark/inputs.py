@@ -268,10 +268,14 @@ def _struct_comparator(dirs: Sequence[bool]):
 
 
 def combine_filters(filters: dict[str, Filter], where: Column | None = None) -> Column:
-    """AND together per-column filters plus an optional expression filter."""
-    out = F.lit(True)
+    """AND together per-column filters plus an optional expression filter.
+
+    No leading ``lit(True)`` seed: Catalyst folds it away anyway, but it
+    would leak into ``to_sql`` renderings as ``WHERE (true AND ...)``."""
+    out: Column | None = None
     for name, flt in filters.items():
-        out = out & flt.to_column(F.col(name))
+        piece = flt.to_column(F.col(name))
+        out = piece if out is None else out & piece
     if where is not None:
-        out = out & where
-    return out
+        out = where if out is None else out & where
+    return out if out is not None else F.lit(True)

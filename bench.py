@@ -129,6 +129,7 @@ def main() -> None:
     # (do NOT self-mask; let the gate confirm the regression)
     synth_calm = calm_refs.get("synthetic") or {}
     synth_probes: dict[str, float] = {}
+    scan_probes: dict[str, float] = {}
 
     def _probe(window: str) -> None:
         # single-shot timings (probe cost ~1.5s/window); the per-window
@@ -159,6 +160,15 @@ def main() -> None:
                     for _ in range(3)
                 )
                 synth_probes[window] = round(runs[1], 3)  # median of 3
+            except Exception:  # noqa: BLE001
+                pass
+        if synth_calm.get("scan_calm_sec"):
+            try:
+                path = os.path.join(sf_dir, synth_calm.get("scan_file", "lineitem.parquet"))
+                runs = sorted(
+                    _guard.scan_probe_seconds(spark, path) for _ in range(3)
+                )
+                scan_probes[window] = round(runs[1], 3)
             except Exception:  # noqa: BLE001
                 pass
 
@@ -217,12 +227,17 @@ def main() -> None:
     truncated_heavy = (
         repeats >= 3 and len(samples) > 0 and single > 0.5 * len(samples)
     )
-    # worst-window synthetic drift (repo-independent; None when CALM_REFS
-    # has no calibrated synthetic entry or every probe failed)
+    # worst-window repo-independent drifts (None when CALM_REFS has no
+    # calibrated entry or every probe failed)
     synth_drift = None
     if synth_probes and synth_calm.get("calm_sec"):
         synth_drift = round(
             max(synth_probes.values()) / float(synth_calm["calm_sec"]), 3
+        )
+    scan_drift = None
+    if scan_probes and synth_calm.get("scan_calm_sec"):
+        scan_drift = round(
+            max(scan_probes.values()) / float(synth_calm["scan_calm_sec"]), 3
         )
     contaminated = None
     code_drift_suspected = False
@@ -230,9 +245,11 @@ def main() -> None:
         # budget exhausted inside pass 1 counts as evidence: calm full
         # passes take 180-220s against the 450s budget, so truncation
         # alone evidences a >2x in-run slowdown; adjudicate() then asks
-        # the synthetic probe WHOSE slowdown it was (box vs code)
+        # the probes WHOSE slowdown it was (box vs code) — declaring the
+        # box calm requires BOTH the CPU and IO probes (r11: a page-cache
+        # reclaim window slowed scans 3-15x at CPU drift 1.13)
         contaminated, code_drift_suspected = _guard.adjudicate(
-            box_drift, synth_drift, truncated_heavy
+            box_drift, _guard.box_calm_verdict(synth_drift, scan_drift), truncated_heavy
         )
     full = {
         "metric": "suite_total_wall",
@@ -258,13 +275,16 @@ def main() -> None:
         # SF, missing CALM_REFS).
         "ref_probes": ref_probes,
         "box_drift_estimate": box_drift,
-        # repo-independent spark.range probe (median-of-3 per window, worst
-        # window vs CALM_REFS "synthetic"): > SYNTH_CALM_BOUND corroborates
-        # host contention; <= it on a slow run means the CODE got slower
+        # repo-independent probes (median-of-3 per window, worst window vs
+        # CALM_REFS "synthetic"): spark.range CPU probe + parquet scan IO
+        # probe. Both calm on a slow run means the CODE got slower
         # (code_drift_suspected=true, contaminated stays false so the gate
-        # diffs the archive and confirms the regression)
+        # diffs the archive and confirms the regression); either contended
+        # corroborates quarantine.
         "synthetic_probes": synth_probes or None,
         "synthetic_drift_estimate": synth_drift,
+        "scan_probes": scan_probes or None,
+        "scan_drift_estimate": scan_drift,
         "code_drift_suspected": code_drift_suspected,
         "contaminated": contaminated,
     }
@@ -321,6 +341,7 @@ def main() -> None:
             "estimator": f"median_of_{repeats}",
             "box_drift_estimate": box_drift,
             "synthetic_drift_estimate": synth_drift,
+            "scan_drift_estimate": scan_drift,
             "code_drift_suspected": code_drift_suspected,
             "contaminated": contaminated,
             "queries": {},
@@ -337,6 +358,7 @@ def main() -> None:
             "estimator": f"median_of_{repeats}",
             "box_drift_estimate": box_drift,
             "synthetic_drift_estimate": synth_drift,
+            "scan_drift_estimate": scan_drift,
             "code_drift_suspected": code_drift_suspected,
             "contaminated": contaminated,
             "n_samples": {name: len(samples[name]) for name in kept},

@@ -481,18 +481,25 @@ class Dataset:
         the requested order is preserved — a broadcast inner join against a
         literal (position, index) table over a dense row index, distributed
         rather than a driver-side collect."""
+        synthesized = rowid not in self.df.columns
+        # SQL-renderable only with an explicit rowid column: a synthesized
+        # index depends on scan row order, which SQL text can't pin
+        op = (
+            ("take", self.df, {"indices": [int(i) for i in indices], "rowid": rowid})
+            if not synthesized
+            else None
+        )
         if not len(indices):
             # pyarrow take([]) = empty table; createDataFrame cannot infer
             # a schema from zero rows
-            return self._wrap(self.df.limit(0))
-        synthesized = rowid not in self.df.columns
+            return self._wrap(self.df.limit(0), op)
         df = with_row_index(self.df, rowid) if synthesized else self.df
         spark = df.sparkSession
         wanted = spark.createDataFrame(
             [(pos, int(i)) for pos, i in enumerate(indices)], schema=["__pos", rowid]
         )
         out = df.join(F.broadcast(wanted), on=rowid, how="inner").orderBy("__pos").drop("__pos")
-        return self._wrap(out.drop(rowid) if synthesized else out)
+        return self._wrap(out.drop(rowid) if synthesized else out, op)
 
     def with_row_index(self, name: str = "_rowid") -> "Dataset":
         return self._wrap(with_row_index(self.df, name))

@@ -463,6 +463,27 @@ class _Renderer:
         block.order_by = ["__run"]
         return block
 
+    def op_take(self, block, df, indices: Sequence[int], rowid: str):
+        """pyarrow ``take`` semantics against an explicit rowid column:
+        inner join a (position, index) VALUES table, requested order
+        preserved, duplicate indices repeating rows."""
+        if not indices:
+            if block.limit is not None:
+                block = self.wrap(block)
+            block.limit = 0
+            return block
+        lref = self._sub(block.render())
+        self.n += 1
+        values = ", ".join(f"({pos}, {int(i)})" for pos, i in enumerate(indices))
+        src = (
+            f"{lref} JOIN (VALUES {values}) AS __v{self.n}(__pos, {quote(rowid)}) "
+            f"USING ({quote(rowid)})"
+        )
+        out = _Block(src)
+        out.select = [quote(rowid)] + [quote(c) for c in df.columns if c != rowid]
+        out.order_by = ["__pos"]
+        return out
+
     def op_slice(self, block, df, offset: int, limit):
         if block.limit is not None or block.offset:
             block = self.wrap(block)

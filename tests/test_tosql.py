@@ -286,3 +286,19 @@ def test_fuzz_expression_sql_rendering(spark, rows, trees):
     )
     got = sorted(map(tuple, spark.sql(f"SELECT id, {items} FROM __fuzz_expr").collect()))
     assert got == expected, trees
+
+
+def test_take_with_explicit_rowid_renders(spark):
+    """take against a real rowid column is deterministic and renders as a
+    VALUES inner join ordered by position (duplicates repeat rows);
+    synthesized row indices depend on scan order and must fall back."""
+    from graphique_spark.sources import read_parquet
+
+    ds = read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    taken = ds.take([7, 3, 3, 12], rowid="o_orderkey")
+    sql = taken.to_sql()
+    assert sql.startswith("SELECT") and "VALUES" in sql
+    got = [tuple(map(str, r)) for r in spark.sql(sql).collect()]
+    want = [tuple(map(str, r)) for r in taken.df.collect()]
+    assert got == want  # order-sensitive: requested order is the contract
+    assert not ds.take([0, 1]).to_sql().startswith("SELECT")  # synthesized

@@ -274,7 +274,10 @@ class _Renderer:
         items = []
         for c, name in zip(cols, out_df.columns):
             if isinstance(c, str):
-                items.append(quote(c) if c == name else f"{quote(c)} AS {quote(name)}")
+                # dotted strings are nested access (DataFrame.select("a.b")
+                # reads field b), not a literal column name
+                ref = table_ref(c) if "." in c else quote(c)
+                items.append(ref if c == name else f"{ref} AS {quote(name)}")
             else:
                 items.append(f"{expr_sql(df, c)} AS {quote(name)}")
         block.select = items

@@ -302,3 +302,18 @@ def test_take_with_explicit_rowid_renders(spark):
     want = [tuple(map(str, r)) for r in taken.df.collect()]
     assert got == want  # order-sensitive: requested order is the contract
     assert not ds.take([0, 1]).to_sql().startswith("SELECT")  # synthesized
+
+
+def test_nested_struct_select_and_unpack_render(spark):
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame(
+        [(1, (10, "x")), (2, (20, "y"))], "k int, st struct<a:int,b:string>"
+    )
+    ds = roots({"t_nested": df})["t_nested"]
+    df.createOrReplaceTempView("t_nested")
+    sel = ds.select("k", "st.a")  # dotted string = nested access, not `st.a`
+    assert _rows(spark.sql(sel.to_sql())) == _rows(sel.df)
+    up = ds.unpack("st")
+    assert spark.sql(up.to_sql()).columns == up.df.columns
+    assert _rows(spark.sql(up.to_sql())) == _rows(up.df)

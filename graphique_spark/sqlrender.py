@@ -176,12 +176,18 @@ def agg_sqls(df: DataFrame, aggcols: Sequence[Column]) -> list[tuple[str, str]]:
     return out
 
 
+def col_ref(name: str) -> str:
+    """Column reference: dotted names are nested access (matching
+    ``F.col``/``DataFrame.select`` semantics), never one quoted name."""
+    return table_ref(name) if "." in name else quote(name)
+
+
 def sort_item(key: str) -> str:
     """'-'-prefixed sort key → SQL ORDER BY item (matches
     ``operators.topk.sort_keys`` direction semantics)."""
     if key.startswith("-"):
-        return f"{quote(key[1:])} DESC"
-    return quote(key)
+        return f"{col_ref(key[1:])} DESC"
+    return col_ref(key)
 
 
 # -- SELECT-block composition -------------------------------------------------
@@ -336,7 +342,7 @@ class _Renderer:
     ):
         if not block.plain:
             block = self.wrap(block)
-        keys = [quote(b) for b in by]
+        keys = [col_ref(b) for b in by]
         if not aggcols and kind == "group":  # distinct key combinations
             block.select = keys
             block.distinct = True

@@ -158,6 +158,31 @@ check("domain blocklist drops suffix matches (and only those)", _web_blocklist)
 check("html_text strips tags", _web_html_strip)
 
 
+# probes: round-11 additions (runnable toSql)
+
+
+def _tosql_roundtrip():
+    from graphique_spark.sources import read_parquet
+
+    ds = (
+        read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+        .filter(o_orderstatus={"eq": ["F"]})
+        .group(["o_orderpriority"], counts="n")
+        .order(["o_orderpriority"])
+    )
+    sql = ds.to_sql()
+    if not sql.startswith("SELECT"):
+        raise AssertionError(f"toSql fell back to a plan dump:\n{sql}")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in ds.df.collect()]
+    if got != want:
+        raise AssertionError(f"rendered SQL diverges: {got[:2]} vs {want[:2]}")
+    return len(got)
+
+
+check("toSql renders runnable SQL reproducing the frame", _tosql_roundtrip)
+
+
 failures = [c for c in checks if c[1] == "FAIL"]
 print(f"\n{len(checks) - len(failures)}/{len(checks)} OK")
 raise SystemExit(1 if failures else 0)

@@ -55,22 +55,43 @@ def table_ref(name: str) -> str:
 # -- expression rendering ----------------------------------------------------
 
 
-def _walk_alias(jplan, tag: str) -> str | None:
-    """Find the Alias named ``tag`` anywhere in the analyzed plan tree and
-    return its child expression's SQL. Window expressions get extracted
-    into their own plan node during analysis, so the whole tree is walked,
-    not just the top projection."""
+def _collect_aliases(jplan, out: dict[str, str]) -> None:
+    """Every Alias in the analyzed plan tree, name -> child SQL."""
     exprs = jplan.expressions()
     for i in range(exprs.size()):
         e = exprs.apply(i)
-        if e.getClass().getSimpleName() == "Alias" and e.name() == tag:
-            return e.child().sql()
+        if e.getClass().getSimpleName() == "Alias" and e.name() not in out:
+            out[e.name()] = e.child().sql()
     children = jplan.children()
     for i in range(children.size()):
-        found = _walk_alias(children.apply(i), tag)
-        if found is not None:
-            return found
-    return None
+        _collect_aliases(children.apply(i), out)
+
+
+_INTERNAL_ATTR = re.compile(r"\b(_we\d+|_w\d+)\b")
+
+
+def _walk_alias(jplan, tag: str) -> str | None:
+    """SQL of the Alias named ``tag``, with Catalyst-internal window
+    attributes inlined: analysis extracts window expressions into their own
+    Window node (aliased ``_we0``...), so a composite like
+    ``coalesce(x > lag(x) OVER w, false)`` projects ``coalesce(_we0,
+    false)`` — the extracted expressions' SQL is substituted back in."""
+    aliases: dict[str, str] = {}
+    _collect_aliases(jplan, aliases)
+    sql = aliases.get(tag)
+    if sql is None:
+        return None
+    for _ in range(10):  # nested extractions resolve in a few rounds
+        replaced = _INTERNAL_ATTR.sub(
+            lambda m: f"({aliases[m.group(0)]})" if m.group(0) in aliases else m.group(0),
+            sql,
+        )
+        if replaced == sql:
+            break
+        sql = replaced
+    if _INTERNAL_ATTR.search(sql):
+        raise Unrenderable(f"unresolved internal attribute in rendering: {sql}")
+    return sql
 
 
 #: Catalyst's ``array_sort(x)`` resolves the implicit default comparator to

@@ -79,6 +79,18 @@ CHAIN_DOCS = [
            aggregate: {first: [{name: "o_totalprice", alias: "fp", orderBy: "o_orderdate"}],
                        concat: [{name: "o_orderstatus", alias: "cc", orderBy: "-o_orderdate",
                                  sep: "|"}]}) { count } } }""",
+    # first-class window input: lag with default + ntile
+    """{ events { project(columns: [
+           {alias: "prev_v", expr: {window: {lag: {name: "value"}, over: ["user_id"],
+              by: ["ts"], default: 0}}},
+           {alias: "quartile", expr: {window: {ntile: 4, over: ["event_type"],
+              by: ["-value"]}}}]) {
+         group(by: ["quartile"], counts: "n",
+               aggregate: {sum: [{name: "prev_v", alias: "s"}]}) { count } } } }""",
+    # pairwise window comparison (gt vs lagged value)
+    """{ events { project(columns: [{alias: "rising", expr: {window: {
+           gt: {name: "value"}, over: ["user_id"], by: ["ts"], default: false}}}]) {
+         group(by: ["rising"], counts: "n") { count } } } }""",
     # runs: adjacency grouping with aggregates
     """{ events { runs(by: ["event_type"], orderBy: ["ts", "event_id"], counts: "n",
            aggregate: {min: [{name: "value", alias: "v"}]}) { count } } }""",

@@ -95,7 +95,10 @@ class Dataset:
         if self._source is not None and self._ops is not None:
             try:
                 return sqlrender.render(self)
-            except sqlrender.Unrenderable:
+            except Exception:
+                # Unrenderable is the designed signal, but a renderer bug on
+                # an exotic Catalyst rendering must degrade to the plan dump,
+                # not surface as a GraphQL field error
                 pass
         return self.df._jdf.queryExecution().optimizedPlan().toString()
 

@@ -411,19 +411,21 @@ def map_column_type() -> GraphQLObjectType:
     distinct key space, ``length`` the per-row entry counts."""
     if "MapColumn" not in _column_types:
 
-        def _keys(source, info):
+        def _keys(source, info, limit=Undefined):
+            # Distinct-key collect is driver-side: cap like values/distinct.
             ds, name = source
-            rows = (
+            df = (
                 ds.df.select(F.explode_outer(F.map_keys(F.col(name))).alias("k"))
                 .select(F.col("k").cast("string").alias("k"))
                 .distinct()
-                .collect()
             )
+            rows = _capped_rows(ds, df, limit)
             return sorted((r["k"] for r in rows), key=lambda k: (k is None, k))
 
         def _lengths(source, info):
             ds, name = source
-            return [r[0] for r in ds.df.select(F.size(F.col(name))).collect()]
+            df = ds.df.select(F.size(F.col(name)))
+            return [r[0] for r in _capped_rows(ds, df, Undefined)]
 
         _column_types["MapColumn"] = GraphQLObjectType(
             "MapColumn",
@@ -434,7 +436,11 @@ def map_column_type() -> GraphQLObjectType:
                     resolve=_resolve_json_values,
                 ),
                 "count": GraphQLField(BigInt, resolve=_col_agg(F.count)),
-                "keys": GraphQLField(StringList, resolve=_keys),
+                "keys": GraphQLField(
+                    StringList,
+                    args={"limit": GraphQLArgument(GraphQLInt)},
+                    resolve=_keys,
+                ),
                 "length": GraphQLField(GraphQLList(BigInt), resolve=_lengths),
             },
         )

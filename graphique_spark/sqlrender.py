@@ -70,27 +70,40 @@ def _collect_aliases(jplan, out: dict[str, str]) -> None:
 _INTERNAL_ATTR = re.compile(r"\b(_we\d+|_w\d+)\b")
 
 
-def _walk_alias(jplan, tag: str) -> str | None:
+def _walk_alias(jplan, tag: str, protected: frozenset[str] = frozenset()) -> str | None:
     """SQL of the Alias named ``tag``, with Catalyst-internal window
     attributes inlined: analysis extracts window expressions into their own
     Window node (aliased ``_we0``...), so a composite like
     ``coalesce(x > lag(x) OVER w, false)`` projects ``coalesce(_we0,
-    false)`` — the extracted expressions' SQL is substituted back in."""
+    false)`` — the extracted expressions' SQL is substituted back in.
+
+    ``protected`` holds the input frame's real column names: a user column
+    that happens to be named ``_we0``/``_w1`` must survive untouched rather
+    than being mistaken for an extracted window attribute."""
     aliases: dict[str, str] = {}
     _collect_aliases(jplan, aliases)
     sql = aliases.get(tag)
     if sql is None:
         return None
+
+    def _inline(m: re.Match) -> str:
+        name = m.group(0)
+        if name not in aliases:
+            return name
+        if name in protected:
+            # the printed token could mean either the real column or the
+            # extracted window attribute — no safe rendering exists
+            raise Unrenderable(f"column name {name!r} collides with an internal attribute")
+        return f"({aliases[name]})"
+
     for _ in range(10):  # nested extractions resolve in a few rounds
-        replaced = _INTERNAL_ATTR.sub(
-            lambda m: f"({aliases[m.group(0)]})" if m.group(0) in aliases else m.group(0),
-            sql,
-        )
+        replaced = _INTERNAL_ATTR.sub(_inline, sql)
         if replaced == sql:
             break
         sql = replaced
-    if _INTERNAL_ATTR.search(sql):
-        raise Unrenderable(f"unresolved internal attribute in rendering: {sql}")
+    for m in _INTERNAL_ATTR.finditer(sql):
+        if m.group(0) not in protected:
+            raise Unrenderable(f"unresolved internal attribute in rendering: {sql}")
     return sql
 
 
@@ -128,8 +141,13 @@ def _fix_lambdas(sql: str) -> str:
         end = None
         while i < len(out):
             ch = out[i]
-            if ch == "'":  # skip string literals
-                i = out.index("'", i + 1)
+            if ch == "'":  # skip string literals (backslash-escape aware)
+                j = i + 1
+                while j < len(out) and out[j] != "'":
+                    j += 2 if out[j] == "\\" else 1
+                if j >= len(out):
+                    raise Unrenderable("unterminated string literal in rendering")
+                i = j
             elif ch == "(":
                 depth += 1
             elif ch == ")":
@@ -166,7 +184,7 @@ def expr_sql(df: DataFrame, col: Column) -> str:
         plan = df.select(col.alias(tag))._jdf.queryExecution().analyzed()
     except Exception as exc:  # unresolvable against this frame
         raise Unrenderable(str(exc)) from exc
-    sql = _walk_alias(plan, tag)
+    sql = _walk_alias(plan, tag, protected=frozenset(df.columns))
     if sql is None:
         raise Unrenderable("alias not found in analyzed plan")
     return _fix_lambdas(sql)
@@ -298,6 +316,12 @@ class _Renderer:
             # a projection can drop/rename columns the pending WHERE reads;
             # keep evaluation order explicit
             block = self.wrap(block)
+        if any(isinstance(c, str) and (c == "*" or c.endswith(".*")) for c in cols):
+            # a star item expands to an input-dependent column list; even a
+            # single-field "st.*" would render as a broken quoted identifier
+            raise Unrenderable("select with star expansion is not renderable")
+        if len(cols) != len(out_df.columns):
+            raise Unrenderable("select item count does not match output columns")
         items = []
         for c, name in zip(cols, out_df.columns):
             if isinstance(c, str):
@@ -370,6 +394,11 @@ class _Renderer:
             return block
         aggs = [f"{sql} AS {quote(name)}" for name, sql in agg_sqls(df, aggcols)]
         block.select = keys + aggs
+        if not by and kind in ("rollup", "cube"):
+            # ROLLUP()/CUBE() is invalid SQL; zero-key rollup/cube is the
+            # single grand-total group, i.e. a global aggregate
+            block.select = aggs
+            return block
         if kind == "rollup":
             block.group_by = f"ROLLUP({', '.join(keys)})"
         elif kind == "cube":
@@ -406,7 +435,7 @@ class _Renderer:
 
     @staticmethod
     def _over(over: Sequence[str], order_items: list[str]) -> str:
-        part = f"PARTITION BY {', '.join(quote(c) for c in over)} " if over else ""
+        part = f"PARTITION BY {', '.join(col_ref(c) for c in over)} " if over else ""
         return part + "ORDER BY " + ", ".join(order_items)
 
     def _window_filter(self, block, columns, window_sql: str, cond: str) -> _Block:
@@ -431,7 +460,7 @@ class _Renderer:
             )
         if not block.plain or block.where:
             block = self.wrap(block)
-        part = ", ".join(quote(c) for c in on)
+        part = ", ".join(col_ref(c) for c in on)
         if keep is None:  # drop ALL duplicated rows
             block.select = [quote(c) for c in columns] + [
                 f"COUNT(1) OVER (PARTITION BY {part}) AS __n"

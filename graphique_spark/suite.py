@@ -1057,6 +1057,65 @@ def graphql_to_sql_roundtrip(spark, sf_dir):
 
 
 @query(
+    "column_leaf_aggregates",
+    """
+    SELECT CAST(count(o_totalprice) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS uniq,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total,
+           floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS mean_v,
+           floor(stddev_samp(o_totalprice) * 10000 + 0.5) / 10000 AS std_v,
+           floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS q25,
+           floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS q50,
+           floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS q75,
+           min(o_orderpriority) AS p_lo,
+           max(o_orderpriority) AS p_hi,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_uniq
+    FROM orders
+    """,
+)
+def column_leaf_aggregates(spark, sf_dir):
+    """Typed per-column aggregate leaves through the *service* path
+    (reference Column fields, models.py:70-191): a GraphQL selection of
+    count/nunique/min/max/sum/mean/std/quantile on a numeric column and
+    min/max/nunique on a string column, executed by the generated schema's
+    resolvers (service/schema.py:266-316), re-shaped into one comparable
+    row. Each leaf is a single Spark aggregate job — no driver-side column
+    materialization."""
+    import math
+
+    from graphique_spark.service import GraphQLService
+
+    svc = GraphQLService({"orders": table(spark, sf_dir, "orders")})
+    data = svc.execute(
+        """{ columns {
+               o_totalprice { count nunique min max sum mean std
+                              quantile(q: [0.25, 0.5, 0.75]) }
+               o_orderpriority { min max nunique } } }"""
+    )
+    tp = data["columns"]["o_totalprice"]
+    pri = data["columns"]["o_orderpriority"]
+
+    def fr(value, digits):  # same floor(x*scale+0.5)/scale as the oracle
+        scale = 10 ** digits
+        return math.floor(value * scale + 0.5) / scale
+
+    row = (
+        tp["count"], tp["nunique"], tp["min"], tp["max"],
+        fr(tp["sum"], 2), fr(tp["mean"], 4), fr(tp["std"], 4),
+        fr(tp["quantile"][0], 4), fr(tp["quantile"][1], 4), fr(tp["quantile"][2], 4),
+        pri["min"], pri["max"], pri["nunique"],
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="cnt bigint, uniq bigint, lo double, hi double, total double, "
+        "mean_v double, std_v double, q25 double, q50 double, q75 double, "
+        "p_lo string, p_hi string, p_uniq bigint",
+    )
+
+
+@query(
     "asof_tolerance",
     """
     SELECT e.event_id,

@@ -555,6 +555,29 @@ def test_values_cap_guards_driver(spark, tables):
         spark.conf.unset("spark.graphique.maxValues")
 
 
+def test_map_column_leaves_respect_cap(spark):
+    """MapColumn ``length``/``keys`` route through the same driver-collect
+    cap as values/distinct (VERDICT r11: they previously bypassed it — an
+    unbounded collect on a 100 TB map column)."""
+    from graphique_spark import Dataset
+    from graphique_spark.service import GraphQLError, GraphQLService
+
+    rows = [({f"k{i}": float(i)},) for i in range(20)]
+    df = spark.createDataFrame(rows, "m map<string,double>")
+    svc = GraphQLService(Dataset(df))
+    spark.conf.set("spark.graphique.maxValues", "10")
+    try:
+        with pytest.raises(GraphQLError, match="maxValues"):
+            svc.execute("{ columns { m { length } } }")
+        with pytest.raises(GraphQLError, match="maxValues"):
+            svc.execute("{ columns { m { keys } } }")
+        # an explicit limit bypasses the cap, like values
+        data = svc.execute("{ columns { m { keys(limit: 5) } } }")
+        assert len(data["columns"]["m"]["keys"]) == 5
+    finally:
+        spark.conf.unset("spark.graphique.maxValues")
+
+
 def test_time_scalar_surfacing(spark):
     import datetime as dt
 

@@ -329,3 +329,105 @@ def test_nested_struct_select_and_unpack_render(spark):
     up = ds.unpack("st")
     assert spark.sql(up.to_sql()).columns == up.df.columns
     assert _rows(spark.sql(up.to_sql())) == _rows(up.df)
+
+
+# -- ADVICE r11 pins: renderer edge cases must fall back (or render right),
+# never emit silently-wrong SQL ------------------------------------------------
+
+
+def test_star_select_falls_back(spark):
+    """A star-expanding select item breaks 1:1 item/column alignment; the
+    old zip silently truncated, producing broken SQL. Must fall back."""
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame([(1, (10,))], "k int, st struct<a:int>")
+    ds = roots({"t_star": df})["t_star"]
+    # single-field struct: lengths would still match — the explicit star
+    # guard, not the length check, has to catch it
+    assert not ds.select("k", "st.*").to_sql().startswith("SELECT")
+    assert not ds.select("*").to_sql().startswith("SELECT")
+
+
+def test_internal_attr_named_column_renders_or_falls_back(spark):
+    """A user column literally named _we0/_w1 must never be silently
+    replaced by an extracted window expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 3), (3, "b", 9)], "`_we0` int, g string, v int"
+    )
+    ds = roots({"t_we": df})["t_we"]
+    df.createOrReplaceTempView("t_we")
+    # no window extraction: the raw column name passes through untouched
+    plain = ds.project({"double_we": F.col("_we0") * 2}).select("g", "double_we")
+    sql = plain.to_sql()
+    if sql.startswith("SELECT"):
+        assert _rows(spark.sql(sql)) == _rows(plain.df)
+    # window extraction over the colliding name: ambiguous — render only if
+    # the results still match, otherwise it must have fallen back
+    w = Window.partitionBy("g").orderBy("_we0")
+    ranked = ds.project({"r": F.rank().over(w)}).select("g", "r")
+    sql = ranked.to_sql()
+    if sql.startswith("SELECT"):
+        assert _rows(spark.sql(sql)) == _rows(ranked.df)
+
+
+def test_escaped_quote_literal_in_lambda(spark):
+    """Backslash-escaped quotes inside Catalyst string literals must not
+    derail the lambda scanner (old code raised ValueError through toSql)."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark import sqlrender
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame([(["x", "y"],), (["z"],)], "arr array<string>")
+    ds = roots({"t_esc": df})["t_esc"]
+    df.createOrReplaceTempView("t_esc")
+    col = F.transform("arr", lambda x: F.concat(x, F.lit("it's ( tricky")))
+    out = ds.project({"tagged": col}).select("tagged")
+    sql = out.to_sql()  # must not raise, whatever path it takes
+    if sql.startswith("SELECT"):
+        assert _rows(spark.sql(sql)) == _rows(out.df)
+    # the renderer itself either renders correctly or raises Unrenderable
+    try:
+        rendered = sqlrender.expr_sql(df, col.alias("tagged"))
+    except sqlrender.Unrenderable:
+        rendered = None
+    if rendered is not None:
+        got = spark.sql(f"SELECT {rendered} AS tagged FROM t_esc")
+        assert _rows(got) == _rows(df.select(col.alias("tagged")))
+
+
+def test_empty_by_rollup_cube_render_as_global(spark, tables):
+    """ROLLUP()/CUBE() with no keys is invalid SQL; the zero-key form is the
+    grand total and must render as a global aggregate."""
+    for maker in ("rollup", "cube"):
+        ds = getattr(tables["orders"], maker)(by=[], counts="n")
+        sql = ds.to_sql()
+        assert sql.startswith("SELECT"), f"{maker} fell back:\n{sql}"
+        assert "ROLLUP()" not in sql and "CUBE()" not in sql
+        assert _rows(spark.sql(sql)) == _rows(ds.df)
+
+
+def test_dotted_partition_keys_render(spark):
+    """Dotted nested names used as window/distinct partition keys must
+    render as nested access (col_ref), not one backticked identifier."""
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame(
+        [(1, (1, "x")), (2, (1, "y")), (3, (2, "z")), (4, (2, "w"))],
+        "k int, st struct<g:int,t:string>",
+    )
+    ds = roots({"t_dotpart": df})["t_dotpart"]
+    df.createOrReplaceTempView("t_dotpart")
+    topk = ds.order(by=["-k"], limit=1, over=["st.g"])
+    sql = topk.to_sql()
+    assert sql.startswith("SELECT"), f"fallback:\n{sql}"
+    assert _rows(spark.sql(sql)) == _rows(topk.df)
+    dedup = ds.distinct(on=["st.g"], keep="first", order_by=["k"])
+    sql = dedup.to_sql()
+    assert sql.startswith("SELECT"), f"fallback:\n{sql}"
+    assert _rows(spark.sql(sql)) == _rows(dedup.df)

@@ -39,6 +39,11 @@ CONF_MATRIX = {
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
     "force_smj": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "shuffle_p7": {"spark.sql.shuffle.partitions": "7"},
+    # codegen-off exercises the interpreted expression fallback paths
+    "codegen_off": {"spark.sql.codegen.wholeStage": "false"},
+    # ANSI mode turns silent-null arithmetic (div/0, overflow, bad casts)
+    # into errors — any query relying on permissive NULLs diverges here
+    "ansi_on": {"spark.sql.ansi.enabled": "true"},
 }
 
 
@@ -95,14 +100,25 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     args = [a for a in sys.argv[1:] if a not in ("--strict", "--conf-matrix")]
+    chosen = None
+    for arg in list(args):
+        if arg.startswith("--configs="):  # e.g. --configs=codegen_off,ansi_on
+            chosen = arg.split("=", 1)[1].split(",")
+            args.remove(arg)
+            unknown_cfg = [c for c in chosen if c not in CONF_MATRIX and c != "default"]
+            if unknown_cfg:
+                raise SystemExit(f"unknown config(s): {unknown_cfg} (see CONF_MATRIX)")
     unknown = [a for a in args if a not in queries]
     if unknown:
         raise SystemExit(f"unknown query name(s): {unknown} (see queries())")
     wanted = args or list(queries)
 
-    configs = [("default", {})]
-    if "--conf-matrix" in sys.argv:
-        configs += list(CONF_MATRIX.items())
+    if chosen is not None:
+        configs = [(c, CONF_MATRIX.get(c, {})) for c in chosen]
+    else:
+        configs = [("default", {})]
+        if "--conf-matrix" in sys.argv:
+            configs += list(CONF_MATRIX.items())
     total_failed = 0
     for conf_name, conf in configs:
         saved = {key: spark.conf.get(key) for key in conf}

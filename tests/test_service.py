@@ -925,23 +925,40 @@ def test_persist_registry_thread_stress(service, spark, docs):
     finish no persisted RDD blocks may survive — the refcounted registry
     must end at zero no matter how acquires/releases interleaved."""
     import concurrent.futures
+    import math
     import time
 
     jsc = spark.sparkContext._jsc
 
-    def settled_rdd_count():
-        prev, stable = -1, 0
-        for _ in range(60):
+    def drained_rdd_count(target, timeout=30.0):
+        """Block-drop after unpersist(blocking=False) is ASYNC; on a loaded
+        box a short 'stable for 0.3s' heuristic reads mid-drain plateaus as
+        settled (observed in full-suite runs at 57 min of sustained load).
+        Wait until the count reaches ``target`` or the timeout expires —
+        only a count that NEVER drains is a leak."""
+        deadline = time.monotonic() + timeout
+        cur = jsc.getPersistentRDDs().size()
+        while cur > target and time.monotonic() < deadline:
+            time.sleep(0.2)
             cur = jsc.getPersistentRDDs().size()
-            stable = stable + 1 if cur == prev else 0
-            if stable >= 3:
-                return cur
-            prev = cur
-            time.sleep(0.1)
-        return prev
+        return cur
+
+    def approx_eq(a, b):
+        """Exact on everything except floats: Spark gives no fp summation
+        -order guarantee between cached and uncached executions of the
+        same plan, so sums differ in the last bit across runs."""
+        if isinstance(a, float) and isinstance(b, float):
+            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9) or (
+                math.isnan(a) and math.isnan(b)
+            )
+        if isinstance(a, dict) and isinstance(b, dict):
+            return a.keys() == b.keys() and all(approx_eq(a[k], b[k]) for k in a)
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(map(approx_eq, a, b))
+        return a == b
 
     expected = [service.execute(d) for d in docs]
-    baseline = settled_rdd_count()
+    baseline = drained_rdd_count(0)
     cache_manager = spark._jsparkSession.sharedState().cacheManager()
     was_empty = cache_manager.isEmpty()
 
@@ -951,8 +968,8 @@ def test_persist_registry_thread_stress(service, spark, docs):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(run, range(24)))
     for qi, data in results:
-        assert data == expected[qi]
+        assert approx_eq(data, expected[qi]), (data, expected[qi])
 
-    assert settled_rdd_count() <= baseline
+    assert drained_rdd_count(baseline) <= baseline
     if was_empty:
         assert cache_manager.isEmpty()

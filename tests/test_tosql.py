@@ -431,3 +431,32 @@ def test_dotted_partition_keys_render(spark):
     sql = dedup.to_sql()
     assert sql.startswith("SELECT"), f"fallback:\n{sql}"
     assert _rows(spark.sql(sql)) == _rows(dedup.df)
+
+
+TRICKY_LITERALS = [
+    "it's", "a\\b", 'q"x', "two''quotes", "mix\\'ed", "%_like", "`tick`",
+    "tab\there", "new\nline",
+]
+
+
+@pytest.mark.parametrize("lit", TRICKY_LITERALS, ids=range(len(TRICKY_LITERALS)))
+def test_tricky_string_literals_render(spark, lit):
+    """Catalyst literal renderings containing quotes/backslashes/control
+    chars must either round-trip exactly through expr_sql or raise
+    Unrenderable — never silently produce SQL that evaluates differently."""
+    from pyspark.sql import functions as F
+
+    from graphique_spark import sqlrender
+
+    df = spark.createDataFrame([("x",), ("it's",), (None,)], "s string")
+    df.createOrReplaceTempView("__tricky_lit")
+    col = F.when(F.col("s") == lit, F.lit("hit")).otherwise(
+        F.concat(F.coalesce(F.col("s"), F.lit("?")), F.lit(lit))
+    )
+    expected = _rows(df.select(col.alias("o")))
+    try:
+        rendered = sqlrender.expr_sql(df, col.alias("o"))
+    except sqlrender.Unrenderable:
+        return  # honest fallback is acceptable
+    got = _rows(spark.sql(f"SELECT {rendered} AS o FROM __tricky_lit"))
+    assert got == expected, f"literal {lit!r} mis-rendered as: {rendered}"

@@ -88,8 +88,9 @@ class Dataset:
         Parquet roots render standalone (``parquet.`/path```); named roots
         render as table identifiers the session must resolve (catalog
         tables or registered temp views). Chains containing an operator
-        with no SQL-text equivalent (asofJoin, take, runs...) fall back to
-        the optimized logical plan dump."""
+        with no SQL-text equivalent (synthesized-index take, first-seen
+        group order, arbitrary-tiebreak distinct) fall back to the
+        optimized logical plan dump."""
         from graphique_spark import sqlrender
 
         if self._source is not None and self._ops is not None:
@@ -569,7 +570,15 @@ class Dataset:
         return self._wrap(ldf.join(rdf, on=cond, how=how), op)
 
     def asof_join(self, right: "Dataset | DataFrame | str", on: str, **kwargs) -> "Dataset":
-        return self._wrap(asof_join(self.df, self._resolve(right), on, **kwargs))
+        robj = self._resolve_ds(right)
+        # renderable when the right side has a recorded chain: SQL text
+        # re-expresses the union+last-window composition (sqlrender.op_asof)
+        op = (
+            ("asof", self.df, {"right": robj, "on": on, "kwargs": dict(kwargs)})
+            if robj is not None
+            else None
+        )
+        return self._wrap(asof_join(self.df, self._resolve(right), on, **kwargs), op)
 
     def cross_join(self, *rights: "Dataset | DataFrame | str") -> "Dataset":
         df = self.df

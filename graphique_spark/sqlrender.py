@@ -620,6 +620,118 @@ class _Renderer:
             return _Block(self._sub(f"SELECT /*+ BROADCAST({rname}) */ *\nFROM {src}"))
         return _Block(src)
 
+    def op_asof(self, block, df, right, on: str, kwargs: dict):
+        """As-of join as SQL text: the same union + last-value-window
+        composition the DataFrame path uses (operators/asof.py — reference
+        ``asofJoin``, interface.py:354-383). Spark SQL has no ASOF JOIN
+        keyword, but the semantics are plain SQL: union both sides tagged
+        by side, carry the latest right payload forward per key along the
+        time axis, keep left rows. The keyless DataFrame path additionally
+        uses a two-phase partition carry to avoid a single-task global
+        window — a *physical* optimization the SQL text doesn't have to
+        reproduce (same precedent as op_runs)."""
+        from graphique_spark.operators.asof import _orderable
+
+        right_on = kwargs.get("right_on") or on
+        by = list(kwargs.get("by") or ())
+        right_by = list(kwargs.get("right_by") or by)
+        direction = kwargs.get("direction", "backward")
+        tolerance = kwargs.get("tolerance")
+        suffix = kwargs.get("suffix", "_r")
+        if direction not in ("backward", "forward"):
+            raise Unrenderable(f"asof direction {direction!r}")
+        if len(by) != len(right_by):
+            raise Unrenderable("asof by/right_by length mismatch")
+        rdf = right.df
+        payload_cols = [c for c in rdf.columns if c not in right_by and c != right_on]
+        if not payload_cols:
+            raise Unrenderable("asof join with no right payload columns")
+        if not (
+            _orderable(rdf.schema[right_on].dataType)
+            and all(_orderable(rdf.schema[c].dataType) for c in payload_cols)
+        ):
+            # without the greatest-payload tie-break the match among right
+            # rows sharing (keys, on) is arbitrary — no SQL text can pin it
+            raise Unrenderable("asof tie-break nondeterministic for unorderable payload")
+        internal = {"__side", "__p", "__t", "__pf", "__tf"}
+        if internal & (set(df.columns) | set(rdf.columns)):
+            raise Unrenderable("asof internal column name collision")
+        renames = {c: (c + suffix if c in df.columns else c) for c in payload_cols}
+        tol_sql = None
+        if tolerance is not None:
+            tol_sql = tolerance if isinstance(tolerance, str) else expr_sql(df, tolerance)
+        struct_ddl = "struct<" + ",".join(
+            f"`{c}`:{rdf.schema[c].dataType.simpleString()}" for c in payload_cols
+        ) + ">"
+        on_ddl = rdf.schema[right_on].dataType.simpleString()
+
+        lhs = _Block(
+            self._sub(block.render()),
+            select=[quote(c) for c in df.columns]
+            + [
+                "1 AS __side",
+                f"CAST(NULL AS {struct_ddl}) AS __p",
+                f"CAST(NULL AS {on_ddl}) AS __t",
+            ],
+        )
+        key_map = dict(zip(by, right_by))
+        r_items = []
+        for c in df.columns:
+            if c in key_map:
+                r_items.append(f"{quote(key_map[c])} AS {quote(c)}")
+            elif c == on:
+                r_items.append(f"{quote(right_on)} AS {quote(c)}")
+            else:
+                ddl = df.schema[c].dataType.simpleString()
+                r_items.append(f"CAST(NULL AS {ddl}) AS {quote(c)}")
+        named = ", ".join(
+            "'" + c.replace("'", "''") + f"', {quote(c)}" for c in payload_cols
+        )
+        r_items += [
+            "0 AS __side",
+            f"named_struct({named}) AS __p",
+            f"{quote(right_on)} AS __t",
+        ]
+        rhs = _Block(self._sub(self._right_text(right)), select=r_items)
+        # a right row with NULL `on` has no position on the time axis
+        # (operators/asof.py drops it pre-union)
+        rhs.where.append(f"{quote(right_on)} IS NOT NULL")
+        unioned = self._sub(f"({lhs.render()})\nUNION ALL\n({rhs.render()})")
+
+        on_item = f"{quote(on)} DESC NULLS FIRST" if direction == "forward" else quote(on)
+        part = f"PARTITION BY {', '.join(col_ref(b) for b in by)} " if by else ""
+        w = (
+            f"({part}ORDER BY {on_item}, __side, __p "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        mid = _Block(
+            unioned,
+            select=[quote(c) for c in df.columns]
+            + [
+                "__side",
+                f"last(__p, true) OVER {w} AS __pf",
+                f"last(__t, true) OVER {w} AS __tf",
+            ],
+        )
+        outer = _Block(self._sub(mid.render()))
+        outer.where.append("__side = 1")
+        if tol_sql is None:
+            payload_ref = "__pf"
+        elif direction == "backward":
+            payload_ref = (
+                f"CASE WHEN __tf IS NOT NULL AND {quote(on)} <= __tf + ({tol_sql}) "
+                "THEN __pf END"
+            )
+        else:
+            payload_ref = (
+                f"CASE WHEN __tf IS NOT NULL AND __tf <= {quote(on)} + ({tol_sql}) "
+                "THEN __pf END"
+            )
+        outer.select = [quote(c) for c in df.columns] + [
+            f"({payload_ref}).{quote(c)} AS {quote(renames[c])}" for c in payload_cols
+        ]
+        return outer
+
     def op_cross(self, block, df, rights: Sequence):
         src = self._sub(block.render())
         for right in rights:

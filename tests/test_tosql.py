@@ -162,16 +162,37 @@ def test_startup_projection_rename_renders(spark):
 
 
 def test_unrenderable_falls_back_to_plan_dump(spark, service):
-    """Chains through an operator with no SQL equivalent (asofJoin) fall
-    back to the optimized-plan dump instead of rendering wrong SQL."""
+    """Chains through an operator with no SQL equivalent (takeFrom against
+    a synthesized scan-order row index) fall back to the optimized-plan
+    dump instead of rendering wrong SQL."""
     from graphique_spark.service.translate import compile_dataset
 
     ds = compile_dataset(
         service,
-        """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"]) { count } } }""",
+        """{ orders { takeFrom(field: "o_custkey", source: "customer") { count } } }""",
     )
     sql = ds.to_sql()
     assert not sql.startswith("SELECT")  # plan dump, not SQL text
+
+
+def test_asof_join_renders_union_window_sql(spark, service):
+    """asofJoin renders as the union+last-window SQL composition and the
+    rendered text reproduces the frame, with keys, tolerance, and both
+    directions (r12: previously a documented fallback)."""
+    from graphique_spark.service.translate import compile_dataset
+
+    for doc in [
+        """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"]) { count } } }""",
+        """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"],
+             direction: "forward") { count } } }""",
+        """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"],
+             toleranceIso: "PT30M") { count } } }""",
+    ]:
+        ds = compile_dataset(service, doc)
+        sql = ds.to_sql()
+        assert sql.startswith("SELECT"), f"fallback for {doc}:\n{sql}"
+        assert spark.sql(sql).columns == ds.df.columns
+        assert _rows(spark.sql(sql)) == _rows(ds.df)
 
 
 def test_nondeterministic_distinct_falls_back(spark, service):

@@ -481,3 +481,34 @@ def test_tricky_string_literals_render(spark, lit):
         return  # honest fallback is acceptable
     got = _rows(spark.sql(f"SELECT {rendered} AS o FROM __tricky_lit"))
     assert got == expected, f"literal {lit!r} mis-rendered as: {rendered}"
+
+
+def test_asof_render_edges(spark):
+    """asof toSql edges: right_on != on, right_by != by, payload-name
+    collisions (suffixed), and duplicate right timestamps resolved by the
+    deterministic greatest-payload tie-break."""
+    from graphique_spark.sources import roots
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (2, 5, "d"), (1, None, "e")],
+        "k int, t int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r1"), (1, 10, "r2"), (1, 18, "r3"), (2, 14, "r4"), (3, 1, "r5"),
+         (1, None, "r6")],
+        "rk int, rt int, v string",
+    )
+    pair = roots({"t_asof_l": left, "t_asof_r": right})
+    left.createOrReplaceTempView("t_asof_l")
+    right.createOrReplaceTempView("t_asof_r")
+    for kw in [
+        dict(right_on="rt", by=["k"], right_by=["rk"]),
+        dict(right_on="rt", by=["k"], right_by=["rk"], direction="forward"),
+        dict(right_on="rt", by=["k"], right_by=["rk"], tolerance="3"),
+        dict(right_on="rt"),  # keyless global as-of
+    ]:
+        ds = pair["t_asof_l"].asof_join(pair["t_asof_r"], on="t", **kw)
+        sql = ds.to_sql()
+        assert sql.startswith("SELECT"), f"fallback for {kw}:\n{sql}"
+        assert spark.sql(sql).columns == ds.df.columns  # v collides -> v_r
+        assert _rows(spark.sql(sql)) == _rows(ds.df), kw

@@ -41,6 +41,18 @@ def _orderable(dt) -> bool:
     return True
 
 
+def asof_spec(
+    left_columns: Sequence[str], right_columns: Sequence[str],
+    right_on: str, right_by: Sequence[str], suffix: str,
+) -> tuple[list[str], dict[str, str]]:
+    """(payload_cols, renames) — the single source of the payload/rename
+    derivation, shared by both execution strategies and the SQL renderer
+    (sqlrender.op_asof) so rendered text and execution cannot drift."""
+    payload_cols = [c for c in right_columns if c not in right_by and c != right_on]
+    renames = {c: (c + suffix if c in left_columns else c) for c in payload_cols}
+    return payload_cols, renames
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -73,8 +85,7 @@ def asof_join(
     if strategy == "range":
         return _asof_range(left, right, on, right_on, by, right_by, tolerance, direction, suffix)
 
-    payload_cols = [c for c in right.columns if c not in right_by and c != right_on]
-    renames = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+    payload_cols, renames = asof_spec(left.columns, right.columns, right_on, right_by, suffix)
 
     # a right row with a NULL `on` has no position on the time axis and
     # can never be "the nearest" (the range strategy's comparison already
@@ -216,8 +227,7 @@ def _asof_range(
     suffix: str,
 ) -> DataFrame:
     """Range-join variant: bounded candidate window + keep nearest."""
-    payload_cols = [c for c in right.columns if c not in right_by and c != right_on]
-    renames = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+    payload_cols, renames = asof_spec(left.columns, right.columns, right_on, right_by, suffix)
     r = right.select(
         *[F.col(rb).alias(f"__r_{b}") for b, rb in zip(by, right_by)],
         F.col(right_on).alias("__r_on"),

@@ -70,6 +70,48 @@ def _collect_aliases(jplan, out: dict[str, str]) -> None:
 _INTERNAL_ATTR = re.compile(r"\b(_we\d+|_w\d+)\b")
 
 
+def _split_opaque(sql: str) -> list[tuple[str, bool]]:
+    """Split rendered SQL into (segment, opaque) runs: '...'-quoted string
+    literals (backslash-escape aware) and `...`-quoted identifiers
+    (``-escape aware) are opaque — token substitution must never look
+    inside them (a literal containing "_we0" is data, not an attribute)."""
+    out: list[tuple[str, bool]] = []
+    i = start = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            if i > start:
+                out.append((sql[start:i], False))
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 2 if sql[j] == "\\" else 1
+            if j >= n:
+                raise Unrenderable("unterminated string literal in rendering")
+            out.append((sql[i : j + 1], True))
+            i = start = j + 1
+        elif ch == "`":
+            if i > start:
+                out.append((sql[start:i], False))
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":  # escaped backtick
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                raise Unrenderable("unterminated quoted identifier in rendering")
+            out.append((sql[i : j + 1], True))
+            i = start = j + 1
+        else:
+            i += 1
+    if start < n:
+        out.append((sql[start:], False))
+    return out
+
+
 def _walk_alias(jplan, tag: str, protected: frozenset[str] = frozenset()) -> str | None:
     """SQL of the Alias named ``tag``, with Catalyst-internal window
     attributes inlined: analysis extracts window expressions into their own
@@ -97,13 +139,19 @@ def _walk_alias(jplan, tag: str, protected: frozenset[str] = frozenset()) -> str
         return f"({aliases[name]})"
 
     for _ in range(10):  # nested extractions resolve in a few rounds
-        replaced = _INTERNAL_ATTR.sub(_inline, sql)
+        replaced = "".join(
+            seg if opaque else _INTERNAL_ATTR.sub(_inline, seg)
+            for seg, opaque in _split_opaque(sql)
+        )
         if replaced == sql:
             break
         sql = replaced
-    for m in _INTERNAL_ATTR.finditer(sql):
-        if m.group(0) not in protected:
-            raise Unrenderable(f"unresolved internal attribute in rendering: {sql}")
+    for seg, opaque in _split_opaque(sql):
+        if opaque:
+            continue
+        for m in _INTERNAL_ATTR.finditer(seg):
+            if m.group(0) not in protected:
+                raise Unrenderable(f"unresolved internal attribute in rendering: {sql}")
     return sql
 
 
@@ -393,20 +441,18 @@ class _Renderer:
             block.distinct = True
             return block
         aggs = [f"{sql} AS {quote(name)}" for name, sql in agg_sqls(df, aggcols)]
-        block.select = keys + aggs
-        if not by and kind in ("rollup", "cube"):
-            # ROLLUP()/CUBE() is invalid SQL; zero-key rollup/cube is the
-            # single grand-total group, i.e. a global aggregate
+        if not by:
+            # zero keys: group/rollup/cube all reduce to the single
+            # grand-total row (ROLLUP()/CUBE() is invalid Spark SQL)
             block.select = aggs
             return block
+        block.select = keys + aggs
         if kind == "rollup":
             block.group_by = f"ROLLUP({', '.join(keys)})"
         elif kind == "cube":
             block.group_by = f"CUBE({', '.join(keys)})"
-        elif by:
-            block.group_by = ", ".join(keys)
         else:
-            block.select = aggs  # global aggregation: no keys, no GROUP BY
+            block.group_by = ", ".join(keys)
         return block
 
     def op_order(self, block, df, by: Sequence[str], limit, over: Sequence[str]):
@@ -630,20 +676,23 @@ class _Renderer:
         uses a two-phase partition carry to avoid a single-task global
         window — a *physical* optimization the SQL text doesn't have to
         reproduce (same precedent as op_runs)."""
-        from graphique_spark.operators.asof import _orderable
+        from graphique_spark.operators.asof import _orderable, asof_spec
 
         right_on = kwargs.get("right_on") or on
         by = list(kwargs.get("by") or ())
         right_by = list(kwargs.get("right_by") or by)
         direction = kwargs.get("direction", "backward")
         tolerance = kwargs.get("tolerance")
+        strategy = kwargs.get("strategy", "union")
         suffix = kwargs.get("suffix", "_r")
         if direction not in ("backward", "forward"):
             raise Unrenderable(f"asof direction {direction!r}")
+        if strategy not in ("union", "range"):
+            raise Unrenderable(f"asof strategy {strategy!r}")
         if len(by) != len(right_by):
             raise Unrenderable("asof by/right_by length mismatch")
         rdf = right.df
-        payload_cols = [c for c in rdf.columns if c not in right_by and c != right_on]
+        payload_cols, renames = asof_spec(df.columns, rdf.columns, right_on, right_by, suffix)
         if not payload_cols:
             raise Unrenderable("asof join with no right payload columns")
         if not (
@@ -656,7 +705,6 @@ class _Renderer:
         internal = {"__side", "__p", "__t", "__pf", "__tf"}
         if internal & (set(df.columns) | set(rdf.columns)):
             raise Unrenderable("asof internal column name collision")
-        renames = {c: (c + suffix if c in df.columns else c) for c in payload_cols}
         tol_sql = None
         if tolerance is not None:
             tol_sql = tolerance if isinstance(tolerance, str) else expr_sql(df, tolerance)
@@ -717,16 +765,19 @@ class _Renderer:
         outer.where.append("__side = 1")
         if tol_sql is None:
             payload_ref = "__pf"
-        elif direction == "backward":
-            payload_ref = (
-                f"CASE WHEN __tf IS NOT NULL AND {quote(on)} <= __tf + ({tol_sql}) "
-                "THEN __pf END"
-            )
         else:
-            payload_ref = (
-                f"CASE WHEN __tf IS NOT NULL AND __tf <= {quote(on)} + ({tol_sql}) "
-                "THEN __pf END"
-            )
+            # the bound form must match the RECORDED strategy: union bounds
+            # on the left side (l.on <= r.on + tol), range on the right
+            # (r.on >= l.on - tol) — equivalent for day-time intervals and
+            # numerics, asymmetric for calendar (month-bearing) intervals
+            # (asof.py:136-141 vs :233). Forward bounds agree.
+            if direction == "forward":
+                within = f"__tf <= {quote(on)} + ({tol_sql})"
+            elif strategy == "range":
+                within = f"__tf >= {quote(on)} - ({tol_sql})"
+            else:
+                within = f"{quote(on)} <= __tf + ({tol_sql})"
+            payload_ref = f"CASE WHEN __tf IS NOT NULL AND {within} THEN __pf END"
         outer.select = [quote(c) for c in df.columns] + [
             f"({payload_ref}).{quote(c)} AS {quote(renames[c])}" for c in payload_cols
         ]

@@ -1063,7 +1063,7 @@ def graphql_to_sql_roundtrip(spark, sf_dir):
            CAST(count(DISTINCT o_totalprice) AS BIGINT) AS uniq,
            min(o_totalprice) AS lo,
            max(o_totalprice) AS hi,
-           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total,
+           floor(sum(o_totalprice) + 0.5) AS total,
            floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS mean_v,
            floor(stddev_samp(o_totalprice) * 10000 + 0.5) / 10000 AS std_v,
            floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS q25,
@@ -1103,7 +1103,10 @@ def column_leaf_aggregates(spark, sf_dir):
 
     row = (
         tp["count"], tp["nunique"], tp["min"], tp["max"],
-        fr(tp["sum"], 2), fr(tp["mean"], 4), fr(tp["std"], 4),
+        # the global double sum is order-dependent to ~1e-3 absolute at this
+        # magnitude (~2e9); integer rounding leaves a 500x noise margin
+        # where cent rounding left ~5x
+        fr(tp["sum"], 0), fr(tp["mean"], 4), fr(tp["std"], 4),
         fr(tp["quantile"][0], 4), fr(tp["quantile"][1], 4), fr(tp["quantile"][2], 4),
         pri["min"], pri["max"], pri["nunique"],
     )

@@ -512,3 +512,74 @@ def test_asof_render_edges(spark):
         assert sql.startswith("SELECT"), f"fallback for {kw}:\n{sql}"
         assert spark.sql(sql).columns == ds.df.columns  # v collides -> v_r
         assert _rows(spark.sql(sql)) == _rows(ds.df), kw
+
+
+def test_internal_attr_token_inside_string_literal(spark):
+    """A string LITERAL spelling an internal window-attribute name (_we0)
+    is data: substitution must not rewrite it (review r12: the literal-
+    blind scan returned silently wrong SQL), and it must not trigger a
+    spurious collision when a real _we0 column also exists."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphique_spark.sources import roots
+
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 3), (3, "h", 9)], "id int, g string, v int"
+    )
+    ds = roots({"t_lit_we": df})["t_lit_we"]
+    df.createOrReplaceTempView("t_lit_we")
+    w = Window.partitionBy("g").orderBy("id")
+    tagged = ds.project(
+        {"tag": F.when(F.col("v") > F.lag("v").over(w), F.lit("_we0")).otherwise(F.lit("y"))}
+    ).select("id", "tag")
+    sql = tagged.to_sql()
+    assert sql.startswith("SELECT"), f"fallback:\n{sql}"
+    assert _rows(spark.sql(sql)) == _rows(tagged.df)
+    # literal '_we0' + a REAL column _we0, no window: renders untouched
+    df2 = spark.createDataFrame([(1, "x")], "`_we0` int, s string")
+    ds2 = roots({"t_lit_we2": df2})["t_lit_we2"]
+    df2.createOrReplaceTempView("t_lit_we2")
+    lit = ds2.project({"mark": F.concat(F.lit("_we0:"), F.col("s"))}).select("mark")
+    sql = lit.to_sql()
+    if sql.startswith("SELECT"):
+        assert _rows(spark.sql(sql)) == _rows(lit.df)
+
+
+def test_asof_range_strategy_month_tolerance_renders_matching_bound(spark):
+    """strategy='range' bounds candidates on the right side
+    (r.on >= l.on - tol); calendar-month arithmetic makes that asymmetric
+    with the union bound (l.on <= r.on + tol). The rendered SQL must use
+    the RECORDED strategy's bound (review r12: it silently rendered the
+    union bound, dropping matches)."""
+    import datetime as dt
+
+    from graphique_spark.sources import roots
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2023, 3, 30))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2023, 2, 28), 42.0)], "k int, rt timestamp, payload double"
+    )
+    pair = roots({"t_rng_l": left, "t_rng_r": right})
+    left.createOrReplaceTempView("t_rng_l")
+    right.createOrReplaceTempView("t_rng_r")
+    for strategy in ("range", "union"):
+        ds = pair["t_rng_l"].asof_join(
+            pair["t_rng_r"], on="t", right_on="rt", by=["k"],
+            tolerance="INTERVAL 1 MONTH", strategy=strategy,
+        )
+        sql = ds.to_sql()
+        assert sql.startswith("SELECT"), f"fallback for {strategy}:\n{sql}"
+        assert _rows(spark.sql(sql)) == _rows(ds.df), strategy
+    # the two strategies genuinely disagree here — range matches, union nulls
+    match = pair["t_rng_l"].asof_join(
+        pair["t_rng_r"], on="t", right_on="rt", by=["k"],
+        tolerance="INTERVAL 1 MONTH", strategy="range",
+    ).df.collect()
+    miss = pair["t_rng_l"].asof_join(
+        pair["t_rng_r"], on="t", right_on="rt", by=["k"],
+        tolerance="INTERVAL 1 MONTH", strategy="union",
+    ).df.collect()
+    assert match[0]["payload"] == 42.0 and miss[0]["payload"] is None

@@ -579,8 +579,20 @@ def connected_components(
         raise ValueError(f"method must be auto|label|star, got {method!r}")
     materialize = materializer(pairs, checkpoint_dir)
     edges = materialize(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # symmetrize via ONE explode pass: a union of two projections of
+        # the pair pipeline executes the (expensive) candidate-verify
+        # subplan twice — the post-shuffle jaccard/intersect work is not
+        # covered by exchange reuse. One Generate emits both directions
+        # from a single execution, then one distinct exchange.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
         .distinct()
         # materialize once: the (possibly expensive) upstream pair pipeline
         # must not re-run inside every propagation round
@@ -717,7 +729,16 @@ def _star_components(edges: DataFrame, max_iterations: int, materialize) -> Data
             .distinct()
         )
         new_edges = materialize(
-            small.union(small.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            # both directions from one execution of the small-star join
+            # (union of two projections would run it twice per round)
+            small.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    )
+                ).alias("__e")
+            ).select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
         )
         # converged when the oriented star edges are a fixed point: every
         # node's neighbors are all smaller (large-star emits nothing new).

@@ -689,6 +689,7 @@ def bigram_lm_scores(
     text: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.7,
+    checkpoint_dir: str | None = None,
 ):
     """Interpolated bigram LM perplexity (Jelinek-Mercer smoothing, the
     KenLM-style backoff CCNet filtering actually uses): per bigram position
@@ -706,14 +707,20 @@ def bigram_lm_scores(
     unhinted because web-scale vocabularies can exceed executor memory
     (AQE broadcasts when they fit). Only the two unigram-model scalars
     (T, V) touch the driver."""
-    from graphique_spark.llm.dedup import ensure_parallelism
+    from graphique_spark.llm.dedup import ensure_parallelism, materializer
 
     df = ensure_parallelism(df)
-    toks = df.select(
-        F.col(id_col),
-        F.regexp_extract_all(
-            F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0)
-        ).alias("__t"),
+    # materialized: the token arrays feed FOUR consumers (the unigram
+    # scalar pass, the vocab join side, the bigram count stream and the
+    # scoring stream) — without the cut each one re-runs the regex
+    # tokenizer over the whole corpus, the dominant per-row cost
+    toks = materializer(df, checkpoint_dir)(
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0)
+            ).alias("__t"),
+        )
     )
     uni = toks.select(F.explode("__t").alias("w"))
     vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))

@@ -4142,17 +4142,28 @@ def corpus_novelty(spark, sf_dir):
     corpus-level; this ranks documents). Both sides hash nothing here so
     the SQL oracle stays exact; at scale the gram key becomes hash60 like
     decontamination. Rolled into novelty deciles."""
-    docs = table(spark, sf_dir, "documents").df
+    docs = _spread(table(spark, sf_dir, "documents")).df
     is_new = F.col("doc_id") % 3 == 0
     grams = docs.select(
         "doc_id",
         is_new.alias("is_new"),
         F.explode(dedup.word_ngrams(F.col("text"), 3)).alias("g"),
     )
-    base = grams.where(~F.col("is_new")).select("g").distinct()
+    # single-pass per-gram fold instead of distinct(base) + broadcast
+    # left join: the join form tokenizes the corpus TWICE (one Generate
+    # per side) and broadcasts the base gram set — which cannot broadcast
+    # at real corpus scale. One groupBy(gram) sees both cohorts at once:
+    # per gram, whether the base corpus contains it and which new docs
+    # carry it (in-row distinct grams, so collect_list is per-doc-unique);
+    # exploding the doc list back out re-creates exactly the join's
+    # matched stream. Same rows, one tokenize, one gram-keyed exchange,
+    # no broadcast.
+    per_gram = grams.groupBy("g").agg(
+        F.max(F.when(~F.col("is_new"), F.lit(1))).alias("__seen"),
+        F.collect_list(F.when(F.col("is_new"), F.col("doc_id"))).alias("__docs"),
+    )
     scored = (
-        grams.where(F.col("is_new"))
-        .join(base.withColumn("__seen", F.lit(1)), on="g", how="left")
+        per_gram.select("__seen", F.explode("__docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -196,6 +196,73 @@ class Dataset:
 
     # -- aggregation ----------------------------------------------------------
 
+    @staticmethod
+    def _merge_quantile_aggs(aggregate, aggs, counts, order):
+        """Collapse multiple exact-quantile aggregates over the same column
+        into ONE ``percentile(col, array(p1, p2, ...))`` evaluation.
+
+        Spark's exact Percentile builds a value->count OpenHashMap per
+        aggregate expression, so N quantiles of the same column pay the
+        buffer build, serialization and merge N times; the array form
+        evaluates every percentage on one shared buffer — identical
+        arithmetic, identical results (same sorted counts, same
+        interpolation). Only plain quantiles merge (no where/distinct/
+        approx, scalar q); anything else keeps its own expression.
+
+        Returns (exec_aggs, post_projection); post is None when nothing
+        merges. The recorded to_sql op keeps the ORIGINAL per-alias
+        expressions, so rendered SQL is unchanged (and equivalent)."""
+        def mergeable(a):
+            return (
+                a.kind == "quantile"
+                and not a.approx
+                and a.where is None
+                and not a.distinct
+                and isinstance(a.q, (int, float))
+                and bool(a.name)
+            )
+
+        groups: dict[str, list] = {}
+        for a in aggregate:
+            if mergeable(a):
+                groups.setdefault(a.name, []).append(a)
+        groups = {n: l for n, l in groups.items() if len(l) > 1}
+        if not groups:
+            return aggs, None
+        slot = {
+            id(x): (name, j)
+            for name, lst in groups.items()
+            for j, x in enumerate(lst)
+        }
+        hidden_of: dict[str, str] = {}
+        exec_aggs, post = [], []
+        for i, a in enumerate(aggregate):
+            if id(a) in slot:
+                name, j = slot[id(a)]
+                if j == 0:
+                    hidden = f"__qmerge_{len(hidden_of)}"
+                    hidden_of[name] = hidden
+                    exec_aggs.append(
+                        F.percentile(
+                            F.col(name),
+                            F.array(*[F.lit(float(x.q)) for x in groups[name]]),
+                        ).alias(hidden)
+                    )
+                post.append(
+                    F.element_at(F.col(hidden_of[name]), j + 1).alias(a.out_name)
+                )
+            else:
+                exec_aggs.append(aggs[i])
+                post.append(F.col(a.out_name))
+        n = len(aggregate)
+        if counts:
+            exec_aggs.append(aggs[n])
+            post.append(F.col(counts))
+        if order:
+            exec_aggs.append(aggs[-1])
+            post.append(F.col(order))
+        return exec_aggs, post
+
     def group(
         self,
         by: Sequence[str] = (),
@@ -246,8 +313,11 @@ class Dataset:
             aggs.append(F.min(order).alias(order))
         if not aggs:  # distinct key combinations
             return self._wrap(df.select(*by).distinct(), op)
+        exec_aggs, post = self._merge_quantile_aggs(aggregate, aggs, counts, order)
         grouped = df.groupBy(*by) if by else df.groupBy()
-        out = grouped.agg(*aggs)
+        out = grouped.agg(*exec_aggs)
+        if post is not None:
+            out = out.select(*by, *post)
         return self._wrap(out.orderBy(order) if order else out, op)
 
     def _metadata_groups(self, path: str, by: list[str], counts: str | None) -> "Dataset":

@@ -43,7 +43,6 @@ def pagerank(
     # and contribution weights all derive from it, and without the persist
     # the (possibly expensive) upstream edge pipeline re-runs per lineage
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
-    n_parts = min(spark.sparkContext.defaultParallelism, 64)
     # node set AND the static dangling flag (no out-edges) in ONE shuffle:
     # explode each edge into (src, has_out=true) + (dst, false) and take
     # max(has_out) per node. The union-distinct + degree-join version cost
@@ -65,6 +64,24 @@ def pagerank(
         .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()  # materializes e + nodes; contrib reuses cached e
+    # partition count for the per-iteration edge side derives from the
+    # measured edge count (fixed-width rows: ~2M rows ≈ 100 MB targets the
+    # guide's 100 MB-1 GB band), not from a constant: the old
+    # min(defaultParallelism, 64) under-partitions a web-scale edge list
+    # (billions of edges across 64 tasks) and over-partitions a small one
+    # (64 near-empty tasks per iteration). The count is metadata-priced on
+    # the already-materialized cache.
+    rows_per_part = int(
+        spark.conf.get("graphique.pagerank.edgeRowsPerPartition", "2000000")
+    )
+    n_parts = max(
+        1,
+        min(
+            -(-e.count() // max(rows_per_part, 1)),
+            16 * spark.sparkContext.defaultParallelism,
+        ),
+    )
     # contribution weight per edge, co-located by src for every iteration
     contrib_edges = (
         e.join(outdeg, on="src")
@@ -72,7 +89,6 @@ def pagerank(
         .repartition(n_parts, "src")
         .persist()
     )
-    n = nodes.count()  # materializes e + nodes; contrib reuses cached e
     if n == 0:
         # empty edge frame: no nodes to rank (base would divide by zero);
         # limit(0) keeps the node column's type from the input edges

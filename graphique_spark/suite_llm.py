@@ -2499,12 +2499,20 @@ def daily_latency_percentiles(spark, sf_dir):
     query swaps in `operators.sketch.kll_quantiles`, trading exactness
     for mergeability)."""
     ev = table(spark, sf_dir, "events").df.where(F.col("event_type") == "error")
-    q = lambda p: fround(F.expr(f"percentile(value, {p})"), 4)
-    return ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+    # one percentile buffer for all three points (array form), not three:
+    # Spark's exact Percentile builds and merges its value-count map once
+    # per aggregate expression — same sorted counts, same interpolation,
+    # identical values
+    out = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        q(0.5).alias("p50"),
-        q(0.95).alias("p95"),
-        q(0.99).alias("p99"),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("__q"),
+    )
+    return out.select(
+        "day",
+        "n",
+        fround(F.element_at("__q", 1), 4).alias("p50"),
+        fround(F.element_at("__q", 2), 4).alias("p95"),
+        fround(F.element_at("__q", 3), 4).alias("p99"),
     )
 
 
@@ -2941,9 +2949,14 @@ def winsorize_clip(spark, sf_dir):
     map-side clip; the report compares clipped vs raw means and counts
     what was clipped."""
     ev = table(spark, sf_dir, "events").df
+    # both clip bounds from one percentile buffer (array form — identical
+    # arithmetic, half the aggregate state)
     bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.percentile("value", F.array(F.lit(0.05), F.lit(0.95))).alias("__b")
+    ).select(
+        "event_type",
+        F.element_at("__b", 1).alias("lo"),
+        F.element_at("__b", 2).alias("hi"),
     )
     joined = ev.join(F.broadcast(bounds), on="event_type")
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))

@@ -900,7 +900,7 @@ def tfidf_top_terms(spark, sf_dir):
 def sample_stratified(spark, sf_dir):
     """Deterministic per-stratum ~20% sample: hash over (language, id) so
     every stratum is sampled reproducibly regardless of partitioning."""
-    docs = table(spark, sf_dir, "documents").df
+    docs = _spread(table(spark, sf_dir, "documents")).df
     tagged = docs.select("doc_id", text.language_id(F.col("text")).alias("lang"))
     in_sample = (
         dedup.hash60(F.concat_ws("|", F.col("lang"), F.col("doc_id").cast("string"))) % 100 < 20
@@ -4947,6 +4947,10 @@ def _doc_urls(spark, sf_dir):
         qs,
         F.when(d % 5 == 0, F.concat(F.lit("#s"), s(d))).otherwise(F.lit("")),
     )
+    # measured: spreading here LOSES (~0.7s -> ~1.0s warm at sf0.1) — the
+    # URL derivation is cheap string concat and the downstream rollups are
+    # shuffle-bound, so the extra exchange never pays. Unlike _doc_html
+    # (regex strip chain) this stays unspread.
     docs = table(spark, sf_dir, "documents").df
     return docs.select("doc_id", "source", url.alias("url"))
 
@@ -5095,7 +5099,9 @@ _HTML_SQL = """
 
 
 def _doc_html(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").df
+    # spread before the page construction + strip chain (regex-heavy map
+    # stage; single row-group scan would serialize it)
+    docs = _spread(table(spark, sf_dir, "documents")).df
     s = lambda c: c.cast("string")
     html = F.concat(
         F.lit("<html><head><title>"), F.col("source"), F.lit("</title>"),

@@ -489,7 +489,17 @@ def phash_near_dups(
         )
     width_bits = bits // bands
     mask = (1 << width_bits) - 1
-    ids = hashes.select(F.col(id_col), F.col(hash_col).alias("dhash"))
+    from graphique_spark.llm.dedup import materializer
+
+    # materialized: the (id, hash) table feeds FIVE consumers (the
+    # distinct-hash banding input, both sides of the id re-expansion join
+    # and both sides of the identical-hash join) and its upstream is
+    # typically expensive (mapInPandas image decode, simhash vote
+    # aggregation) — renamed projections block exchange reuse, so without
+    # the cut each consumer re-runs that pipeline. One slim row per image.
+    ids = materializer(hashes)(
+        hashes.select(F.col(id_col), F.col(hash_col).alias("dhash"))
+    )
     distinct_h = ids.select("dhash").distinct()
     bandvals = F.array(
         *[

@@ -400,15 +400,20 @@ def _bucketed_pairs(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
     planes = [_hyperplane(p, len(lead)) for p in range(num_planes)]
-    from graphique_spark.llm.dedup import ensure_parallelism
+    from graphique_spark.llm.dedup import ensure_parallelism, materializer
 
     df = ensure_parallelism(df)
     pre = _with_vec_norm(df, vec_col, "__v", "__n")
-    docs = pre.select(
-        F.col(id_col).alias("id"),
-        F.col("__v").alias("v"),
-        F.col("__n").alias("nrm"),
-        lsh_bucket(F.col("__v"), planes).alias("bucket"),
+    # materialized: both join sides consume this frame through *renamed*
+    # projections, which blocks exchange reuse — without the cut the
+    # num_planes×dim bucket dot products and the norm run twice per row
+    docs = materializer(df)(
+        pre.select(
+            F.col(id_col).alias("id"),
+            F.col("__v").alias("v"),
+            F.col("__n").alias("nrm"),
+            lsh_bucket(F.col("__v"), planes).alias("bucket"),
+        )
     )
     left = docs.select(
         "bucket",

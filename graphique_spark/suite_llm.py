@@ -2449,7 +2449,10 @@ def basket_cooccurrence(spark, sf_dir):
     pair volume is bounded by lines-per-order squared — never an all-pairs
     product over the catalog; per-part counts join back unhinted (AQE
     broadcasts a catalog that fits). Heap top-20 on the support count."""
-    lines = (
+    # materialized: the distinct line set feeds FOUR consumers (the order
+    # count, both self-join sides and the per-part counts) — without the
+    # cut each one re-runs the 600k-row distinct shuffle
+    lines = dedup.materializer(spark)(
         table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_partkey").distinct()
     )
     n_orders = lines.select("l_orderkey").distinct().count()

@@ -640,7 +640,9 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     return top_k(scored, ["-score", id_col], k, ())
 
 
-def unigram_lm_scores(df, text: str = "text", id_col: str = "doc_id"):
+def unigram_lm_scores(
+    df, text: str = "text", id_col: str = "doc_id", checkpoint_dir: str | None = None
+):
     """CCNet-style LM quality signal (Wenzek et al. 2020), with the n-gram
     LM trained on the corpus itself instead of an external KenLM: add-one-
     smoothed unigram probabilities ``p(w) = (c(w)+1)/(T+V)`` from one
@@ -654,15 +656,21 @@ def unigram_lm_scores(df, text: str = "text", id_col: str = "doc_id"):
     web-corpus vocabulary can exceed executor memory (AQE broadcasts when
     it actually fits). Nothing touches the driver except the two model
     scalars (T, V)."""
-    from graphique_spark.llm.dedup import ensure_parallelism
+    from graphique_spark.llm.dedup import ensure_parallelism, materializer
 
     df = ensure_parallelism(df)
-    terms = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
-        ).alias("term"),
+    # materialized at the token-ARRAY level (one slim row per doc, like
+    # bigram_lm_scores): the regex tokenizer otherwise re-runs for each of
+    # its three consumers (vocabulary count, model scalars, scoring join)
+    toks = materializer(df, checkpoint_dir)(
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0)
+            ).alias("__t"),
+        )
     )
+    terms = toks.select(F.col(id_col), F.explode("__t").alias("term"))
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total, vsize = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
     if not vsize:

@@ -594,7 +594,7 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     vocabulary never materializes and nothing joins. Selection is
     ``TakeOrderedAndProject`` (per-partition heaps), never a global sort.
     """
-    from graphique_spark.llm.dedup import ensure_parallelism
+    from graphique_spark.llm.dedup import ensure_parallelism, materializer
     from graphique_spark.operators.topk import top_k
 
     terms = list(dict.fromkeys(query_terms))
@@ -611,12 +611,17 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
             F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
         ).alias("term"),
     )
-    per_doc = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"__tf{i}")
-            for i, t in enumerate(terms)
-        ],
+    # materialized: the corpus-stats scalar pass and the scoring pass both
+    # consume this narrow per-doc aggregate — without the cut each re-runs
+    # the whole tokenize+explode+groupBy. One slim row per document.
+    per_doc = materializer(df)(
+        tok.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
     stats = per_doc.agg(
         F.count(F.lit(1)),

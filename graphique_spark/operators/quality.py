@@ -113,9 +113,14 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             )
         elif r.kind == "foreign_key":
             refs = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
-            n_all = df.agg(
-                F.count(F.lit(1)).alias("checked"),
-            )
+            # reuse the row-local rules' shared count instead of a third
+            # full scan when it exists (same value by definition)
+            if local:
+                n_all = agg.select(F.col("__n").alias("checked"))
+            else:
+                n_all = df.agg(
+                    F.count(F.lit(1)).alias("checked"),
+                )
             orphans = (
                 df.select(r.column)
                 .join(refs, on=r.column, how="left_anti")

@@ -393,9 +393,14 @@ def dedup_incremental(spark, sf_dir):
     # once per corpus; probing an unpersisted index plan would re-derive
     # its band keys from text on every consumer
     idx_path = os.path.join(tempfile.gettempdir(), f"graphique_spark_mh_index_{os.getpid()}")
-    dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS).write.mode(
-        "overwrite"
-    ).parquet(idx_path)
+    # REBALANCE before the write (guide: coalesce on write): the signature
+    # stage runs spread across every core, which would otherwise persist
+    # one tiny parquet file per task; AQE sizes the output partitions to
+    # advisoryPartitionSizeInBytes, so the index lands as sensibly-sized
+    # files at any scale and the probe's re-read lists far fewer footers
+    dedup.minhash_index(existing, num_hashes=_NUM_HASHES, bands=_BANDS).hint(
+        "rebalance"
+    ).write.mode("overwrite").parquet(idx_path)
     index = spark.read.parquet(idx_path)
     return dedup.incremental_minhash_dedup(
         batch, index, num_hashes=_NUM_HASHES, bands=_BANDS, min_jaccard=0.0

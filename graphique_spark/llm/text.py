@@ -110,14 +110,20 @@ def chunk_text(col: Column, size: int = 64, overlap: int = 16) -> Column:
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     step = size - overlap
-    words = F.split(F.trim(col), r"\s+")
-    n_chunks = F.greatest(
-        F.ceil((F.size(words) - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * step + 1, size), " "),
-    )
+
+    def _chunks(words: Column) -> Column:
+        n_chunks = F.greatest(
+            F.ceil((F.size(words) - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * step + 1, size), " "),
+        )
+
+    # bind_once: a captured `words` would re-run the regex split per chunk
+    from graphique_spark.llm.dedup import bind_once
+
+    chunks = bind_once(F.split(F.trim(col), r"\s+"), _chunks)
     # NULL text -> NULL, not a phantom [NULL] chunk row after explode
     return F.when(col.isNotNull(), chunks)
 
@@ -125,12 +131,17 @@ def chunk_text(col: Column, size: int = 64, overlap: int = 16) -> Column:
 def _all_word_ngrams(col: Column, n: int) -> Column:
     """Every word n-gram occurrence (space-joined), duplicates kept — the
     multiset the repetition metrics count over."""
-    words = F.split(F.trim(col), r"\s+")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    def _grams(words: Column) -> Column:
+        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+
+    # bind_once: a captured `words` would re-run the regex split per gram
+    from graphique_spark.llm.dedup import bind_once
+
+    grams = bind_once(F.split(F.trim(col), r"\s+"), _grams)
     # NULL text -> NULL, not a fabricated [NULL] gram (greatest(NULL,1)=1)
     return F.when(col.isNotNull(), grams)
 

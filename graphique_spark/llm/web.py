@@ -132,15 +132,20 @@ def host_suffix_candidates(host: Column, max_labels: int = 8) -> Column:
     suffixes (the registrable tail blocklists actually list) and drops
     the longest ones, including the full host itself — exact-host
     entries deeper than ``max_labels``+1 labels stop matching."""
-    labels = F.split(F.lower(host), r"\.")
-    n = F.size(labels)
-    first = F.greatest(n - F.lit(max_labels), F.lit(1))
-    return F.when(n <= 1, F.array(F.lower(host))).otherwise(
-        F.transform(
-            F.sequence(first, n - 1),
-            lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    def _suffixes(labels: Column) -> Column:
+        n = F.size(labels)
+        first = F.greatest(n - F.lit(max_labels), F.lit(1))
+        return F.when(n <= 1, F.array(F.lower(host))).otherwise(
+            F.transform(
+                F.sequence(first, n - 1),
+                lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+            )
         )
-    )
+
+    # bind_once: a captured `labels` would re-run the host split per suffix
+    from graphique_spark.llm.dedup import bind_once
+
+    return bind_once(F.split(F.lower(host), r"\."), _suffixes)
 
 
 def domain_blocklist_filter(

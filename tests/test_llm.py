@@ -1684,3 +1684,34 @@ def test_hard_negatives_band_nonempty_at_gate_scale(spark):
     out = similarity.hard_negatives(emb, lo=0.3, hi=0.9, num_planes=4).collect()
     assert len(out) > 0
     assert all(0.3 <= r["cosine"] < 0.9 for r in out)
+
+
+def test_bind_once_equivalent_to_direct_application(spark):
+    # bind_once routes an expensive array through a single-element
+    # transform so HOF lambda bodies reference it as a bound variable
+    # (evaluated once per row) instead of re-evaluating the captured
+    # subtree per element. It must be a pure let-binding: identical
+    # values to direct application for every value shape, including
+    # NULL inputs and empty arrays.
+    df = spark.createDataFrame(
+        [("a b c d e",), ("  spaced   out  ",), ("one",), ("",), (None,)],
+        ["text"],
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    def grams(ws):
+        count = F.greatest(F.size(ws) - 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.array_join(F.slice(ws, i + 1, 2), " "),
+        )
+
+    direct = df.select(grams(words).alias("g")).collect()
+    bound = df.select(dedup.bind_once(words, grams).alias("g")).collect()
+    assert direct == bound
+    # scalar-valued body and non-array bound value also round-trip
+    scalar = df.select(
+        dedup.bind_once(F.length(F.col("text")), lambda n: n * 2 + 1).alias("v")
+    ).collect()
+    expected = df.select((F.length(F.col("text")) * 2 + 1).alias("v")).collect()
+    assert scalar == expected

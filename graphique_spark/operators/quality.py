@@ -70,7 +70,19 @@ def _violation_expr(rule: Rule) -> Column:
 def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate ``rules`` against ``df``; returns
     (rule, kind, violations, checked, passed) — one row per rule, ordered
-    as given. Row-local rules share a single scan."""
+    as given.
+
+    Scale shape: row-local rules AND unique rules fold into ONE aggregate
+    over a single scan of ``df`` (unique via ``count - countDistinct`` of
+    the key struct, which equals the groupBy surplus-row count exactly —
+    the struct wrapper keeps null-keyed groups countable). The per-rule
+    report rows are EXPLODED out of that single aggregate row, not
+    unioned per-rule selects — a union of N projections of the same
+    aggregate re-executes the whole scan N times. Foreign keys stay
+    slim key-column anti-joins (a row-preserving join folded into the
+    main scan would shuffle the full payload when the ref side is too
+    big to broadcast); their 1-row counts cross-join onto the same
+    single aggregate row, so nothing re-executes."""
     spark = df.sparkSession
     if not rules:
         return spark.createDataFrame(
@@ -79,71 +91,49 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             "checked bigint, passed boolean",
         )
     local = [r for r in rules if r.kind not in ("unique", "foreign_key")]
-    reports: list[DataFrame] = []
-    if local:
-        agg = df.agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(_violation_expr(r).cast("long")).alias(f"__v{i}")
-                for i, r in enumerate(local)
-            ],
+    uniques = [r for r in rules if r.kind == "unique"]
+    fks = [r for r in rules if r.kind == "foreign_key"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(local):
+        aggs.append(F.sum(_violation_expr(r).cast("long")).alias(f"__v{i}"))
+    for i, r in enumerate(uniques):
+        # distinct key-tuple count: struct() is never null, so null-keyed
+        # rows form groups exactly as groupBy treats them
+        aggs.append(
+            F.countDistinct(F.struct(*[F.col(c) for c in r.columns])).alias(f"__u{i}")
         )
-        for i, r in enumerate(local):
-            reports.append(
-                agg.select(
-                    F.lit(r.name).alias("rule"),
-                    F.lit(r.kind).alias("kind"),
-                    F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("violations"),
-                    F.col("__n").alias("checked"),
-                )
-            )
+    wide = df.agg(*aggs)
+    for i, r in enumerate(fks):
+        refs = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
+        # plain (not null-safe) equality on purpose: a null FK value has no
+        # parent by definition, and the anti-join counts it as an orphan
+        orphans = (
+            df.select(r.column)
+            .join(refs, on=r.column, how="left_anti")
+            .agg(F.count(F.lit(1)).alias(f"__o{i}"))
+        )
+        wide = wide.crossJoin(orphans)
+    li, ui, fi = iter(range(len(local))), iter(range(len(uniques))), iter(
+        range(len(fks))
+    )
+    entries = []
     for r in rules:
         if r.kind == "unique":
-            keys = list(r.columns)
-            grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
-            reports.append(
-                grouped.agg(
-                    F.lit(r.name).alias("rule"),
-                    F.lit(r.kind).alias("kind"),
-                    F.coalesce(
-                        F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1)), F.lit(0)
-                    ).alias("violations"),
-                    F.coalesce(F.sum("__c"), F.lit(0)).alias("checked"),
-                )
-            )
+            v = F.col("__n") - F.coalesce(F.col(f"__u{next(ui)}"), F.lit(0))
         elif r.kind == "foreign_key":
-            refs = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
-            # reuse the row-local rules' shared count instead of a third
-            # full scan when it exists (same value by definition)
-            if local:
-                n_all = agg.select(F.col("__n").alias("checked"))
-            else:
-                n_all = df.agg(
-                    F.count(F.lit(1)).alias("checked"),
-                )
-            orphans = (
-                df.select(r.column)
-                .join(refs, on=r.column, how="left_anti")
-                .agg(F.count(F.lit(1)).alias("violations"))
+            v = F.coalesce(F.col(f"__o{next(fi)}"), F.lit(0))
+        else:
+            v = F.coalesce(F.col(f"__v{next(li)}"), F.lit(0))
+        entries.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.kind).alias("kind"),
+                v.cast("long").alias("violations"),
+                F.col("__n").cast("long").alias("checked"),
             )
-            reports.append(
-                orphans.crossJoin(n_all).select(
-                    F.lit(r.name).alias("rule"),
-                    F.lit(r.kind).alias("kind"),
-                    "violations",
-                    "checked",
-                )
-            )
-    order = {r.name: i for i, r in enumerate(rules)}
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionByName(rep)
-    mapping = F.create_map(
-        *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
-    )
+        )
     return (
-        out.withColumn("__o", mapping[F.col("rule")])
-        .orderBy("__o")
-        .drop("__o")
+        wide.select(F.explode(F.array(*entries)).alias("__r"))
+        .select("__r.*")
         .withColumn("passed", F.col("violations") == 0)
     )

@@ -30,13 +30,16 @@ def apply_cdc(
     keys: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Apply a CDC log to ``base``. ``log`` carries the base's columns plus
     ``seq_col`` (monotone per key; the latest wins) and ``op_col``
     ('insert'/'update'/'delete' — insert and update are both upserts, the
     distinction is kept only for the emitter's semantics). Sequence ties
     within a key break deterministically by op string, then payload.
-    Returns the next snapshot with the base's schema."""
+    Returns the next snapshot with the base's schema. ``checkpoint_dir``
+    switches the collapsed-log materialization from executor-local blocks
+    to reliable storage (the standard materializer knob)."""
     keys = list(keys)
     payload = [c for c in base.columns if c not in keys]
     missing = [c for c in payload + keys + [seq_col, op_col] if c not in log.columns]
@@ -45,7 +48,13 @@ def apply_cdc(
     packed = F.struct(
         F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]
     ).alias("_st")
-    latest = (
+    # materialized: ``latest`` feeds BOTH the anti-join key side and the
+    # upsert side — two consumers with different projections below the
+    # aggregate, so exchange reuse never covers them and the whole log
+    # fold (and everything upstream of the log) would execute twice
+    from graphique_spark.llm.dedup import materializer
+
+    latest = materializer(log, checkpoint_dir)(
         log.select(*keys, packed)
         .groupBy(*keys)
         .agg(F.max("_st").alias("_st"))

@@ -2084,20 +2084,37 @@ def cdc_apply(spark, sf_dir):
     )
     key = F.col("o_orderkey")
     base = orders.where(key % 4 != 0)
-    inserts = orders.where(key % 4 == 0).select(
-        "*", F.lit(1).alias("seq"), F.lit("insert").alias("op")
+    # one scan for the whole op log: a union of three filtered projections
+    # of the same table re-reads it three times; one conditional
+    # struct-array explode emits exactly the same rows from one pass
+    def op_row(cond, price, seq, op):
+        return F.when(
+            cond,
+            F.struct(
+                key.alias("o_orderkey"),
+                price.alias("o_totalprice"),
+                F.col("o_orderpriority"),
+                F.lit(seq).alias("seq"),
+                F.lit(op).alias("op"),
+            ),
+        )
+
+    price = F.col("o_totalprice")
+    log = (
+        orders.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        op_row(key % 4 == 0, price, 1, "insert"),
+                        op_row(key % 10 == 0, price * 2, 1, "update"),
+                        op_row(key % 20 == 0, price, 2, "delete"),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("__op")
+        )
+        .select("__op.*")
     )
-    updates = orders.where(key % 10 == 0).select(
-        key.alias("o_orderkey"),
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderpriority",
-        F.lit(1).alias("seq"),
-        F.lit("update").alias("op"),
-    )
-    deletes = orders.where(key % 20 == 0).select(
-        "*", F.lit(2).alias("seq"), F.lit("delete").alias("op")
-    )
-    log = inserts.unionByName(updates).unionByName(deletes)
     snapshot = apply_cdc(base, log, keys=["o_orderkey"], seq_col="seq")
     return snapshot.select(
         "o_orderkey",

@@ -1318,33 +1318,66 @@ def cohort_retention(spark, sf_dir):
 )
 def funnel_stages(spark, sf_dir):
     """Ordered-funnel analysis: users who viewed, then clicked after the
-    first view, then purchased after that click. Each stage is a grouped
-    min over events joined to the (small) previous-stage frontier —
-    per-stage shuffles on slim (user, ts) rows, no per-user window sort."""
+    first view, then purchased after that click. ONE scan (pre-filtered
+    to the three funnel event types) and ONE exchange by user: the three
+    stage timestamps are chained unordered-window mins over the same
+    user partitioning (no per-stage re-scan — the previous shape's
+    per-stage frontier joins re-read the events table six times), the
+    per-user dedup reuses that partitioning shuffle-free, and the three
+    stage-count rows are exploded from a single global aggregate row
+    instead of three unioned single-row aggregates (a union of N
+    projections of the same subplan executes it N times)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    events = table(spark, sf_dir, "events").df.select("user_id", "event_type", "ts")
-
-    def stage(event, frontier=None, tcol=None):
-        e = events.filter(F.col("event_type") == event)
-        if frontier is not None:
-            e = e.join(frontier, on="user_id").filter(F.col("ts") > F.col(tcol))
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event}"))
-
-    v = stage("view")
-    c = stage("click", v, "t_view")
-    p = stage("purchase", c, "t_click")
-    counts = [
-        v.agg(F.count(F.lit(1)).alias("users")).select(F.lit("view").alias("stage"), "users"),
-        c.agg(F.count(F.lit(1)).alias("users")).select(F.lit("view>click").alias("stage"), "users"),
-        p.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit("view>click>purchase").alias("stage"), "users"
-        ),
-    ]
-    out = counts[0]
-    for frame in counts[1:]:
-        out = out.unionByName(frame)
-    return out
+    events = (
+        table(spark, sf_dir, "events")
+        .df.select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    # strict > chains: a null previous-stage timestamp nulls the
+    # comparison, so the when() never fires — exactly the inner-join
+    # semantics of the per-stage frontier formulation
+    staged = (
+        events.withColumn(
+            "t_view", F.min(F.when(typ == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((typ == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (typ == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("tv"),
+        F.min("t_click").alias("tc"),
+        F.min("t_purchase").alias("tp"),
+    )
+    totals = per_user.agg(
+        F.count("tv").alias("n_v"), F.count("tc").alias("n_c"), F.count("tp").alias("n_p")
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("stage"), F.col("n_v").alias("users")),
+                F.struct(F.lit("view>click").alias("stage"), F.col("n_c").alias("users")),
+                F.struct(
+                    F.lit("view>click>purchase").alias("stage"), F.col("n_p").alias("users")
+                ),
+            )
+        ).alias("__s")
+    ).select("__s.*")
 
 
 @query(
@@ -2905,18 +2938,34 @@ def entity_fuzzy_match(spark, sf_dir):
     from graphique_spark.operators.entity import blocked_fuzzy_pairs
 
     part = table(spark, sf_dir, "part").df
-    base = part.select(
-        F.col("p_partkey").alias("rid"),
-        F.concat_ws("#", "p_name", "p_partkey").alias("k"),
-    )
-    corrupted = part.where(F.col("p_partkey") % 7 == 0).select(
-        (F.col("p_partkey") + 500000).alias("rid"),
-        F.concat(
-            F.substring(F.concat_ws("#", "p_name", "p_partkey"), 1, 2),
-            F.expr("substring(concat_ws('#', p_name, p_partkey), 4)"),
-        ).alias("k"),
-    )
-    recs = base.unionByName(corrupted)
+    # one scan emits base + (conditional) corrupted twin per row — the
+    # union of two projections of the same table read it twice, and the
+    # blocked self-join doubles whatever its input costs
+    full_k = F.concat_ws("#", "p_name", "p_partkey")
+    recs = part.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.col("p_partkey").alias("rid"), full_k.alias("k")
+                    ),
+                    F.when(
+                        F.col("p_partkey") % 7 == 0,
+                        F.struct(
+                            (F.col("p_partkey") + 500000).alias("rid"),
+                            F.concat(
+                                F.substring(full_k, 1, 2),
+                                F.expr(
+                                    "substring(concat_ws('#', p_name, p_partkey), 4)"
+                                ),
+                            ).alias("k"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     pairs = blocked_fuzzy_pairs(
         recs, key="k", block=F.col("k").substr(-4, 4), id_col="rid", max_distance=2
     )

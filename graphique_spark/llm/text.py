@@ -458,11 +458,13 @@ def term_frequencies(df, text: str = "text", id_col: str = "doc_id"):
 def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1):
     """Top-k characteristic terms per doc by tf-idf.
 
-    Document frequencies are a second small aggregate over distinct
-    (doc, term); idf = ln((N+1)/(df+1)). The df join is left unhinted: at
-    web scale the full vocabulary can exceed executor memory, so forcing a
-    broadcast would OOM — AQE picks broadcast when the term table actually
-    fits and a shuffle join when it doesn't."""
+    Document frequencies come from a count over the term partitioning of
+    the SAME (doc, term, tf) stream — a separate docfreq aggregate +
+    join re-ran the whole tokenize/term-count pipeline a second time
+    (different column pruning below the two exchanges blocks reuse).
+    The per-term window buffers one term group per task exactly like the
+    posting-rank window in :func:`inverted_index`; idf =
+    ln((N+1)/(df+1))."""
     from pyspark.sql import Window
 
     from graphique_spark.llm.dedup import ensure_parallelism
@@ -470,11 +472,9 @@ def tf_idf_top_terms(df, text: str = "text", id_col: str = "doc_id", k: int = 1)
     df = ensure_parallelism(df)
     tf = term_frequencies(df, text, id_col)
     n_docs = df.count()
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-    scored = tf.join(docfreq, on="term").withColumn(
-        "tfidf", F.col("tf") * idf
-    )
+    scored = tf.withColumn("df", dfreq).withColumn("tfidf", F.col("tf") * idf)
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -917,28 +917,33 @@ def inverted_index(
     tf = term_frequencies(ensure_parallelism(df), text, id_col)
     w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
     ranked = tf.withColumn("__rn", F.row_number().over(w))
-    top = ranked.where(F.col("__rn") <= max_postings)
-    out = top.groupBy("term").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("__rn").alias("rn"),
-                            F.concat_ws(":", id_col, "tf").alias("p"),
-                        )
-                    )
-                ),
-                lambda s: s["p"],
-            ),
-            " ",
-        ).alias("postings"),
-    )
-    # document frequency must count ALL postings, not just the kept top-k;
-    # it comes from the pre-truncation frame grouped on the same key
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # ONE consumer of the (doc, term, tf) stream: postings truncate via a
+    # conditional collect (collect_list drops the when()'s nulls) and the
+    # document frequency is max(row_number) = the pre-truncation posting
+    # count — a separate dfreq aggregate re-ran the whole tokenize +
+    # term-count pipeline, then paid a join to glue the two back together
     return (
-        out.join(dfreq, on="term")
+        ranked.groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= max_postings,
+                                F.struct(
+                                    F.col("__rn").alias("rn"),
+                                    F.concat_ws(":", id_col, "tf").alias("p"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("postings"),
+            F.max("__rn").cast("bigint").alias("df"),
+        )
         .where(F.col("df") >= min_df)
         .select("term", "df", "postings")
     )
@@ -1010,18 +1015,23 @@ def temperature_shares(df, by: str = "lang", alpha: float = 0.7):
     (group, n_docs, raw_share, sampled_share, boost) — feed sampled_share
     into :func:`mixture_sample` / :func:`token_budget_rates` weights.
 
-    One tiny aggregate; the normalizing sum rides in as a lazy one-row
-    cross join, so the whole plan is a single job."""
+    One tiny aggregate, consumed ONCE: both normalizing sums are global
+    windows over the per-group frame (group-count rows, so the single
+    window partition is trivially small) — the previous one-row cross
+    joins each re-executed the per-group aggregate, costing three extra
+    full scans of the corpus."""
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
     per = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
-    total = per.agg(F.sum("n_docs").alias("__t"))
-    shared = per.crossJoin(F.broadcast(total)).withColumn(
-        "raw_share", F.col("n_docs") / F.col("__t")
+    shared = per.withColumn(
+        "raw_share", F.col("n_docs") / F.sum("n_docs").over(everything)
     )
     powed = shared.withColumn("__p", F.pow(F.col("raw_share"), alpha))
-    z = powed.agg(F.sum("__p").alias("__z"))
     return (
-        powed.crossJoin(F.broadcast(z))
-        .withColumn("sampled_share", F.col("__p") / F.col("__z"))
+        powed.withColumn(
+            "sampled_share", F.col("__p") / F.sum("__p").over(everything)
+        )
         .withColumn("boost", F.col("sampled_share") / F.col("raw_share"))
         .select(by, "n_docs", "raw_share", "sampled_share", "boost")
     )

@@ -1204,14 +1204,20 @@ def fill_drop_null(spark, sf_dir):
     asof = clicks.asof_join(
         purchases, on="ts", by=["user_id"], tolerance="INTERVAL 30 MINUTES"
     ).select("event_id", F.col("value").alias("v"))
-    filled = asof.fill_null(-1.0, subset=["v"])
+    # presence is flagged BEFORE fill_null so one aggregate over the
+    # filled frame answers n_all/n_present/filled_sum — the previous
+    # two-aggregate cross join consumed the as-of subplan twice, running
+    # the whole two-phase as-of pipeline (and its scans) once per side
+    filled = asof.project(
+        {"present": F.col("v").isNotNull().cast("long")}
+    ).fill_null(-1.0, subset=["v"])
     return (
-        asof.group(
+        filled.group(
             counts="n_all",
-            aggregate=[Agg("count", "v", alias="n_present")],
-        )
-        .cross_join(
-            filled.group(aggregate=[Agg("sum", "v", alias="filled_sum")])
+            aggregate=[
+                Agg("sum", "present", alias="n_present"),
+                Agg("sum", "v", alias="filled_sum"),
+            ],
         )
         .project(
             {

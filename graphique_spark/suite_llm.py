@@ -1269,17 +1269,17 @@ def outlier_robust_zscore(spark, sf_dir):
 )
 def cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen week, counted
-    as active per week offset since their first event. First-seen is one
-    grouped min; the matrix is a distinct + group-by — two shuffles on
-    slim (user, offset) rows."""
+    as active per week offset since their first event. First-seen is an
+    unordered window min over one user partitioning of a SINGLE scan —
+    the grouped-min + join-back shape read the events table twice; the
+    per-user distinct reuses the window's partitioning shuffle-free."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     events = table(spark, sf_dir, "events").df.select("user_id", "ts")
-    firsts = events.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day")
-    )
+    first_day = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
     activity = (
-        events.join(firsts, on="user_id")
+        events.withColumn("first_day", first_day)
         .select(
             "user_id",
             F.floor(
@@ -3705,11 +3705,20 @@ def open_orders_backlog(spark, sf_dir):
     from pyspark.sql import Window
 
     orders = table(spark, sf_dir, "orders").df
-    opens = orders.select(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d"))
-    closes = orders.select(
-        F.date_add(F.to_date("o_orderdate"), 30).alias("day"), F.lit(-1).alias("d")
-    )
-    daily = opens.unionByName(closes).groupBy("day").agg(F.sum("d").alias("net"))
+    # one scan emits both deltas per order (a union of two projections of
+    # the same table reads it twice)
+    deltas = orders.select(
+        F.explode(
+            F.array(
+                F.struct(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add(F.to_date("o_orderdate"), 30).alias("day"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         F.col("day").cast("string").alias("day"),
@@ -4167,10 +4176,16 @@ def new_vs_returning_users(spark, sf_dir):
     """Daily new-vs-returning split (the growth-accounting staple): first
     activity per user is one aggregate; the classification join rides it
     back (AQE broadcasts the user dimension when it fits)."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events").df
     daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    joined = daily.join(firsts, on="user_id")
+    # first activity is an unordered window min over the user partitioning
+    # of the SAME distinct stream — the grouped-min + join-back shape
+    # executed the distinct (and its scan) twice
+    joined = daily.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return joined.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.sum((F.col("day") == F.col("first_day")).cast("long"))
         .cast("bigint")
@@ -4343,15 +4358,18 @@ def hourly_seasonality(spark, sf_dir):
     uniform clock (index 1.0 = flat) — the profile capacity planning and
     anomaly baselines read. 24-row aggregate; the total rides as a lazy
     scalar."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events").df
     per = ev.groupBy(F.hour("ts").alias("h")).agg(F.count(F.lit(1)).alias("n"))
-    total = per.agg(F.sum("n").alias("total"))
+    # the normalizing total is a global-window sum over the 24-row
+    # aggregate — the one-row cross join re-executed the whole scan
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        per.crossJoin(F.broadcast(total))
-        .select(
+        per.select(
             "h",
             F.col("n").cast("bigint").alias("n"),
-            fround(F.col("n") / (F.col("total") / 24.0), 6).alias("seasonality_index"),
+            fround(F.col("n") / (total / 24.0), 6).alias("seasonality_index"),
         )
         .orderBy("h")
     )

@@ -687,7 +687,10 @@ def unigram_lm_scores(
         )
     )
     terms = toks.select(F.col(id_col), F.explode("__t").alias("term"))
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # pinned (skew.report_keys precedent): the model-scalar collect below
+    # and the scoring join both read vocab — without the persist the
+    # explode + vocabulary shuffle over the token arrays runs twice
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     total, vsize = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
     if not vsize:
         # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
@@ -747,7 +750,9 @@ def bigram_lm_scores(
         )
     )
     uni = toks.select(F.explode("__t").alias("w"))
-    vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # pinned: the unigram-scalar collect and the backoff join both read
+    # vocab — without the persist the explode + unigram shuffle runs twice
+    vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).persist()
     total, vsize = vocab.agg(F.sum("cu"), F.count(F.lit(1))).first()
     if not vsize:
         # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
@@ -976,10 +981,13 @@ def term_drift(
             F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
         ).alias("term"),
     )
+    # pinned: the totals collect below and the scored projection both read
+    # counts — without the persist the corpus tokenize + vocabulary
+    # shuffle runs twice (once eagerly for the scalars, once in the plan)
     counts = tok.groupBy("term").agg(
         F.sum(F.col("__a").cast("long")).alias("ca"),
         F.sum(F.col("__b").cast("long")).alias("cb"),
-    )
+    ).persist()
     total_a, total_b, vocab = counts.agg(
         F.sum("ca"), F.sum("cb"), F.count(F.lit(1))
     ).first()
@@ -1109,10 +1117,13 @@ def dsir_log_weights(
     ).select(
         id_col, "__tgt", F.pmod(hash60(F.col("term")), F.lit(buckets)).alias("b")
     )
+    # pinned: the totals collect and the log-ratio projection both read
+    # counts — without the persist the whole corpus tokenize runs twice
+    # to rebuild a buckets-wide (constant-size) frame
     counts = tok.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
-    )
+    ).persist()
     n_raw, n_tgt = counts.agg(F.sum("c_raw"), F.sum("c_tgt")).first()
     if not n_raw:
         return raw.select(

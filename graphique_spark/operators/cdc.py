@@ -24,6 +24,32 @@ from pyspark.sql import functions as F
 INSERT, UPDATE, DELETE = "insert", "update", "delete"
 
 
+def _collapse_log(
+    log: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Latest op per key as a map-side-combinable ``max(struct(...))``
+    aggregate — the scale-critical collapse shape (no Window, no global
+    sort), pinned by tests/test_operators.py before :func:`apply_cdc`
+    materializes it for its two consumers."""
+    packed = F.struct(
+        F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]
+    ).alias("_st")
+    return (
+        log.select(*keys, packed)
+        .groupBy(*keys)
+        .agg(F.max("_st").alias("_st"))
+        .select(
+            *keys,
+            F.col(f"_st.{op_col}").alias("_op"),
+            *[F.col(f"_st.{c}").alias(c) for c in payload],
+        )
+    )
+
+
 def apply_cdc(
     base: DataFrame,
     log: DataFrame,
@@ -45,9 +71,6 @@ def apply_cdc(
     missing = [c for c in payload + keys + [seq_col, op_col] if c not in log.columns]
     if missing:
         raise ValueError(f"apply_cdc: log is missing columns {missing}")
-    packed = F.struct(
-        F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]
-    ).alias("_st")
     # materialized: ``latest`` feeds BOTH the anti-join key side and the
     # upsert side — two consumers with different projections below the
     # aggregate, so exchange reuse never covers them and the whole log
@@ -55,14 +78,7 @@ def apply_cdc(
     from graphique_spark.llm.dedup import materializer
 
     latest = materializer(log, checkpoint_dir)(
-        log.select(*keys, packed)
-        .groupBy(*keys)
-        .agg(F.max("_st").alias("_st"))
-        .select(
-            *keys,
-            F.col(f"_st.{op_col}").alias("_op"),
-            *[F.col(f"_st.{c}").alias(c) for c in payload],
-        )
+        _collapse_log(log, keys, seq_col, op_col, payload)
     )
     # null-safe key equality: a plain on=keys anti-join never matches null
     # key values, so ops against null-keyed rows would silently not apply.

@@ -2737,12 +2737,13 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     testdata schema: no receipt/commit dates, so "late" is shipping more
     than 60 days after the order date. The reference planner shape is the
     double correlated EXISTS / NOT EXISTS self-join on lineitem; the
-    Spark-first plan rewrites both into ONE map-side-combinable per-order
-    aggregate — distinct suppliers and distinct LATE suppliers per order —
-    then a candidate row qualifies iff it is late, the order has >= 2
-    suppliers, and exactly one supplier (necessarily this row's) was late.
-    One lineitem shuffle total instead of two self-joins; supplier and
-    nation broadcast; top-100 is a TakeOrderedAndProject."""
+    Spark-first plan rewrites both into ONE per-order collect_list
+    aggregate (bounded by order size) whose in-row distinct counts decide
+    qualification — >= 2 suppliers, exactly one late supplier — and whose
+    late items explode back as the candidate rows. One lineitem scan and
+    ONE lineitem shuffle total instead of two self-joins (the old stats
+    groupBy + candidate join executed the lineitem⋈orders subplan twice);
+    supplier and nation broadcast; top-100 is a TakeOrderedAndProject."""
     li = table(spark, sf_dir, "lineitem").df.select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -2760,12 +2761,37 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    stats = fli.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__ns"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("__nl"),
+    # one scan + ONE exchange: the per-order supplier stats and the late
+    # candidate rows both come out of a single collect_list aggregate
+    # (bounded: a TPC-H order holds <= 7 lineitems), instead of the stats
+    # groupBy + candidate join each re-executing the fli subplan. The
+    # distinct counts fold in-row over the collected list; exploding the
+    # late items of qualifying orders re-creates exactly the join's
+    # candidate stream (countDistinct ignores null/false `late` rows the
+    # same way the array filter drops them).
+    grouped = fli.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "late")).alias("__items")
     )
-    cand = fli.where(F.col("late")).join(
-        stats.where((F.col("__ns") >= 2) & (F.col("__nl") == 1)), on="l_orderkey"
+    late_items = F.filter(F.col("__items"), lambda x: x["late"])
+    cand = (
+        grouped.where(
+            (
+                F.size(
+                    F.array_distinct(
+                        F.transform(F.col("__items"), lambda x: x["l_suppkey"])
+                    )
+                )
+                >= 2
+            )
+            & (
+                F.size(
+                    F.array_distinct(F.transform(late_items, lambda x: x["l_suppkey"]))
+                )
+                == 1
+            )
+        )
+        .select(F.explode(late_items).alias("__it"))
+        .select(F.col("__it.l_suppkey").alias("l_suppkey"))
     )
     supp = table(spark, sf_dir, "supplier").df.select(
         "s_suppkey", "s_name", "s_nationkey"

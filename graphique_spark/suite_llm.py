@@ -314,11 +314,27 @@ def corpus_curation(spark, sf_dir):
     """,
 )
 def dedup_exact(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").df.select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    return dedup.exact_duplicates(docs.unionByName(copies))
+    docs = table(spark, sf_dir, "documents").df
+    # one scan emits each doc + its (conditional) re-ingested copy — the
+    # union of two projections of the same table read it twice
+    corpus = docs.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 100000).alias("doc_id"),
+                            F.col("text"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return dedup.exact_duplicates(corpus)
 
 
 _MINHASH_ORACLE = f"""
@@ -706,18 +722,34 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucket-blocked; the corpus
     plants perturbed copies (cosine ~0.99) of every 10th vector."""
     emb = table(spark, sf_dir, "embeddings").df
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x, i: x.cast("double") + 0.02 * ((i % 5) - 2)
-        ).alias("embedding"),
-    )
-    out = similarity.embedding_near_dups(
-        base.unionByName(pert), threshold=0.9, num_planes=_PLANES
-    )
+    # one scan emits each vector + its (conditional) perturbed twin — the
+    # union of two projections of the same table read and cast it twice
+    corpus = emb.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.col("vec_id"),
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("embedding"),
+                    ),
+                    F.when(
+                        F.col("vec_id") % 10 == 0,
+                        F.struct(
+                            (F.col("vec_id") + 100000).alias("vec_id"),
+                            F.transform(
+                                "embedding",
+                                lambda x, i: x.cast("double") + 0.02 * ((i % 5) - 2),
+                            ).alias("embedding"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    out = similarity.embedding_near_dups(corpus, threshold=0.9, num_planes=_PLANES)
     return out.withColumn("cosine", fround(F.col("cosine"), 6))
 
 
@@ -2641,15 +2673,23 @@ def rolling_active_users(spark, sf_dir):
     """
     ev = table(spark, sf_dir, "events").df
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # an anchor day is "real" iff some fact lands on it exactly — i.e. a
+    # contribution at offset 0 — so the real-days semi-join (which
+    # re-executed the whole distinct stream for its build side) folds
+    # into the same aggregate as the distinct count: one scan, no join
     anchors = du.select(
+        F.col("day").alias("fact_day"),
         F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
         "user_id",
     )
-    real_days = du.select("day").distinct()
     return (
-        anchors.join(real_days, on="day", how="left_semi")
-        .groupBy(F.col("day").cast("string").alias("day"))
-        .agg(F.count_distinct("user_id").cast("bigint").alias("mau7"))
+        anchors.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("mau7"),
+            F.max((F.col("day") == F.col("fact_day")).cast("int")).alias("__real"),
+        )
+        .where(F.col("__real") == 1)
+        .drop("__real")
     )
 
 
@@ -2761,13 +2801,28 @@ def dedup_containment(spark, sf_dir):
     doc. Prefix-filtered on the inner side only — exact w.r.t. the
     threshold; the oracle brute-forces all pairs."""
     docs = table(spark, sf_dir, "documents").df
-    excerpts = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    # one scan emits each doc + its (conditional) excerpt page — the
+    # union of two projections of the same table read it twice
+    corpus = docs.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 200000).alias("doc_id"),
+                            F.array_join(
+                                F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12),
+                                " ",
+                            ).alias("text"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     pairs = dedup.containment_pairs(corpus, n=3, min_containment=0.8)
     return pairs.withColumn("containment", fround(F.col("containment"), 6))
 
@@ -3219,17 +3274,38 @@ def entity_clusters(spark, sf_dir):
 
     part = table(spark, sf_dir, "part").df
     mk = F.concat_ws("#", "p_name", "p_partkey")
-    base = part.select(F.col("p_partkey").alias("rid"), mk.alias("k"))
-    dropped = part.where(F.col("p_partkey") % 7 == 0).select(
-        (F.col("p_partkey") + 500000).alias("rid"),
-        F.concat(
-            F.substring(mk, 1, 2), F.expr("substring(concat_ws('#', p_name, p_partkey), 4)")
-        ).alias("k"),
-    )
-    suffixed = part.where(F.col("p_partkey") % 14 == 0).select(
-        (F.col("p_partkey") + 900000).alias("rid"), F.concat(mk, F.lit("x")).alias("k")
-    )
-    recs = base.unionByName(dropped).unionByName(suffixed)
+    # one scan emits base + up to two (conditional) corrupted twins per
+    # row — the 3-way union of projections of the same table read it
+    # three times, and the blocked self-join doubles whatever that costs
+    recs = part.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("p_partkey").alias("rid"), mk.alias("k")),
+                    F.when(
+                        F.col("p_partkey") % 7 == 0,
+                        F.struct(
+                            (F.col("p_partkey") + 500000).alias("rid"),
+                            F.concat(
+                                F.substring(mk, 1, 2),
+                                F.expr(
+                                    "substring(concat_ws('#', p_name, p_partkey), 4)"
+                                ),
+                            ).alias("k"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("p_partkey") % 14 == 0,
+                        F.struct(
+                            (F.col("p_partkey") + 900000).alias("rid"),
+                            F.concat(mk, F.lit("x")).alias("k"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     # the block key must come from the corruption-stable STEM: strip the
     # appended 'x' before taking the suffix
     stem = F.when(

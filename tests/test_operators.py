@@ -504,18 +504,29 @@ def test_apply_cdc_rejects_missing_columns(spark):
 
 
 def test_apply_cdc_log_collapses_without_window(spark):
-    from graphique_spark.operators.cdc import apply_cdc
+    from graphique_spark.operators.cdc import _collapse_log, apply_cdc
 
     base = spark.createDataFrame([(1, "a")], "k long, v string")
     log = spark.createDataFrame([(1, "b", 1, "update")], "k long, v string, seq long, op string")
-    plan = apply_cdc(base, log, ["k"])._jdf.queryExecution().executedPlan().toString()
-    # scale guards: latest-per-key must come from a map-side-combinable
-    # aggregate (partial_max below the exchange), never a Window, and no
-    # sort may be global (SMJ/SortAggregate sorts are per-partition:
+    # scale guards on the collapse itself (apply_cdc materializes it for
+    # its two consumers, so the fold's plan is checked pre-checkpoint):
+    # latest-per-key must come from a map-side-combinable aggregate
+    # (partial_max below the exchange), never a Window, and no sort may
+    # be global (SMJ/SortAggregate sorts are per-partition:
     # 'Sort [...], false' — the bool is the isGlobal flag)
+    collapse = (
+        _collapse_log(log, ["k"], "seq", "op", ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in collapse
+    assert "partial_max" in collapse
+    assert ", true, 0" not in collapse  # no global sort
+    assert "Exchange SinglePartition" not in collapse
+    plan = apply_cdc(base, log, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "partial_max" in plan
-    assert ", true, 0" not in plan  # no global sort
+    assert ", true, 0" not in plan
     assert "Exchange SinglePartition" not in plan
 
 

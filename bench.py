@@ -120,8 +120,18 @@ def main() -> None:
     calm_refs = _guard.load_calm_refs(os.path.dirname(os.path.abspath(__file__)))
     # subset (SPARK_GRAFT_BENCH_ONLY) runs skip probes: they are the
     # gate's fresh-confirm vehicle, which appends the reference queries
-    # itself and computes its own drift from them
-    probes_apply = bool(calm_refs) and str(calm_refs.get("sf")) == str(sf) and not only
+    # itself and computes its own drift from them. Runs at a core count
+    # other than CALM_REFS' calibration (the driver's scaling leg) skip
+    # them too: every calm median and probe calibration is 32-core, so an
+    # 8-core run read as ~2x "drift" and falsely self-described
+    # contaminated (VERDICT r12 item 9) — contaminated stays null
+    # ("probes not applicable") for such runs.
+    probes_apply = (
+        bool(calm_refs)
+        and str(calm_refs.get("sf")) == str(sf)
+        and not only
+        and _guard.cpus_match(calm_refs, cpus)
+    )
     ref_probes: dict[str, dict[str, float]] = {}
     # repo-independent box probe (ADVICE r10 item 1): a fixed spark.range
     # aggregate whose cost tracks the HOST, never repo code — it
@@ -257,6 +267,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # core count of this run (master local[cpus]): lets the bench gate
+        # keep non-calibration-core archives (the driver's scaling legs)
+        # out of the 32-core round-over-round diff
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         # methodology marker (round 8+): value = SUM OF PER-QUERY MEDIANS
         # over `repeats` interleaved passes, not single-run wall — r07 and
         # earlier BENCH files are single-run and not directly comparable

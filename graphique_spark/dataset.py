@@ -222,30 +222,33 @@ class Dataset:
                 and bool(a.name)
             )
 
+        # slots are keyed by POSITION, not id(): the same Agg instance
+        # passed twice would collapse to one id() slot, skip the j==0
+        # branch and KeyError on hidden_of (ADVICE r12)
         groups: dict[str, list] = {}
-        for a in aggregate:
+        for i, a in enumerate(aggregate):
             if mergeable(a):
-                groups.setdefault(a.name, []).append(a)
+                groups.setdefault(a.name, []).append((i, a))
         groups = {n: l for n, l in groups.items() if len(l) > 1}
         if not groups:
             return aggs, None
         slot = {
-            id(x): (name, j)
+            pos: (name, j)
             for name, lst in groups.items()
-            for j, x in enumerate(lst)
+            for j, (pos, _) in enumerate(lst)
         }
         hidden_of: dict[str, str] = {}
         exec_aggs, post = [], []
         for i, a in enumerate(aggregate):
-            if id(a) in slot:
-                name, j = slot[id(a)]
+            if i in slot:
+                name, j = slot[i]
                 if j == 0:
                     hidden = f"__qmerge_{len(hidden_of)}"
                     hidden_of[name] = hidden
                     exec_aggs.append(
                         F.percentile(
                             F.col(name),
-                            F.array(*[F.lit(float(x.q)) for x in groups[name]]),
+                            F.array(*[F.lit(float(x.q)) for _, x in groups[name]]),
                         ).alias(hidden)
                     )
                 post.append(

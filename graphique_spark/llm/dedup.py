@@ -51,7 +51,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def materializer(df_or_spark, checkpoint_dir: str | None = None):
+def materializer(df_or_spark, checkpoint_dir: str | None = None, eager: bool = True):
     """Return a ``DataFrame -> DataFrame`` that cuts lineage, either to
     reliable storage or locally.
 
@@ -60,12 +60,20 @@ def materializer(df_or_spark, checkpoint_dir: str | None = None):
     multi-consumer pipelines (prefix-Jaccard, connected components) accept
     ``checkpoint_dir`` so production runs can point at HDFS/S3 and get
     fault-tolerant ``df.checkpoint()`` instead — no library edits needed.
+
+    ``eager=False`` defers materialization to the frame's FIRST action
+    (which populates the blocks every later consumer reads) instead of
+    running a dedicated job at call time — the right mode when every
+    consumer sits inside one downstream action (apply_cdc per micro-batch).
+    Callers that ``unpersist()`` upstream inputs before the first action
+    must keep ``eager=True``: a deferred cut would silently recompute from
+    the unpersisted lineage (the pagerank r12 lesson).
     """
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        return lambda df: df.checkpoint()
-    return lambda df: df.localCheckpoint()
+        return lambda df: df.checkpoint(eager=eager)
+    return lambda df: df.localCheckpoint(eager=eager)
 
 
 def bind_once(value: Column, body) -> Column:

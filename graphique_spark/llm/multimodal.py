@@ -465,6 +465,7 @@ def phash_near_dups(
     max_band_freq: int | None = None,
     bits: int = 56,
     hash_col: str = "dhash",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over dHash values,
     EXACT w.r.t. ``max_hamming`` via pigeonhole banding: the ``bits`` split
@@ -497,7 +498,9 @@ def phash_near_dups(
     # typically expensive (mapInPandas image decode, simhash vote
     # aggregation) — renamed projections block exchange reuse, so without
     # the cut each consumer re-runs that pipeline. One slim row per image.
-    ids = materializer(hashes)(
+    # ``checkpoint_dir`` (the standard materializer knob) switches the cut
+    # to reliable storage for executor-loss tolerance on a real cluster.
+    ids = materializer(hashes, checkpoint_dir)(
         hashes.select(F.col(id_col), F.col(hash_col).alias("dhash"))
     )
     distinct_h = ids.select("dhash").distinct()

@@ -152,7 +152,17 @@ def fit_centroids(
     )
     if sample_fraction is not None:
         feats = feats.sample(sample_fraction, seed=seed)
-    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    # pinned across the fit: k-means|| init + Lloyd's iterations submit
+    # ~19 orchestration jobs, each of which otherwise re-reads the scan
+    # and re-runs the array->vector conversion (MLlib caches only its
+    # internal norm-augmented RDD, not the source frame). fit() is
+    # synchronous and the centers are collected to the driver, so the
+    # unpersist is safe immediately after (VERDICT r12 item 5).
+    feats = feats.persist()
+    try:
+        model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    finally:
+        feats.unpersist()
     return [
         (i, [float(x) for x in center])
         for i, center in enumerate(model.clusterCenters())
@@ -357,6 +367,7 @@ def embedding_near_dups(
     threshold: float = 0.98,
     num_planes: int | None = None,
     target_bucket_rows: int = 256,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-projection
     LSH bucket: only within-bucket pairs are compared (near-identical
@@ -369,7 +380,9 @@ def embedding_near_dups(
     plane count (e.g. 16 buckets forever) reverts to n²/16 at 100× scale.
     The sizing count() is one cheap scan at plan-build time.
     """
-    pairs = _bucketed_pairs(df, vec_col, id_col, num_planes, target_bucket_rows)
+    pairs = _bucketed_pairs(
+        df, vec_col, id_col, num_planes, target_bucket_rows, checkpoint_dir
+    )
     return pairs.filter(F.col("cosine") >= threshold)
 
 
@@ -379,6 +392,7 @@ def _bucketed_pairs(
     id_col: str,
     num_planes: int | None,
     target_bucket_rows: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Within-LSH-bucket (id_a, id_b, cosine) pairs — the shared blocking
     stage of near-dup detection and hard-negative mining."""
@@ -406,8 +420,10 @@ def _bucketed_pairs(
     pre = _with_vec_norm(df, vec_col, "__v", "__n")
     # materialized: both join sides consume this frame through *renamed*
     # projections, which blocks exchange reuse — without the cut the
-    # num_planes×dim bucket dot products and the norm run twice per row
-    docs = materializer(df)(
+    # num_planes×dim bucket dot products and the norm run twice per row.
+    # ``checkpoint_dir`` (the standard materializer knob) switches the cut
+    # to reliable storage for executor-loss tolerance on a real cluster.
+    docs = materializer(df, checkpoint_dir)(
         pre.select(
             F.col(id_col).alias("id"),
             F.col("__v").alias("v"),
@@ -444,6 +460,7 @@ def hard_negatives(
     hi: float = 0.9,
     num_planes: int | None = None,
     target_bucket_rows: int = 256,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: pairs that
     the LSH blocking deems related (same sign-projection bucket) but whose
@@ -455,7 +472,9 @@ def hard_negatives(
     count grows with the corpus), same pair stream — only the cosine band
     differs, so mining negatives costs nothing extra when run beside the
     dedup pass. Returns (id_a, id_b, cosine)."""
-    pairs = _bucketed_pairs(df, vec_col, id_col, num_planes, target_bucket_rows)
+    pairs = _bucketed_pairs(
+        df, vec_col, id_col, num_planes, target_bucket_rows, checkpoint_dir
+    )
     return pairs.filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
 
 

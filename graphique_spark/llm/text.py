@@ -590,7 +590,8 @@ def group_sample_k(df, by: str, k: int, id_col: str = "doc_id"):
 
 def bm25_topk(df, query_terms: list[str], k: int = 10,
               text: str = "text", id_col: str = "doc_id",
-              k1: float = 1.2, b: float = 0.75):
+              k1: float = 1.2, b: float = 0.75,
+              checkpoint_dir: str | None = None):
     """Okapi BM25 retrieval: score every document against a bag of query
     terms and return the global top-k (id, score). idf uses the standard
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form; tf saturates with ``k1``
@@ -625,7 +626,9 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     # materialized: the corpus-stats scalar pass and the scoring pass both
     # consume this narrow per-doc aggregate — without the cut each re-runs
     # the whole tokenize+explode+groupBy. One slim row per document.
-    per_doc = materializer(df)(
+    # ``checkpoint_dir`` (the standard materializer knob) switches the cut
+    # to reliable storage for executor-loss tolerance on a real cluster.
+    per_doc = materializer(df, checkpoint_dir)(
         tok.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("dl"),
             *[
@@ -687,10 +690,18 @@ def unigram_lm_scores(
         )
     )
     terms = toks.select(F.col(id_col), F.explode("__t").alias("term"))
-    # pinned (skew.report_keys precedent): the model-scalar collect below
-    # and the scoring join both read vocab — without the persist the
-    # explode + vocabulary shuffle over the token arrays runs twice
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    # lazily materialized: the model-scalar collect below populates the
+    # blocks and the scoring join reuses them — without the cut the
+    # explode + vocabulary shuffle over the token arrays runs twice. A
+    # lazy localCheckpoint (contaminated_docs_bloom precedent) rather than
+    # .persist(): the blocks are GC-cleanable once the result frame is
+    # dropped, instead of a CacheManager entry that lingers for the whole
+    # session (ADVICE r12)
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total, vsize = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
     if not vsize:
         # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
@@ -750,9 +761,14 @@ def bigram_lm_scores(
         )
     )
     uni = toks.select(F.explode("__t").alias("w"))
-    # pinned: the unigram-scalar collect and the backoff join both read
-    # vocab — without the persist the explode + unigram shuffle runs twice
-    vocab = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).persist()
+    # lazily materialized (see unigram_lm_scores): the unigram-scalar
+    # collect populates the blocks, the backoff join reuses them — and the
+    # blocks are GC-cleanable, unlike a lingering .persist() entry
+    vocab = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
+    )
     total, vsize = vocab.agg(F.sum("cu"), F.count(F.lit(1))).first()
     if not vsize:
         # empty corpus/vocabulary: typed empty result (sum(None)+int crash)
@@ -981,13 +997,17 @@ def term_drift(
             F.regexp_extract_all(F.lower(F.col(text)), F.lit(r"[a-z]{2,}"), F.lit(0))
         ).alias("term"),
     )
-    # pinned: the totals collect below and the scored projection both read
-    # counts — without the persist the corpus tokenize + vocabulary
-    # shuffle runs twice (once eagerly for the scalars, once in the plan)
-    counts = tok.groupBy("term").agg(
-        F.sum(F.col("__a").cast("long")).alias("ca"),
-        F.sum(F.col("__b").cast("long")).alias("cb"),
-    ).persist()
+    # lazily materialized (see unigram_lm_scores): the totals collect
+    # populates the blocks, the scored projection reuses them — without
+    # the cut the corpus tokenize + vocabulary shuffle runs twice
+    counts = (
+        tok.groupBy("term")
+        .agg(
+            F.sum(F.col("__a").cast("long")).alias("ca"),
+            F.sum(F.col("__b").cast("long")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
     total_a, total_b, vocab = counts.agg(
         F.sum("ca"), F.sum("cb"), F.count(F.lit(1))
     ).first()
@@ -1117,13 +1137,18 @@ def dsir_log_weights(
     ).select(
         id_col, "__tgt", F.pmod(hash60(F.col("term")), F.lit(buckets)).alias("b")
     )
-    # pinned: the totals collect and the log-ratio projection both read
-    # counts — without the persist the whole corpus tokenize runs twice
-    # to rebuild a buckets-wide (constant-size) frame
-    counts = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
-    ).persist()
+    # lazily materialized (see unigram_lm_scores): the totals collect
+    # populates the blocks, the log-ratio projection reuses them — without
+    # the cut the whole corpus tokenize runs twice to rebuild a
+    # buckets-wide (constant-size) frame
+    counts = (
+        tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
+        )
+        .localCheckpoint(eager=False)
+    )
     n_raw, n_tgt = counts.agg(F.sum("c_raw"), F.sum("c_tgt")).first()
     if not n_raw:
         return raw.select(

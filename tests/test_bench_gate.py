@@ -417,6 +417,33 @@ def test_guard_null_marker_falls_through_to_legacy():
     assert quarantined and "legacy" in reason
 
 
+def test_guard_cpus_gate():
+    """VERDICT r12 item 9: the driver's 8-core scaling run falsely
+    self-described contaminated (the synth probe's calm_sec is a 32-core
+    calibration). Probes must not apply at a non-calibration core count,
+    and such archives must stay out of the 32-core round-over-round diff."""
+    guard = _bench_guard()
+    calm = guard.load_calm_refs(ROOT)
+    assert calm.get("cpus") == 32, "CALM_REFS must record its calibration cores"
+    # probes apply only at the calibration core count
+    assert guard.cpus_match(calm, "32") and guard.cpus_match(calm, 32)
+    assert not guard.cpus_match(calm, "8")
+    # a CALM_REFS without the field keeps the old behavior
+    assert guard.cpus_match({"refs": {}}, "8")
+    # an 8-core archive is quarantined from the diff with an honest reason,
+    # regardless of how calm its queries look
+    quarantined, reason = guard.classify_archive(
+        {"cpus": 8, "contaminated": None, "queries": dict(calm["refs"]), "sf": calm["sf"]},
+        calm,
+    )
+    assert quarantined and "cores" in reason
+    # a 32-core archive is unaffected by the new field
+    assert guard.classify_archive(
+        {"cpus": 32, "contaminated": False, "queries": dict(calm["refs"]), "sf": calm["sf"]},
+        calm,
+    ) == (False, None)
+
+
 def test_guard_adjudicate_disambiguates_code_from_box():
     """ADVICE r10 item 1: contamination evidence + a calm box verdict must
     NOT self-mark (the slowdown lives in the code; the gate should diff

@@ -71,6 +71,26 @@ def test_group_aggregates(tables):
     assert all(r["n"] > 0 and r["qty"] > 0 and r["orders"] > 0 for r in rows.values())
 
 
+def test_multi_quantile_merge_and_duplicate_instance(tables):
+    """N plain quantiles of one column collapse into a single percentile
+    buffer (_merge_quantile_aggs) with values identical to separate
+    aggregates — including when the SAME Agg instance appears twice, which
+    used to KeyError on the id()-keyed slot map (ADVICE r12)."""
+    li = tables["lineitem"]
+    dup = Agg("quantile", "l_quantity", alias="med", q=0.5)
+    merged = li.group(
+        aggregate=[dup, Agg("quantile", "l_quantity", alias="p90", q=0.9), dup]
+    ).df
+    assert merged.columns == ["med", "p90", "med"]
+    out = merged.collect()[0]
+    p90 = li.group(aggregate=[Agg("quantile", "l_quantity", alias="only", q=0.9)])
+    p90 = p90.df.collect()[0]["only"]
+    med = li.group(aggregate=[Agg("quantile", "l_quantity", alias="only", q=0.5)])
+    med = med.df.collect()[0]["only"]
+    # positional: duplicate aliases make name lookup ambiguous
+    assert (out[0], out[1], out[2]) == (med, p90, med)
+
+
 def test_group_empty_by_single_row(tables):
     li = tables["lineitem"]
     out = li.group(aggregate=[Agg("count", alias="n"), Agg("max", "l_quantity", alias="mx")])

@@ -145,6 +145,21 @@ def adjudicate(
     return True, False
 
 
+def cpus_match(calm_refs: dict, cpus) -> bool:
+    """True when a run at ``cpus`` cores is comparable to CALM_REFS.
+
+    The calm medians and both probe calibrations were taken on local[32];
+    a run at a different core count is legitimately slower/faster on every
+    query AND on the repo-independent probes (the synthetic probe scales
+    ~linearly with cores), so drift ratios computed against the 32-core
+    numbers are meaningless — the driver's 8-core scaling run was falsely
+    self-describing contaminated at synth drift ~2.1 (VERDICT r12 item 9).
+    A CALM_REFS file without a ``cpus`` field keeps the old behavior
+    (probes apply at any core count)."""
+    ref_cpus = calm_refs.get("cpus")
+    return ref_cpus is None or str(ref_cpus) == str(cpus)
+
+
 def load_calm_refs(root: str) -> dict:
     """Load bench_history/CALM_REFS.json; {} if absent/unreadable."""
     try:
@@ -183,6 +198,16 @@ def classify_archive(archive: dict, calm_refs: dict) -> tuple[bool, str | None]:
     comparable evidence and is kept (the gate only ever diffs same-SF
     archives).
     """
+    arch_cpus = archive.get("cpus")
+    if arch_cpus is not None and not cpus_match(calm_refs, arch_cpus):
+        # a run at a non-calibration core count (the driver's scaling leg)
+        # is not comparable to same-SF 32-core archives: diffing it would
+        # flag every query, and its probe evidence is core-count-inflated
+        return True, (
+            f"recorded at {arch_cpus} cores; CALM_REFS calibrated at "
+            f"{calm_refs.get('cpus')} — not comparable to same-SF archives"
+        )
+
     marker = archive.get("contaminated")
     if isinstance(marker, bool):  # null means "probes not applicable", not
         # "clean" — such an archive still carries legacy evidence, so only

@@ -74,6 +74,7 @@ def _bench_guard():
     return mod
 
 
+@pytest.mark.round_gate
 def test_bench_round_gate():
     files = sorted(glob.glob(os.path.join(ROOT, "bench_history", "bench_*_sf0.1.json")))
     # Contaminated archives (bench recorded inside a documented 2.2-2.8x

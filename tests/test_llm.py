@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 
 from graphique_spark.llm import dedup, multimodal, similarity, text
 
+from conftest import slow_full
+
 
 def test_exact_duplicates_finds_planted(spark):
     df = spark.createDataFrame(
@@ -299,6 +301,9 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(pairs, method="star").count() == 0
 
 
+@slow_full  # ~110s (65 label rounds x shuffle jobs): star/auto coverage
+# stays default via test_auto_mode_escalates_to_star_on_deep_chains and
+# test_star_components_chain_round_count
 def test_star_components_matches_label_propagation(spark):
     import random
 

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from graphique_spark import streaming
 
+from conftest import slow_full
+
 
 def test_tumbling_batch(tables, oracle):
     events = tables["events"].df
@@ -265,6 +267,8 @@ def test_upsert_sink_rejects_non_key_partition_col(spark, tables, tmp_path):
         )
 
 
+@slow_full  # ~95s: the sink mechanism AND its exactly-once contract are
+# covered by default via test_incremental_dedup_sink_replay_idempotent
 def test_incremental_dedup_sink(spark, tables, tmp_path):
     # stream documents in two micro-batches: cross-batch near-dup pairs
     # must match the batch-split incremental computation, and the index
@@ -478,6 +482,8 @@ def test_windowed_distinct_hll_accuracy_and_stream_parity(spark, tables, tmp_pat
     assert streamed == {ws: r["distinct_est"] for ws, r in batch.items()}
 
 
+@slow_full  # ~16s edge-case twin: default dead-dir/null-partition
+# coverage lives in test_cdc_sink_drops_dead_partitions_with_escaped_...
 def test_cdc_sink_empty_string_partition_shares_default_dir(spark, tmp_path):
     # Spark's writer sends '' AND null to __HIVE_DEFAULT_PARTITION__: the
     # dead-dir delete must (a) find the dir for a dead '' value and (b)
@@ -1078,6 +1084,9 @@ def test_windowed_rollup_file_sink_replay_idempotent(spark, tmp_path):
     assert len(before) >= 2
 
 
+@slow_full  # ~36s: file-sink crash-replay idempotence stays default via
+# test_windowed_rollup_file_sink_replay_idempotent; interval-join parity
+# stays default via test_interval_join_stream_batch_parity
 def test_interval_join_window_file_sink_replay_idempotent(spark, tmp_path):
     """Crash-replay exactly-once for the stream-stream interval-join ->
     tumbling-window chain through the transactional file sink (VERDICT r09

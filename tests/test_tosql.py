@@ -275,7 +275,10 @@ def _mk_terminal(i):
     ][i]
 
 
-@_settings(max_examples=25, deadline=None)
+from conftest import fuzz_examples as _fuzz_examples
+
+
+@_settings(max_examples=_fuzz_examples(25, 6), deadline=None)
 @_given(
     chain=_st.lists(_st.integers(0, 8), min_size=1, max_size=4),
     terminal=_st.integers(0, 4),
@@ -303,7 +306,7 @@ def test_fuzz_random_chain_roundtrip(spark, chain, terminal):
 from test_differential import any_expr as _any_expr, rows_strategy as _rows_strategy
 
 
-@_settings(max_examples=30, deadline=None)
+@_settings(max_examples=_fuzz_examples(30, 8), deadline=None)
 @_given(rows=_rows_strategy, trees=_st.lists(_any_expr, min_size=1, max_size=4))
 def test_fuzz_expression_sql_rendering(spark, rows, trees):
     from graphique_spark import sqlrender

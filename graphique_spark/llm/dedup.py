@@ -284,8 +284,9 @@ def incremental_minhash_dedup(
         )
     else:
         # materialized: consumed by the band explode AND the verify join —
-        # without the cut each consumer re-shingles the whole new batch
-        new_sigs = materializer(new_docs)(
+        # without the cut each consumer re-shingles the whole new batch.
+        # eager=False: both consumers sit inside the caller's first action
+        new_sigs = materializer(new_docs, eager=False)(
             _signatures(new_docs, text, id_col, k, num_hashes)
         )
         nb = new_sigs.select(
@@ -360,8 +361,13 @@ def minhash_candidates(
     """
     # materialized: sigs feeds the band explode AND both verify-join
     # sides — without the cut Catalyst re-derives the shingle hashing
-    # (the dominant cost) once per consumer
-    sigs = materializer(df)(_signatures(df, text, id_col, k, num_hashes))
+    # (the dominant cost) once per consumer. eager=False (VERDICT r12
+    # item 6): every consumer sits inside the caller's first action (for
+    # the CC family that action is the eager edge checkpoint), so the
+    # blocks populate in-job instead of paying a dedicated job up front;
+    # no unpersist happens before that action, so the recompute hazard
+    # documented on `materializer` does not apply
+    sigs = materializer(df, eager=False)(_signatures(df, text, id_col, k, num_hashes))
     banded = sigs.select(
         "id", F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "key")
     )
@@ -494,8 +500,9 @@ def ngram_jaccard_pairs(
     block = block_by
     # materialized (honoring checkpoint_dir like the prefix path): docs
     # feeds both join sides — without the cut the tokenize+hash of every
-    # doc runs twice
-    docs = materializer(df, checkpoint_dir)(
+    # doc runs twice. eager=False: both consumers sit inside the caller's
+    # first action, which populates the blocks — no dedicated cut job
+    docs = materializer(df, checkpoint_dir, eager=False)(
         df.select(
             F.col(id_col).alias("id"),
             block.alias("block"),
@@ -523,7 +530,9 @@ def _prefix_jaccard(
     df: DataFrame, text: str, id_col: str, n: int, t: float,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    materialize = materializer(df, checkpoint_dir)
+    # eager=False: all three consumers (prefix explode + both verify
+    # joins) sit inside the caller's first action — no dedicated cut job
+    materialize = materializer(df, checkpoint_dir, eager=False)
     docs = materialize(
         df.select(
             F.col(id_col).alias("id"),

@@ -500,7 +500,9 @@ def phash_near_dups(
     # the cut each consumer re-runs that pipeline. One slim row per image.
     # ``checkpoint_dir`` (the standard materializer knob) switches the cut
     # to reliable storage for executor-loss tolerance on a real cluster.
-    ids = materializer(hashes, checkpoint_dir)(
+    # eager=False: all five consumers sit inside the caller's first
+    # action, which populates the blocks — no dedicated cut job
+    ids = materializer(hashes, checkpoint_dir, eager=False)(
         hashes.select(F.col(id_col), F.col(hash_col).alias("dhash"))
     )
     distinct_h = ids.select("dhash").distinct()

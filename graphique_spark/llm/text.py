@@ -628,7 +628,9 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     # the whole tokenize+explode+groupBy. One slim row per document.
     # ``checkpoint_dir`` (the standard materializer knob) switches the cut
     # to reliable storage for executor-loss tolerance on a real cluster.
-    per_doc = materializer(df, checkpoint_dir)(
+    # eager=False: the corpus-stats scalar collect right below is the
+    # frame's first action and populates the blocks — no dedicated job.
+    per_doc = materializer(df, checkpoint_dir, eager=False)(
         tok.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("dl"),
             *[
@@ -680,8 +682,10 @@ def unigram_lm_scores(
     df = ensure_parallelism(df)
     # materialized at the token-ARRAY level (one slim row per doc, like
     # bigram_lm_scores): the regex tokenizer otherwise re-runs for each of
-    # its three consumers (vocabulary count, model scalars, scoring join)
-    toks = materializer(df, checkpoint_dir)(
+    # its three consumers (vocabulary count, model scalars, scoring join).
+    # eager=False: the vocab scalar collect below is the first action and
+    # populates these blocks in the same job — no dedicated cut job.
+    toks = materializer(df, checkpoint_dir, eager=False)(
         df.select(
             F.col(id_col),
             F.regexp_extract_all(
@@ -751,8 +755,10 @@ def bigram_lm_scores(
     # materialized: the token arrays feed FOUR consumers (the unigram
     # scalar pass, the vocab join side, the bigram count stream and the
     # scoring stream) — without the cut each one re-runs the regex
-    # tokenizer over the whole corpus, the dominant per-row cost
-    toks = materializer(df, checkpoint_dir)(
+    # tokenizer over the whole corpus, the dominant per-row cost.
+    # eager=False: the unigram scalar collect below is the first action
+    # and populates these blocks in the same job — no dedicated cut job.
+    toks = materializer(df, checkpoint_dir, eager=False)(
         df.select(
             F.col(id_col),
             F.regexp_extract_all(

@@ -2522,7 +2522,9 @@ def basket_cooccurrence(spark, sf_dir):
     # materialized: the distinct line set feeds FOUR consumers (the order
     # count, both self-join sides and the per-part counts) — without the
     # cut each one re-runs the 600k-row distinct shuffle
-    lines = dedup.materializer(spark)(
+    # eager=False: the n_orders count right below is the first action and
+    # populates the blocks for the other three consumers — no extra job
+    lines = dedup.materializer(spark, eager=False)(
         table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_partkey").distinct()
     )
     n_orders = lines.select("l_orderkey").distinct().count()
@@ -4313,18 +4315,23 @@ def corpus_novelty(spark, sf_dir):
     # single-pass per-gram fold instead of distinct(base) + broadcast
     # left join: the join form tokenizes the corpus TWICE (one Generate
     # per side) and broadcasts the base gram set — which cannot broadcast
-    # at real corpus scale. One groupBy(gram) sees both cohorts at once:
-    # per gram, whether the base corpus contains it and which new docs
-    # carry it (in-row distinct grams, so collect_list is per-doc-unique);
-    # exploding the doc list back out re-creates exactly the join's
-    # matched stream. Same rows, one tokenize, one gram-keyed exchange,
-    # no broadcast.
-    per_gram = grams.groupBy("g").agg(
-        F.max(F.when(~F.col("is_new"), F.lit(1))).alias("__seen"),
-        F.collect_list(F.when(F.col("is_new"), F.col("doc_id"))).alias("__docs"),
+    # at real corpus scale. One gram-partitioned WINDOW sees both cohorts
+    # at once: per gram, whether any base row carries it; the new-doc
+    # rows then aggregate per doc. Same rows as the join's matched
+    # stream, one tokenize, one gram-keyed exchange, no broadcast — and,
+    # unlike the earlier collect_list-of-doc-ids fold (ADVICE r12), no
+    # unbounded in-row array: a corpus-ubiquitous gram is a large window
+    # partition (sort-buffered, spills to disk) instead of one
+    # 2GB-capped array row. The hot-gram partition is the same skew
+    # either way; this shape degrades to spill, not to a hard failure.
+    from pyspark.sql import Window
+
+    seen = grams.withColumn(
+        "__seen",
+        F.max(F.when(~F.col("is_new"), F.lit(1))).over(Window.partitionBy("g")),
     )
     scored = (
-        per_gram.select("__seen", F.explode("__docs").alias("doc_id"))
+        seen.filter(F.col("is_new"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
